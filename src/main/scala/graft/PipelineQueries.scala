@@ -1,0 +1,237 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/**
+ * LLM-training-pipeline operator inventory (SURVEY.md §2.11): dedup
+ * (exact / Jaccard / MinHash / SimHash), similarity search, text analysis,
+ * multimodal plumbing. SQL-expressible ops carry a DuckDB oracle in
+ * [[oracle]]; hash-based ops (MinHash/SimHash/LSH — engine-specific
+ * xxhash64) are rows-only checked.
+ */
+object PipelineQueries {
+
+  import RelationalQueries.rd
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ── text analysis ───────────────────────────────────────────────────
+    "q_doc_tokens" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).cast("int").as("n_tokens"),
+        size(array_distinct(t)).cast("int").as("n_unique"),
+        fingerprint(t).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_dist" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).cast("int").as("n_tokens"),
+        stopwordRatio(t).as("stop_ratio"),
+        typeTokenRatio(t).as("ttr"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        langGuess(col("text")).as("lang_guess"),
+        (langGuess(col("text")) === col("lang")).cast("int").as("is_match"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── dedup ───────────────────────────────────────────────────────────
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      // synthesize exact dups: same corpus again under shifted ids
+      val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.exactDedupFlags(doubled, "doc_id", "text")
+        .select(col("doc_id"), col("keep_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {   // rows-only: xxhash64-based
+      Dedup.minHashPairs(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    "q_dedup_simhash" -> ((s, dir) => {   // rows-only: xxhash64-based
+      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 40)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // ── similarity search ───────────────────────────────────────────────
+    "q_embed_topk" -> ((s, dir) => {
+      Similarity.topKForId(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, kTop = 20)
+    }),
+
+    "q_embed_centroids" -> ((s, dir) => {
+      Similarity.centroids(rd(s, dir, "embeddings"), "label", "embedding")
+        .select(col("label"), col("pos").cast("int").as("pos"),
+          round(col("mean_v"), 6).as("mean_v"))
+        .orderBy(col("label"), col("pos"))
+    }),
+
+    "q_embed_ann" -> ((s, dir) => {       // rows-only: xxhash64-based LSH
+      Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          bits = 16, bands = 4, minCos = 0.2)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // ── multimodal plumbing ─────────────────────────────────────────────
+    "q_multimodal" -> ((s, dir) => {
+      Multimodal.mediaStats(Multimodal.attachMedia(rd(s, dir, "documents")))
+        .select(col("doc_id"), col("n_bytes").cast("int").as("n_bytes"), col("kind"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── sketch (rows-only: HLL implementations differ by engine) ────────
+    "q_approx_distinct" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }))
+
+  // DuckDB shingle-list expression over l = string_split(text, ' ')
+  private val ShinglesSql =
+    "list_transform(range(1, greatest(len(l) - 2, 0) + 1), i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])"
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q_doc_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         fp AS (
+           SELECT doc_id,
+             MOD(SUM(CAST(pos AS BIGINT) * (131 * LENGTH(tok) + ASCII(tok))), 1000000007) AS fp
+           FROM (SELECT doc_id, UNNEST(l) AS tok, UNNEST(range(1, len(l) + 1)) AS pos FROM toks) z
+           GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(l) AS INT) AS n_tokens,
+           CAST(len(list_distinct(l)) AS INT) AS n_unique, fp.fp AS fp
+         FROM toks t JOIN fp ON t.doc_id = fp.doc_id ORDER BY t.doc_id""",
+    "q_lang_dist" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         m AS (SELECT doc_id,
+             len(l) AS n,
+             len(list_distinct(l)) AS u,
+             len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS st
+           FROM t)
+         SELECT doc_id, CAST(n AS INT) AS n_tokens,
+           CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+           CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END AS ttr,
+           ROUND(
+             (CASE WHEN n BETWEEN 20 AND 80 THEN 0.4 WHEN n BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+              + (CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.4)
+             - (CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.2,
+             6) AS quality
+         FROM m ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+             CASE
+               WHEN contains(' ' || lower(text) || ' ', ' el ') OR contains(' ' || lower(text) || ' ', ' la ')
+                 OR contains(' ' || lower(text) || ' ', ' de ') OR contains(' ' || lower(text) || ' ', ' los ')
+                 OR contains(' ' || lower(text) || ' ', ' las ') OR contains(' ' || lower(text) || ' ', ' una ')
+                 OR contains(' ' || lower(text) || ' ', ' para ') OR contains(' ' || lower(text) || ' ', ' que ')
+                 THEN 'es'
+               WHEN contains(' ' || lower(text) || ' ', ' le ') OR contains(' ' || lower(text) || ' ', ' les ')
+                 OR contains(' ' || lower(text) || ' ', ' des ') OR contains(' ' || lower(text) || ' ', ' est ')
+                 OR contains(' ' || lower(text) || ' ', ' une ') OR contains(' ' || lower(text) || ' ', ' dans ')
+                 OR contains(' ' || lower(text) || ' ', ' pour ')
+                 THEN 'fr'
+               WHEN contains(' ' || lower(text) || ' ', ' der ') OR contains(' ' || lower(text) || ' ', ' die ')
+                 OR contains(' ' || lower(text) || ' ', ' das ') OR contains(' ' || lower(text) || ' ', ' und ')
+                 OR contains(' ' || lower(text) || ' ', ' ist ') OR contains(' ' || lower(text) || ' ', ' nicht ')
+                 OR contains(' ' || lower(text) || ' ', ' ein ')
+                 THEN 'de'
+               WHEN contains(' ' || lower(text) || ' ', ' the ') OR contains(' ' || lower(text) || ' ', ' a ')
+                 OR contains(' ' || lower(text) || ' ', ' an ') OR contains(' ' || lower(text) || ' ', ' is ')
+                 OR contains(' ' || lower(text) || ' ', ' of ') OR contains(' ' || lower(text) || ' ', ' and ')
+                 OR contains(' ' || lower(text) || ' ', ' to ') OR contains(' ' || lower(text) || ' ', ' in ')
+                 THEN 'en'
+               ELSE 'und'
+             END AS lang_guess
+           FROM documents)
+         SELECT doc_id, lang_guess,
+           CAST(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END AS INT) AS is_match
+         FROM g ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """WITH u AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents)
+         SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
+           CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS INT) AS is_dup
+         FROM u ORDER BY doc_id""",
+    "q_dedup_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+            CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+          ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+    "q_embed_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq
+                FROM (SELECT UNNEST(e) AS x FROM q) z),
+         parts AS (
+           SELECT b.vec_id, UNNEST(b.embedding) AS y, UNNEST(q.e) AS x
+           FROM embeddings b, q WHERE b.vec_id <> 0),
+         comp AS (
+           SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY vec_id)
+         SELECT vec_id, ROUND(dot / (nb * qn.nq), 4) AS cos_sim
+         FROM comp, qn ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    "q_embed_centroids" ->
+      """SELECT label, CAST(pos AS INT) AS pos,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_v
+         FROM (SELECT label, UNNEST(range(0, len(embedding))) AS pos,
+                 UNNEST(embedding) AS v FROM embeddings) z
+         GROUP BY label, pos ORDER BY label, pos""",
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           'image' AS kind
+         FROM documents ORDER BY doc_id""")
+}

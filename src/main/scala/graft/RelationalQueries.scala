@@ -1,0 +1,541 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/**
+ * Relational operator inventory (SURVEY.md §2.2–2.9) — one named query per
+ * operator, each with a DuckDB oracle in [[oracle]].
+ *
+ * Determinism rules (SURVEY.md §7 traps), applied uniformly:
+ *  - double SUMs go through DECIMAL(18,2) (exact, order-independent),
+ *    final cast to DOUBLE — bit-identical to the oracle regardless of
+ *    Spark's partial-aggregation order;
+ *  - AVG = CAST(decimal-SUM AS DOUBLE)/COUNT — one deterministic division;
+ *  - every query ends in a total ORDER BY;
+ *  - `events.ts` is ns in the files but µs in Spark: the oracle compares
+ *    at µs via CAST(ts AS TIMESTAMP);
+ *  - narrow ints (size/year/rank/…) cast to the same width on both sides.
+ */
+object RelationalQueries {
+
+  private[graft] def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+   * ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the legacy conf and
+   * truncate to µs ourselves. Integer division is mandatory: epoch-nanos
+   * (~1.7e18) overflow double's 2^53 mantissa, so `/ 1000` would corrupt
+   * timestamps; `DIV 1000` stays in long arithmetic. Matches the oracle's
+   * CAST(ts AS TIMESTAMP) µs truncation.
+   */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** exact order-independent sum of a 2-decimal double column */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ── scans / projection / filters (P1–P5, S7) ────────────────────────
+    "q_scan_project" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_filter" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_filter_date" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1999-07-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ── aggregations (A1–A5) ────────────────────────────────────────────
+    "q1_agg" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_agg_stats" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(dec(col("c_acctbal"))).cast("double").as("min_bal"),
+          max(dec(col("c_acctbal"))).cast("double").as("max_bal"),
+          dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_count_distinct" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation"); val r = rd(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+               FROM orders_v
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // ── joins (§2.3) ────────────────────────────────────────────────────
+    "q_join_bcast" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem"); val sup = rd(s, dir, "supplier"); val n = rd(s, dir, "nation")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q_join_multi" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val o = rd(s, dir, "orders"); val li = rd(s, dir, "lineitem")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1999-06-30").cast("timestamp"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1999-06-30").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q_join_left" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val o = rd(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast("double").as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_semi" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+      val o = rd(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_join_anti" -> ((s, dir) => {
+      val o = rd(s, dir, "orders"); val li = rd(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_join_full" -> ((s, dir) => {
+      val a = rd(s, dir, "customer").groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("n_cust"))
+      val b = rd(s, dir, "supplier").groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("n_supp"))
+      a.join(b, Seq("k"), "full_outer")
+        .select(col("k").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q_cross" -> ((s, dir) => {
+      val r = rd(s, dir, "region")
+      r.select(col("r_name").as("region_a"))
+        .crossJoin(r.select(col("r_name").as("region_b")))
+        .orderBy(col("region_a"), col("region_b"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      val e = rd(s, dir, "events")
+      val sg = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      sg.join(p, Seq("user_id"))
+        .filter(col("p_ts") > col("s_ts") && col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("user_id"), col("signup_id"))
+        .agg(count(lit(1)).as("n_purchases_1h"))
+        .orderBy(col("user_id"), col("signup_id"))
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      val e = rd(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asof(purchases, signups,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightId = "event_id", rightCols = Nil)
+        .select(col("event_id"), col("user_id"), col("asof_event_id").as("signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── windows (§2.5) ──────────────────────────────────────────────────
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      rd(s, dir, "events")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "events")
+        .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      rd(s, dir, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("value"), col("prev_value"), col("next_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_window_rank" -> ((s, dir) => {
+      val byBal = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+      val stable = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      rd(s, dir, "customer")
+        .withColumn("rnk", rank().over(byBal).cast("int"))
+        .withColumn("drnk", dense_rank().over(byBal).cast("int"))
+        .withColumn("quartile", ntile(4).over(stable).cast("int"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          col("rnk"), col("drnk"), col("quartile"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    }),
+
+    // ── sort / top-k (§2.6) ─────────────────────────────────────────────
+    "q_topk" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ── set ops (§2.7; S13 merge = UNION ALL at file level) ─────────────
+    "q_merge_union" -> ((s, dir) => {
+      // file-merge semantics: N inputs → one dataset (S13), here verified
+      // by aggregating the doubled data
+      val li = rd(s, dir, "lineitem")
+      li.unionByName(li)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_union_distinct" -> ((s, dir) => {
+      rd(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .union(rd(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy(col("nk"))
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      rd(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(rd(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy(col("nk"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      rd(s, dir, "orders").select(col("o_orderkey").as("k"))
+        .except(rd(s, dir, "lineitem").select(col("l_orderkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    // ── scalar functions (§2.8) ─────────────────────────────────────────
+    "q_string_funcs" -> ((s, dir) => {
+      rd(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up_name"),
+        length(col("p_name")).cast("int").as("name_len"),
+        substring(col("p_brand"), 7, 10).as("brand_num"),
+        concat(col("p_type"), lit("-"), col("p_brand")).as("type_brand"),
+        regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_mask"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        col("o_orderdate").cast("date").as("odate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_json" -> ((s, dir) => {
+      rd(s, dir, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_math_funcs" -> ((s, dir) => {
+      rd(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ceil(col("l_quantity") / 7.0).cast("bigint").as("q7"),
+        floor(col("l_extendedprice") / 1000.0).cast("bigint").as("price_k"),
+        sqrt(col("l_quantity")).as("sq"),
+        abs(col("l_discount") - 0.05).as("dd"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      val srcs = (0 to 9).map(i => s"src$i")
+      rd(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot("source", srcs)
+        .agg(count(lit(1)))
+        .na.fill(0L, srcs)
+        .orderBy(col("lang"))
+    }),
+
+    // ── batch mirror of the streaming tumbling-window agg (§2.10) ───────
+    "q_events_hourly" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }))
+
+  /** exact decimal revenue term used by several oracles */
+  private val RevSql =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+         WHERE l_quantity > 45 AND l_returnflag = 'A' ORDER BY l_orderkey, l_linenumber""",
+    "q_filter_date" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-07-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+            CAST($RevSql AS DOUBLE) AS sum_disc_price,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+            COUNT(*) AS count_order
+          FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_stats" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_count_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           COUNT(*) AS n_orders FROM orders""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_join_bcast" ->
+      s"""SELECT n_name, CAST($RevSql AS DOUBLE) AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "q_join_multi" ->
+      s"""SELECT o_orderkey, o_orderdate, CAST($RevSql AS DOUBLE) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1999-06-30'
+            AND l_shipdate > TIMESTAMP '1999-06-30'
+          GROUP BY o_orderkey, o_orderdate
+          ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+    "q_join_left" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_join_full" ->
+      """SELECT COALESCE(a.k, b.k) AS nationkey,
+           CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+         FROM (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) a
+         FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) b
+           ON a.k = b.k
+         ORDER BY nationkey""",
+    "q_cross" ->
+      """SELECT r1.r_name AS region_a, r2.r_name AS region_b
+         FROM region r1 CROSS JOIN region r2 ORDER BY region_a, region_b""",
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events)
+         SELECT s.user_id, s.event_id AS signup_id, COUNT(*) AS n_purchases_1h
+         FROM e s JOIN e p ON p.user_id = s.user_id
+           AND p.event_type = 'purchase'
+           AND p.uts > s.uts AND p.uts <= s.uts + INTERVAL 1 HOUR
+         WHERE s.event_type = 'signup'
+         GROUP BY s.user_id, s.event_id ORDER BY s.user_id, signup_id""",
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+         u AS (
+           SELECT event_id, user_id, uts, 1 AS side, NULL AS sid FROM e WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, uts, 0 AS side, event_id AS sid FROM e WHERE event_type = 'signup'),
+         m AS (
+           SELECT event_id, user_id, side,
+             LAST_VALUE(sid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side, sid NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
+           FROM u)
+         SELECT event_id, user_id, signup_id FROM m WHERE side = 1 ORDER BY event_id""",
+    "q_window_topk" ->
+      """SELECT user_id, rn, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rn
+           FROM events) t
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         FROM events ORDER BY event_id""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+           LAG(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+           LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
+         FROM events ORDER BY event_id""",
+    "q_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS drnk,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+         FROM customer ORDER BY c_mktsegment, rnk, c_custkey""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_merge_union" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem) t
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""",
+    "q_except" ->
+      """SELECT o_orderkey AS k FROM orders EXCEPT SELECT l_orderkey FROM lineitem ORDER BY k""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS up_name,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           SUBSTRING(p_brand, 7, 10) AS brand_num,
+           CONCAT(p_type, '-', p_brand) AS type_brand,
+           REGEXP_REPLACE(p_brand, '[0-9]+', '#', 'g') AS brand_mask
+         FROM part ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mo,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) AS odate
+         FROM orders ORDER BY o_orderkey""",
+    "q_json" ->
+      """SELECT event_id, CAST(REGEXP_EXTRACT(props, '[0-9]+') AS INT) AS k_val
+         FROM events ORDER BY event_id""",
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS q7,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+           SQRT(l_quantity) AS sq,
+           ABS(l_discount - 0.05) AS dd
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_pivot" ->
+      ("SELECT lang, " + (0 to 9).map(i =>
+        s"CAST(COUNT(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT) AS src$i").mkString(", ") +
+        " FROM documents GROUP BY lang ORDER BY lang"),
+    "q_events_hourly" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")
+}

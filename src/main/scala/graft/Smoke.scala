@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** t1-style smoke: run SparkEntry.entry and print its row count. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    println(s"ENTRY_ROWS=${df.count()}")
+    df.show(5)
+    spark.stop()
+  }
+}

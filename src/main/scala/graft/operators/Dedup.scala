@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for the LLM-pipeline surface (SURVEY.md §2.11):
+ * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+ *
+ * Scale design: no operator here materializes the O(n²) pair space. Every
+ * near-dup variant goes feature → inverted-index / bucket join → candidate
+ * pairs, so cost is Σ_bucket freq² with bucket frequencies capped — the
+ * standard shape for 100 TB dedup. Document-frequency caps drop degenerate
+ * "stopword" features that would otherwise quadratically explode a bucket.
+ */
+object Dedup {
+
+  /** Exact dedup, keep-first: flags every row whose `textCol` was already
+    * seen under a smaller `idCol`. One shuffle on the text key. */
+  def exactDedupFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol))
+    df.withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keep_id")).cast("int"))
+  }
+
+  /** Exact dedup: keep one row (min id) per distinct key tuple. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, feature) inverted index over distinct k-gram shingles, with a
+    * document-frequency cap on features (skew guard). */
+  private def featureIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int): DataFrame = {
+    val feats = df.select(col(idCol).as("id"),
+        explode(distinctShingles(col(textCol), k)).as("feat"))
+    val freqW = Window.partitionBy(col("feat"))
+    feats.withColumn("__df", count(lit(1)).over(freqW))
+      .filter(col("__df") <= maxDocFreq).drop("__df")
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via inverted-index join:
+   * |A∩B| from a feature-equality self-join, |A∪B| = |A|+|B|−|A∩B|.
+   * Returns (id_a, id_b, inter, size_a, size_b, jaccard), id_a < id_b,
+   * only pairs sharing ≥1 feature. jaccard is an exact rational divided
+   * once → bit-deterministic for the oracle.
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
+    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq).cache()
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val a = idx.select(col("id").as("id_a"), col("feat"))
+    val b = idx.select(col("id").as("id_b"), col("feat"))
+    val inter = a.join(b, Seq("feat")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
+  }
+
+  /**
+   * MinHash + LSH candidate pairs: signature of `numHashes` min-hashes over
+   * k-shingles, banded into `bands` buckets; docs colliding in ≥1 (band,
+   * bucket) become candidates; est_jaccard = fraction of agreeing
+   * signature positions. Only bucket-mates are ever paired.
+   */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+        minHashSignature(distinctShingles(col(textCol), k), numHashes).as("sig"))
+      .cache()
+    val buckets = sigs.select(col("id"), explode(minHashBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (s, x) => s + x).cast("double") / lit(numHashes).cast("double"))
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit signatures, byte-sliced into `bands`
+   * blocking keys; bucket-mates within `maxHamming` are near-dups.
+   * With 8 bands, any pair with Hamming ≤ 7 is guaranteed to collide
+   * (pigeonhole); larger distances are found best-effort.
+   */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 16, bands: Int = 8, k: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+        simHash64(distinctShingles(col(textCol), k)).as("sig")).cache()
+    val buckets = sigs.select(col("id"), explode(simHashBands(col("sig"), bands)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Parquet source/sink parity surface (SURVEY.md §2.1, S1–S13).
+ *
+ * Mirrors the reference's typed columnar write/read examples
+ * (`cpp/examples/parquet/low-level-api/reader-writer.cc:55-173,179-404`,
+ * `reader-writer2.cc:74-93`) and the Arrow-interface table I/O
+ * (`cpp/examples/parquet/parquet-arrow/src/reader-writer.cc:49-125`),
+ * re-expressed Spark-first: `spark.read.parquet` / `df.write.parquet`
+ * with writer properties carried as Hadoop/parquet-mr options.
+ *
+ * Scale posture: everything here is a declarative plan — no driver-side
+ * row handling — so it distributes unchanged on a 1000-executor cluster.
+ */
+object ParquetIO {
+
+  /**
+   * Writer knobs, the Spark analogues of the reference's
+   * `WriterProperties::Builder` (`reader-writer.cc:65-67`) and its two
+   * row-group sizing strategies:
+   *  - count-based, `NUM_ROWS_PER_ROW_GROUP` (`reader-writer.cc:45,74`)
+   *    → `parquet.page.row.count.limit` / `maxRecordsPerFile`
+   *  - size-based 16 MB buffered flush (`reader-writer2.cc:46,74-93`)
+   *    → `parquet.block.size` (parquet-mr does the same accounting)
+   */
+  final case class WriteOptions(
+      compression: String = "snappy",            // S2
+      rowGroupBytes: Long = 128L * 1024 * 1024,  // S4 (reference demo: 16 MB)
+      maxRecordsPerFile: Long = 0L,              // S3 (0 = unlimited)
+      pageRowCountLimit: Int = 20000)
+
+  /** Reference demo value: 16 MB size-triggered flush (`reader-writer2.cc:46`). */
+  val ReferenceRowGroupBytes: Long = 16L * 1024 * 1024
+
+  /** S7/S10: parquet source (vectorized, schema-on-read from footers). */
+  def read(spark: SparkSession, paths: Seq[String], mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+
+  /** S1–S5: parquet sink with writer properties. */
+  def write(df: DataFrame, path: String, opts: WriteOptions = WriteOptions()): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .option("parquet.page.row.count.limit", opts.pageRowCountLimit.toString)
+    (if (opts.maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", opts.maxRecordsPerFile.toString)
+     else w)
+      .parquet(path)
+  }
+
+  /**
+   * S13 — the repo's namesake capability: N parquet files → one dataset →
+   * rewritten with controlled row groups. Composition of S7 + S4/S12, with
+   * schema drift handled by name (`unionByName(allowMissingColumns)`), the
+   * DataFrame analogue of footer-schema reconciliation.
+   *
+   * Output file count is derived from total input bytes / `targetFileBytes`
+   * so the plan holds at 100 TB: a fixed small `repartition(k)` would
+   * funnel everything through k tasks; sizing from the input keeps task
+   * and file sizes constant as data grows.
+   */
+  def merge(
+      spark: SparkSession,
+      inputPaths: Seq[String],
+      outPath: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    val dfs = inputPaths.map(p => spark.read.parquet(p))
+    val merged = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+    val totalBytes = inputBytes(spark, inputPaths)
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    // coalesce (narrow) when reducing partition count; repartition only to widen
+    val sized =
+      if (parts <= merged.rdd.getNumPartitions) merged.coalesce(parts)
+      else merged.repartition(parts)
+    write(sized, outPath, opts)
+  }
+
+  /** Total on-disk bytes of the given files/directories (driver-side listing only). */
+  def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      fs.getContentSummary(hp).getLength
+    }.sum
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/**
+ * Structured Streaming surface (SURVEY.md §2.10) — extension tier; the
+ * reference's closest analogue is its incremental size-bounded buffered
+ * writer (`reader-writer2.cc:74-93`), i.e. bounded-state incremental
+ * processing, which is exactly what watermarks give us.
+ *
+ * All transforms are expressed on an unbounded DataFrame so the identical
+ * code runs batch (tests, oracle) and streaming (readStream).
+ */
+object Streams {
+
+  /** File-source stream over an events-shaped parquet directory.
+    * ts is TIMESTAMP(NANOS) in the files → read as long, truncate to µs
+    * (see RelationalQueries.events). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling/sliding-window counts per event type. */
+  def windowedCounts(events: DataFrame, windowDur: String = "1 hour",
+      slide: Option[String] = None, watermark: String = "2 hours"): DataFrame = {
+    val win = slide.map(s => window(col("ts"), windowDur, s))
+      .getOrElse(window(col("ts"), windowDur))
+    events.withWatermark("ts", watermark)
+      .groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session windows per user with a gap duration. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", gap)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Streaming dedup bounded by watermark state. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drive a streaming DF to completion against a memory sink (local smoke:
+    * a batch of parquet fully drains through the streaming engine). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
+    q.processAllAvailable()
+    q
+  }
+}
