@@ -1,0 +1,178 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asof picks greatest right ts <= left ts per key; ties -> greatest id; none -> null") {
+    val left = Seq(                       // (event_id, user_id, ts)
+      (100L, 1L, 50L), (101L, 1L, 10L), (102L, 2L, 50L), (103L, 3L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(                      // signups
+      (1L, 1L, 20L), (2L, 1L, 50L),      // user 1: ts 20, and one exactly at 50
+      (3L, 1L, 50L),                     // tie at 50 -> id 3 wins
+      (4L, 2L, 60L))                     // user 2: only AFTER the purchase
+      .toDF("event_id", "user_id", "ts")
+    val got = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", "event_id", Nil)
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(got(100L).contains(3L))   // <= semantics + tie -> greatest id
+    assert(got(101L).isEmpty)        // nothing at or before ts 10
+    assert(got(102L).isEmpty)        // right exists only later
+    assert(got(103L).isEmpty)        // key has no right rows at all
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and parquet files"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup flags dup rows and keeps min id") {
+    val flags = Dedup.exactDedupFlags(docs, "doc_id", "text")
+      .select("doc_id", "keep_id", "is_dup").as[(Long, Long, Int)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    assert(flags(1L) == (1L, 0) && flags(4L) == (1L, 1) && flags(2L)._2 == 0)
+    assert(Dedup.exactDedup(docs, "doc_id", Seq("text")).count() == 3)
+  }
+
+  test("jaccard pairs rank near-dups above unrelated docs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 4L)) == 1.0)                  // exact dup
+    assert(pairs((1L, 2L)) > 0.7)                   // near-dup
+    assert(!pairs.contains((1L, 3L)) || pairs((1L, 3L)) < 0.2)
+  }
+
+  test("minhash candidates find the near-dup pair with high estimate") {
+    val got = Dedup.minHashPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(got((1L, 4L)) == 1.0)
+    assert(got.get((1L, 2L)).exists(_ > 0.5))
+  }
+
+  test("simhash: identical docs at distance 0, near-dups close, unrelated far") {
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 64)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(got((1L, 4L)) == 0)
+    assert(got((1L, 2L)) < 16)
+    assert(got.get((1L, 3L)).forall(_ > got((1L, 2L))))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine column function: identity 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f), -1.0)
+    ).toDF("a", "b", "want")
+    val got = df.select(cosine(col("a"), col("b")).as("c"), col("want")).as[(Double, Double)].collect()
+    got.foreach { case (c, w) => assert(math.abs(c - w) < 1e-9) }
+  }
+
+  test("brute-force top-k finds the planted nearest neighbor first") {
+    val base = Seq.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val near = base.updated(0, base(0) + 0.01f)
+    val vecs = Seq((0L, base), (1L, near)) ++
+      (2L to 30L).map(i => (i, Seq.tabulate(64)(d => math.cos(d * i.toDouble).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val top = Similarity.topKForId(df, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("lsh ann: identical vectors always collide and score 1.0") {
+    val v = Seq.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val df = ((0L to 1L).map(i => (i, v)) ++
+      (2L to 20L).map(i => (i, Seq.tabulate(64)(d => ((d * i) % 11 - 5).toFloat)))).toDF("vec_id", "embedding")
+    val pairs = Similarity.annPairs(df, "vec_id", "embedding", minCos = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("centroids: mean per (group, pos) without collecting vectors") {
+    val df = Seq((0, Seq(1.0f, 3.0f)), (0, Seq(3.0f, 5.0f)), (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.centroids(df, "label", "embedding")
+      .select("label", "pos", "mean_v").as[(Int, Int, Double)].collect().toSet
+    assert(got == Set((0, 0, 2.0), (0, 1, 4.0), (1, 0, 10.0), (1, 1, 20.0)))
+  }
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: k-grams in order; shorter-than-k docs yield empty (not descending sequence)") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(shingles(tokens(col("text")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("fingerprint is order-sensitive and stable") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text").select(fingerprint(tokens(col("text"))).as("fp"))
+    val fps = df.as[Long].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+  }
+
+  test("langGuess: character probes + stopword profiles") {
+    val got = Seq(
+      "the cat is on the mat", "el gato esta en la casa de los abuelos",
+      "der hund ist nicht hier", "xyzzy qwerty").toDF("text")
+      .select(langGuess(col("text"))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("quality score rewards mid-length rich docs") {
+    val rich = ("doc with " + (1 to 40).map(i => s"tok$i").mkString(" "))
+    val poor = "the the the the the the the the the the"
+    val got = Seq(rich, poor).toDF("text").select(qualityScore(col("text"))).as[Double].collect()
+    assert(got(0) > got(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("attach + batched feature extraction: histogram normalized, sizes right") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
+    val media = Multimodal.attachMedia(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 100)
+    feats.foreach { f =>
+      assert(f.histogram.length == 16)
+      assert(math.abs(f.histogram.sum - 1.0f) < 1e-3)
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("frame sampling emits n deterministic slices") {
+    val docs = Multimodal.attachMedia(spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(5))
+    val frames = Multimodal.sampleFrames(docs, "media", nFrames = 4, frameBytes = 8)
+      .select("frames").as[Seq[Array[Byte]]].collect()
+    frames.foreach(f => assert(f.length == 4 && f.forall(_.length <= 8)))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.sources.{ParquetIO, Tools}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Round-trip parity tests mirroring the reference's self-verifying examples
+ * (SURVEY.md §5): write known data covering the §1 type lattice, read it
+ * back, compare exactly — nulls (def levels) and arrays (rep levels)
+ * included — plus row-group sizing and the S13 merge invariants.
+ */
+class ParquetIOSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-io").toString
+
+  // the §1/FIXTURES A1 type surface, Spark-mapped
+  private val schema = StructType(Seq(
+    StructField("boolean_field", BooleanType, nullable = false),
+    StructField("int32_field", IntegerType, nullable = false),
+    // parquet read-back always reports array elements nullable
+    StructField("int64_rep_field", ArrayType(LongType, containsNull = true), nullable = false),
+    StructField("ts_field", TimestampType, nullable = false),
+    StructField("float_field", FloatType, nullable = false),
+    StructField("double_field", DoubleType, nullable = false),
+    StructField("ba_field", StringType, nullable = true),     // OPTIONAL — nulls on odd rows
+    StructField("flba_field", BinaryType, nullable = false))) // fixed-len 10 by construction
+
+  private def mkRows(n: Int): Seq[Row] = (0 until n).map { i =>
+    Row(i % 2 == 0, i, Seq(i.toLong, i * 1000L),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i.toLong * 60)),
+      i * 1.1f, i * 1.1111111,
+      if (i % 2 == 1) null else s"parquet$i",
+      Array.fill[Byte](10)(i.toByte))
+  }
+
+  test("round-trip: all physical types, nulls, repeated fields, snappy") {
+    val dir = tmp() + "/rt"
+    val n = 500
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(mkRows(n), 2), schema)
+    ParquetIO.write(df, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("int32_field").collect()
+    val want = mkRows(n)
+    assert(got.length == n)
+    (got zip want).foreach { case (g, w) =>
+      assert(g.getBoolean(0) == w.getBoolean(0))
+      assert(g.getInt(1) == w.getInt(1))
+      assert(g.getSeq[Long](2) == w.getSeq[Long](2))          // rep levels
+      assert(g.getTimestamp(3) == w.getTimestamp(3))
+      assert(g.getFloat(4) == w.getFloat(4))
+      assert(g.getDouble(5) == w.getDouble(5))
+      assert(g.isNullAt(6) == (w.get(6) == null))             // def levels
+      if (!g.isNullAt(6)) assert(g.getString(6) == w.getString(6))
+      assert(g.getAs[Array[Byte]](7).toSeq == w.getAs[Array[Byte]](7).toSeq)
+    }
+    // compression actually applied
+    val chunks = Tools.columnChunks(spark, dir)
+    assert(chunks.nonEmpty && chunks.forall(_.codec == "SNAPPY"))
+  }
+
+  test("row-group sizing: small block size yields multiple row groups") {
+    val dir = tmp() + "/rg"
+    val df = spark.range(200000).selectExpr("id", "cast(id as string) as s", "id * 1.5 as d")
+      .coalesce(1)
+    ParquetIO.write(df, dir, ParquetIO.WriteOptions(rowGroupBytes = 64 * 1024, pageRowCountLimit = 1000))
+    val rgs = Tools.rowGroups(spark, dir)
+    assert(rgs.map(_.numRows).sum == 200000L)
+    assert(rgs.size > 1, s"expected multiple row groups, got ${rgs.size}")
+  }
+
+  test("merge (S13): N files -> one dataset, schema drift by name, counts preserved") {
+    val base = tmp()
+    val a = s"$base/a"; val b = s"$base/b"; val out = s"$base/out"
+    spark.range(1000).selectExpr("id", "id * 2 as x").write.parquet(a)
+    spark.range(500).selectExpr("id + 1000 as id", "cast(id as string) as extra").write.parquet(b)
+    ParquetIO.merge(spark, Seq(a, b), out)
+    val merged = spark.read.parquet(out)
+    assert(merged.count() == 1500)
+    assert(merged.columns.sorted.toSeq == Seq("extra", "id", "x"))
+    // drifted columns null-filled, originals preserved
+    assert(merged.filter("x IS NOT NULL").count() == 1000)
+    assert(merged.filter("extra IS NOT NULL").count() == 500)
+    // M5 analogue: row groups exist and respect the (default, large) bound
+    val rgs = Tools.rowGroups(spark, out)
+    assert(rgs.nonEmpty && rgs.map(_.numRows).sum == 1500L)
+  }
+
+  test("metadata introspection (M1-M4) on driver testdata") {
+    val p = s"${TestSpark.sf}/lineitem.parquet"
+    val tree = Tools.schemaTree(spark, p)
+    assert(tree.contains("l_orderkey") && tree.contains("l_shipdate"))
+    assert(Tools.schemaJson(spark, p).contains("\"l_quantity\""))
+    val rgs = Tools.rowGroups(spark, p)
+    assert(rgs.map(_.numRows).sum == 6000L)
+    val chunks = Tools.columnChunks(spark, p)
+    assert(chunks.exists(c => c.column == "l_orderkey" && c.numValues == 6000L))
+    // pandas writes KV metadata into these files — read side works
+    assert(Tools.keyValueMetadata(spark, p).contains("pandas"))
+  }
+
+  test("timed projected scan (parquet-scan analogue)") {
+    val (rows, secs) = Tools.timedScan(spark, s"${TestSpark.sf}/lineitem.parquet",
+      Seq("l_orderkey", "l_quantity"))
+    assert(rows == 6000L && secs > 0.0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs on sf0.001 and yields rows; the oracle map
+  * stays consistent with the query map (t1-smoke analogue of the driver's
+  * t2 DuckDB gate, which scripts/compare_oracle.py reproduces fully). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry (flagship merge) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  // queries that can legitimately be empty at tiny SF (candidate-pair ops)
+  private val mayBeEmpty = Set("q_join_anti", "q_except")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, TestSpark.sf)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming windowed counts == batch equivalent on the same files") {
+    val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+    val agg = graft.streaming.Streams.windowedCounts(stream, "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("wc_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wc_test")
+      .selectExpr("sum(n) as total").collect()(0).getLong(0)
+    val batch = RelationalQueries.queries("q_events_hourly")(spark, TestSpark.sf)
+      .selectExpr("sum(n) as total").collect()(0).getLong(0)
+    assert(streamed == batch && streamed == 1000L)
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+    val deduped = graft.streaming.Streams.dedupWithinWatermark(stream.union(stream), "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dd_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dd_test").count() == 1000L)
+  }
+}
