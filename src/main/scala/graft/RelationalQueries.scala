@@ -282,6 +282,17 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_union_byname" -> ((s, dir) => {
+      // schema-drift union: the S13 merge reconciliation semantic
+      // (`mergeSchema`) expressed at the operator level
+      val a = rd(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+      val b = rd(s, dir, "supplier")
+        .select((col("s_suppkey") + 1000000L).as("id"), col("s_acctbal").as("bal"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("id"))
+    }),
+
     "q_union_distinct" -> ((s, dir) => {
       rd(s, dir, "customer").select(col("c_nationkey").as("nk"))
         .union(rd(s, dir, "supplier").select(col("s_nationkey").as("nk")))
@@ -347,6 +358,31 @@ object RelationalQueries {
         .agg(count(lit(1)))
         .na.fill(0L, srcs)
         .orderBy(col("lang"))
+    }),
+
+    "q_array_funcs" -> ((s, dir) => {
+      // array surface (§2.8): split/size/contains/slice/sort + exact fold
+      val t = split(col("text"), " +")
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).cast("int").as("n"),
+        array_contains(t, "spark").cast("int").as("has_spark"),
+        concat_ws("_", slice(t, 1, 3)).as("first3"),
+        element_at(t, -1).as("last_tok"),
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).as("total_len"),
+        concat_ws(" ", array_sort(array_distinct(t))).as("sorted_vocab"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_range" -> ((s, dir) => {
+      // RANGE frame (value-based, not row-based): sum of values over the
+      // trailing 100 event-ids per user
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rangeBetween(-100L, Window.currentRow)
+      rd(s, dir, "events")
+        .withColumn("trailing_value", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("trailing_value"))
+        .orderBy(col("event_id"))
     }),
 
     // ── batch mirror of the streaming tumbling-window agg (§2.10) ───────
@@ -501,6 +537,11 @@ object RelationalQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem) t
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_union_byname" ->
+      """SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg FROM customer
+         UNION ALL
+         SELECT s_suppkey + 1000000 AS id, s_acctbal AS bal, CAST(NULL AS VARCHAR) AS seg FROM supplier
+         ORDER BY id""",
     "q_union_distinct" ->
       """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk""",
     "q_intersect" ->
@@ -534,6 +575,21 @@ object RelationalQueries {
       ("SELECT lang, " + (0 to 9).map(i =>
         s"CAST(COUNT(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT) AS src$i").mkString(", ") +
         " FROM documents GROUP BY lang ORDER BY lang"),
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+         SELECT doc_id, CAST(len(l) AS INT) AS n,
+           CAST(CASE WHEN list_contains(l, 'spark') THEN 1 ELSE 0 END AS INT) AS has_spark,
+           array_to_string(l[1:3], '_') AS first3,
+           l[-1] AS last_tok,
+           CAST(list_sum(list_transform(l, x -> length(x))) AS BIGINT) AS total_len,
+           array_to_string(list_sort(list_distinct(l)), ' ') AS sorted_vocab
+         FROM t ORDER BY doc_id""",
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_value
+         FROM events ORDER BY event_id""",
     "q_events_hourly" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

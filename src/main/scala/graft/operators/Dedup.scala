@@ -65,6 +65,28 @@ object Dedup {
   }
 
   /**
+   * MinHash signatures, relationally: explode distinct shingles once, hash
+   * each (feature, i) with codegen'd xxhash64, then ONE hash-aggregate
+   * builds all `numHashes` mins per doc (partial aggregation map-side, a
+   * single shuffle on id).
+   *
+   * Deliberately NOT the nested higher-order-function formulation
+   * (`transform(seq, i -> array_min(transform(shingles, ...)))`): that
+   * expression re-evaluates the shingle-array construction per hash
+   * function in interpreted mode — measured 208 s for 5k docs vs ~1 s for
+   * this plan — and it would be per-row serial at 100 TB too.
+   */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, k: Int): DataFrame = {
+    val feats = df.select(col(idCol).as("id"),
+      explode(distinctShingles(col(textCol), k)).as("feat"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("feat"))).as(s"h$i"))
+    feats.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /**
    * MinHash + LSH candidate pairs: signature of `numHashes` min-hashes over
    * k-shingles, banded into `bands` buckets; docs colliding in ≥1 (band,
    * bucket) become candidates; est_jaccard = fraction of agreeing
@@ -73,9 +95,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-        minHashSignature(distinctShingles(col(textCol), k), numHashes).as("sig"))
-      .cache()
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k).cache()
     val buckets = sigs.select(col("id"), explode(minHashBands(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
     val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
@@ -96,10 +116,25 @@ object Dedup {
    * With 8 bands, any pair with Hamming ≤ 7 is guaranteed to collide
    * (pigeonhole); larger distances are found best-effort.
    */
+  /** SimHash signatures, relationally (same design as [[minHashSignatures]]):
+    * one xxhash64 per exploded feature, 64 conditional-sum bit votes in a
+    * single hash-aggregate, bits packed back into a long. */
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val feats = df.select(col(idCol).as("id"),
+      explode(distinctShingles(col(textCol), k)).as("feat"))
+      .withColumn("h", xxhash64(col("feat")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    feats.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
+  }
+
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16, bands: Int = 8, k: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-        simHash64(distinctShingles(col(textCol), k)).as("sig")).cache()
+    val sigs = simHashSignatures(df, idCol, textCol, k).cache()
     val buckets = sigs.select(col("id"), explode(simHashBands(col("sig"), bands)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))

@@ -47,12 +47,44 @@ object Similarity {
    * candidate set, cosine re-rank inside buckets. Recall is tunable via
    * (bits, bands); cost is Σ_bucket freq² instead of n².
    */
+  /**
+   * Random-hyperplane LSH signatures, relationally: posexplode the vector
+   * once, compute all `bits` signed projections as codegen'd conditional
+   * sums in ONE hash-aggregate (map-side partials, single shuffle), then
+   * pack sign bits. Same plan shape as Dedup.minHashSignatures — the
+   * nested fold formulation (VectorFunctions.lshSignature) is kept for
+   * small/columnar use but is interpreted and per-row serial.
+   */
+  def lshSignatures(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, seed: Int = 42): DataFrame = {
+    val parts = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("d", "x")))
+    val projs = (0 until bits).map { j =>
+      sum(when(pmod(xxhash64(lit(seed), lit(j) * 65537 + col("d")), lit(2)) === 0,
+        col("x").cast("double")).otherwise(-col("x").cast("double"))).as(s"p$j")
+    }
+    parts.groupBy(col("id"))
+      .agg(projs.head, projs.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
+  }
+
+  /**
+   * Band width tuning is the scale lever: candidate count for random data
+   * ≈ bands · n²/2 · 2^-width. 8-bit bands over a 32-bit signature keep
+   * the re-rank set ~1/60th of the 4-bit variant while still catching
+   * genuinely similar vectors (their sign bits agree far above chance).
+   * Norms are precomputed per vector so re-ranking costs ONE fold (dot).
+   */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 16, bands: Int = 4, minCos: Double = 0.0): DataFrame = {
+      bits: Int = 32, bands: Int = 4, minCos: Double = 0.0): DataFrame = {
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sigs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lshSignature(col(vecCol), bits).as("sig")).cache()
+    val sigs = lshSignatures(emb, idCol, vecCol, bits)
+      .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .withColumn("nrm", l2Norm(col("vec")))
+      .cache()
     val buckets = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
@@ -62,9 +94,10 @@ object Similarity {
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     cands
-      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 4))
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos_sim",
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
   }
