@@ -95,19 +95,19 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k).cache()
-    val buckets = sigs.select(col("id"), explode(minHashBands(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
-    val cands = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k)
+    // carry the signature THROUGH the bucket join: one shuffle join total,
+    // est similarity computed on the join rows, dedup (distinct) last on
+    // the already-scored pairs — instead of distinct + two re-joins
+    val buckets = sigs.select(col("id"), col("sig"),
+        explode(minHashBands(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    cands
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (s, x) => s + x).cast("double") / lit(numHashes).cast("double"))
-      .select("id_a", "id_b", "est_jaccard")
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        (aggregate(zip_with(col("x.sig"), col("y.sig"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (s, v) => s + v).cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
+      .distinct()
   }
 
   /**
@@ -134,16 +134,16 @@ object Dedup {
 
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16, bands: Int = 8, k: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol, k).cache()
-    val buckets = sigs.select(col("id"), explode(simHashBands(col("sig"), bands)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val sigs = simHashSignatures(df, idCol, textCol, k)
+    // signature rides through the bucket join (64 bits — free); hamming
+    // filter BEFORE the distinct shrinks the dedup shuffle
+    val buckets = sigs.select(col("id"), col("sig"), explode(simHashBands(col("sig"), bands)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
     buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        hamming64(col("x.sig"), col("y.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }
