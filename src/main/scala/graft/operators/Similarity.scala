@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -22,7 +23,7 @@ object Similarity {
       .select(col(vecCol).as("__qvec"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .withColumn("cos", cosine(col(vecCol), col("__qvec")))
+      .withColumn("cos", GraftExtensions.graftCosine(emb.sparkSession, col(vecCol), col("__qvec")))
       .select(col(idCol), round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(kTop)
@@ -34,7 +35,7 @@ object Similarity {
       vecCol: String, qIdCol: String, qVecCol: String, kTop: Int): DataFrame = {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("cos", GraftExtensions.graftCosine(emb.sparkSession, col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)
@@ -83,7 +84,7 @@ object Similarity {
     val mask = (1L << width) - 1
     val sigs = lshSignatures(emb, idCol, vecCol, bits)
       .join(emb.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
-      .withColumn("nrm", l2Norm(col("vec")))
+      .withColumn("nrm", sqrt(GraftExtensions.graftDot(emb.sparkSession, col("vec"), col("vec"))))
       .cache()
     val buckets = sigs.select(col("id"),
         explode(array((0 until bands).map(b =>
@@ -97,7 +98,7 @@ object Similarity {
       .join(sigs.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos_sim",
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
+        round(GraftExtensions.graftDot(emb.sparkSession, col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4))
       .filter(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
   }

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions.call_function
+
+/**
+ * Registration for graft's native Catalyst expressions — both as a
+ * `SparkSessionExtensions` injector (for
+ * `spark.sql.extensions=graft.plans.GraftExtensions`) and as an
+ * idempotent per-session registration for library use.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("graft_cosine",
+      new ExpressionInfo(classOf[FloatVecCosine].getName, "graft_cosine"),
+      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+
+  /** Idempotent: make graft_* functions available in `spark`'s registry. */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column API over the registered functions. */
+  def graftDot(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_dot", a, b)
+  }
+
+  def graftCosine(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark); call_function("graft_cosine", a, b)
+  }
+}
