@@ -100,6 +100,17 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
     }),
 
+    "q_percentile" -> ((s, dir) => {
+      // exact interpolated percentiles (values are integral doubles, so
+      // interpolation arithmetic is exact in both engines)
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_distinct" -> ((s, dir) => {
       rd(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus")).distinct()
@@ -428,6 +439,12 @@ object RelationalQueries {
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
            COUNT(*) AS n_orders FROM orders""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

@@ -176,3 +176,36 @@ class MultimodalSpec extends AnyFunSuite {
     frames.foreach(f => assert(f.length == 4 && f.forall(_.length <= 8)))
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("salted join equals plain join on skewed keys") {
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_quantity"), col("l_orderkey"))
+    val sup = spark.read.parquet(s"${TestSpark.sf}/supplier.parquet")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val plain = li.join(sup, Seq("l_suppkey")).count()
+    val salted = graft.operators.Skew
+      .saltedJoin(li, sup, "l_suppkey", salts = 8, spreadCol = "l_orderkey").count()
+    assert(salted == plain && plain == 6000L)
+  }
+}
+
+class VectorAvgAggregatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("typed Aggregator vector mean matches relational centroids") {
+    val vecAvg = org.apache.spark.sql.functions.udaf(graft.functions.VectorAvgAggregator)
+    spark.udf.register("vec_avg", vecAvg)
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    emb.createOrReplaceTempView("emb_agg_test")
+    val typed = spark.sql("SELECT label, vec_avg(embedding) AS c FROM emb_agg_test GROUP BY label")
+      .selectExpr("label", "round(c[0], 6) AS c0").as[(Int, Double)].collect().toMap
+    val relational = graft.operators.Similarity.centroids(emb, "label", "embedding")
+      .filter("pos = 0").selectExpr("label", "round(mean_v, 6) AS c0")
+      .as[(Int, Double)].collect().toMap
+    assert(typed == relational && typed.nonEmpty)
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{ParquetIO, Tools}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -108,5 +109,22 @@ class ParquetIOSpec extends AnyFunSuite {
     val (rows, secs) = Tools.timedScan(spark, s"${TestSpark.sf}/lineitem.parquet",
       Seq("l_orderkey", "l_quantity"))
     assert(rows == 6000L && secs > 0.0)
+  }
+}
+
+class Int96Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("INT96 timestamp write parity (reader_writer.h int96_field)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-int96").toString + "/t"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      val df = spark.sql("SELECT timestamp'2024-01-02 03:04:05.123456' AS ts, 1L AS id")
+      df.write.parquet(dir)
+      val chunk = Tools.columnChunks(spark, dir).find(_.column == "ts").get
+      assert(chunk.physicalType == "INT96")
+      val back = spark.read.parquet(dir).selectExpr("cast(ts as string)").collect()(0).getString(0)
+      assert(back == "2024-01-02 03:04:05.123456")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 }

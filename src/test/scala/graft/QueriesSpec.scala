@@ -52,3 +52,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(spark.table("dd_test").count() == 1000L)
   }
 }
+
+class StatefulSessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("flatMapGroupsWithState sessionization over the events stream") {
+    import graft.streaming.{StatefulSessions, Streams}
+    val stream = Streams.eventsStream(spark, TestSpark.sf)
+      .withWatermark("ts", "2 hours")
+    val sessions = StatefulSessions.sessionize(StatefulSessions.asEvents(stream))
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("sess_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sess_test")
+    assert(out.count() > 0)
+    // every terminal-closed session ends with an error event, stats positive
+    val bad = out.filter("n_events <= 0 OR total_value < 0").count()
+    assert(bad == 0)
+    assert(out.filter("closed_by = 'terminal'").count() > 0)
+  }
+}
