@@ -31,12 +31,34 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /**
+   * Distinct (id, feat) k-shingle pairs, built relationally: posexplode
+   * tokens, k−1 window `lead`s, concat — all codegen'd, one shuffle on id.
+   * Measured ~10× faster than exploding the per-row higher-order
+   * `distinctShingles` array (interpreted) at sf0.1, and the window is
+   * keyed by doc so it parallelizes at any scale.
+   */
+  private[operators] def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " +")).as(Seq("pos", "tok")))
+    if (k == 1) toks.select(col("id"), col("tok").as("feat")).distinct()
+    else {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val leads = (1 until k).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
+      toks.select(col("id") +: col("tok") +: leads: _*)
+        .filter(col(s"t${k - 1}").isNotNull)
+        .select(col("id"),
+          concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"t$o")): _*).as("feat"))
+        .distinct()
+    }
+  }
+
   /** (id, feature) inverted index over distinct k-gram shingles, with a
     * document-frequency cap on features (skew guard). */
   private def featureIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Int): DataFrame = {
-    val feats = df.select(col(idCol).as("id"),
-        explode(distinctShingles(col(textCol), k)).as("feat"))
+    val feats = shingleIndex(df, idCol, textCol, k)
     val freqW = Window.partitionBy(col("feat"))
     feats.withColumn("__df", count(lit(1)).over(freqW))
       .filter(col("__df") <= maxDocFreq).drop("__df")
@@ -78,8 +100,7 @@ object Dedup {
    */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, k: Int): DataFrame = {
-    val feats = df.select(col(idCol).as("id"),
-      explode(distinctShingles(col(textCol), k)).as("feat"))
+    val feats = shingleIndex(df, idCol, textCol, k)
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("feat"))).as(s"h$i"))
     feats.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -120,8 +141,7 @@ object Dedup {
     * one xxhash64 per exploded feature, 64 conditional-sum bit votes in a
     * single hash-aggregate, bits packed back into a long. */
   def simHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val feats = df.select(col(idCol).as("id"),
-      explode(distinctShingles(col(textCol), k)).as("feat"))
+    val feats = shingleIndex(df, idCol, textCol, k)
       .withColumn("h", xxhash64(col("feat")))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
