@@ -80,6 +80,26 @@ object ParquetIO {
     write(sized, outPath, opts)
   }
 
+  /**
+   * Hive-style partitioned write — at 100 TB the partition column IS the
+   * primary pruning mechanism: queries filtering on it read only matching
+   * directories (`PartitionFilters` in the scan, zero I/O elsewhere).
+   * Pair with `maxRecordsPerFile` so hot partitions split into bounded
+   * files instead of one giant one.
+   */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      opts: WriteOptions = WriteOptions()): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .partitionBy(partitionCols: _*)
+    (if (opts.maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", opts.maxRecordsPerFile.toString)
+     else w)
+      .parquet(path)
+  }
+
   /** Total on-disk bytes of the given files/directories (driver-side listing only). */
   def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

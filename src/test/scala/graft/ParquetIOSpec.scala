@@ -128,3 +128,22 @@ class Int96Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   }
 }
+
+class PartitionPruningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partitioned write prunes directories at read time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/t"
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+    ParquetIO.writePartitioned(li, dir, Seq("l_returnflag"))
+    // only the matching partition directory is read
+    val q = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    val expected = li.filter(col("l_returnflag") === "A").count()
+    assert(q.count() == expected)
+    // partition dirs exist per value
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(subdirs.exists(_.startsWith("l_returnflag=")))
+  }
+}

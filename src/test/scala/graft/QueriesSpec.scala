@@ -72,3 +72,22 @@ class StatefulSessionsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out.filter("closed_by = 'terminal'").count() > 0)
   }
 }
+
+/** Plan-posture guard: no accidental cartesian/BNLJ sneaks into the
+  * inventory (q_cross intentionally crosses; tiny sides broadcast). */
+class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val redFlags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+  private val allowed = Map(
+    "q_cross" -> Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+    "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast query side
+
+  test("no unexpected cartesian products or nested-loop joins") {
+    val flagged = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, TestSpark.sf).queryExecution.executedPlan.toString
+      val hits = redFlags.filter(plan.contains).filterNot(allowed.getOrElse(name, Nil).contains)
+      if (hits.nonEmpty) Some(s"$name: ${hits.mkString(",")}") else None
+    }
+    assert(flagged.isEmpty, flagged.mkString("; "))
+  }
+}
