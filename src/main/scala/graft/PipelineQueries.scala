@@ -101,6 +101,30 @@ object PipelineQueries {
         .orderBy(col("label"), col("pos"))
     }),
 
+    "q_embed_pairs" -> ((s, dir) => {
+      // embedding-cosine near-dup, exact all-pairs baseline (oracle-able);
+      // the scale path for the same semantics is q_embed_ann (LSH buckets)
+      val e = rd(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.plans.GraftExtensions.graftCosine(s, col("va"), col("vb")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
+    "q_token_bpe" -> ((s, dir) => {
+      // BPE-ish subword tokenization via RE2-compatible regexp (runs
+      // identically under Java regex and DuckDB's RE2)
+      val pat = "[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]"
+      rd(s, dir, "events").select(
+        col("event_id"),
+        size(regexp_extract_all(col("props"), lit(pat), lit(0))).cast("int").as("n_bpe"),
+        concat_ws("|", regexp_extract_all(col("props"), lit(pat), lit(0))).as("toks"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_embed_ann" -> ((s, dir) => {       // rows-only: xxhash64-based LSH
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
           bits = 16, bands = 4, minCos = 0.2)
@@ -211,6 +235,24 @@ object PipelineQueries {
           FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
           ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+    "q_embed_pairs" ->
+      """WITH parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b)
+         SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
+         FROM comp ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""",
+    "q_token_bpe" ->
+      """SELECT event_id,
+           CAST(len(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe,
+           array_to_string(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'), '|') AS toks
+         FROM events ORDER BY event_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
          qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq

@@ -80,7 +80,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val redFlags = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
   private val allowed = Map(
     "q_cross" -> Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
-    "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast query side
+    "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
+    "q_embed_pairs" -> Seq("BroadcastNestedLoopJoin")) // exact all-pairs baseline; scale path is q_embed_ann
 
   test("no unexpected cartesian products or nested-loop joins") {
     val flagged = SparkEntry.queries.flatMap { case (name, fn) =>
