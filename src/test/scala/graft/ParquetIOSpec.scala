@@ -152,6 +152,12 @@ class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("bucketed tables co-locate the join: no shuffle on either side") {
+    // in-memory catalog forgets tables across JVMs; the warehouse dirs survive
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (d.exists()) { org.apache.commons.io.FileUtils.deleteDirectory(d) }
+    }
     val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     val o = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
