@@ -133,6 +133,14 @@ object PipelineQueries {
     }),
 
     // ── multimodal plumbing ─────────────────────────────────────────────
+    "q_multimodal_features" -> ((s, dir) => {   // rows-only: mapPartitions op
+      val media = Multimodal.attachMedia(rd(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          round(element_at(col("histogram"), 1).cast("double"), 4).as("h0"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.attachMedia(rd(s, dir, "documents")))
         .select(col("doc_id"), col("n_bytes").cast("int").as("n_bytes"), col("kind"))
