@@ -125,6 +125,30 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_embed_ivf" -> ((s, dir) => {       // rows-only: IVF coarse-quantizer ANN
+      val emb = rd(s, dir, "embeddings")
+      val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 16, iters = 2)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", assign, cents,
+        queryId = 0L, kTop = 20, nProbe = 6)
+    }),
+
+    "q_doc_logprob" -> ((s, dir) => {
+      // corpus-likelihood quality: unigram LM over the whole corpus, doc
+      // score = Σ -ln p(token) / n — the relational form of perplexity
+      // scoring (inverted token index joined against corpus frequencies)
+      val docs = rd(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+      // corpus total stays lazy (1-row broadcast), no driver-side action
+      val total = toks.agg(count(lit(1)).cast("double").as("t"))
+      val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      toks.join(broadcast(freqs), "tok").crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round((sum(-log(col("tf") / col("t"))) / count(lit(1))), 4).as("avg_neg_logp"),
+          count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("avg_neg_logp"), col("n_tokens").cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_embed_ann" -> ((s, dir) => {       // rows-only: xxhash64-based LSH
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
           bits = 16, bands = 4, minCos = 0.2)
@@ -243,6 +267,15 @@ object PipelineQueries {
           FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
           ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+    "q_doc_logprob" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),
+         freqs AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok)
+         SELECT doc_id,
+           ROUND(SUM(-LN(tf / total.t)) / COUNT(*), 4) AS avg_neg_logp,
+           CAST(COUNT(*) AS INT) AS n_tokens
+         FROM toks JOIN freqs USING (tok), total
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_pairs" ->
       """WITH parts AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -103,6 +103,68 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /**
+   * IVF-style ANN (the classic inverted-file index): k-means-lite coarse
+   * quantizer trained relationally (LSH-seeded, `iters` Lloyd steps, each
+   * one broadcast-join + hash-aggregate), vectors assigned to their
+   * nearest centroid cell. Queries probe only `nProbe` cells — at 100 TB
+   * the cell assignment is the partition key and a probe touches
+   * nProbe/k of the data.
+   *
+   * Returns (id, cell) assignments plus the centroid table for probing.
+   */
+  def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double")).cache()
+    // seed cells from LSH buckets (deterministic, data-dependent spread)
+    var assign = lshSignatures(emb, idCol, vecCol, bits = 16)
+      .select(col("id"), pmod(col("sig"), lit(k)).cast("int").as("cell"))
+    for (_ <- 0 until iters) {
+      val cents = parts.join(assign, "id")
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c"))
+      // distance to every centroid: ||v||² − 2·v·c + ||c||² (only the cross
+      // and centroid terms vary per cell)
+      val scores = parts.join(cents, "d")
+        .groupBy(col("id"), col("cell"))
+        .agg(sum(col("x") * col("c")).as("dotc"), sum(col("c") * col("c")).as("cc"))
+        .withColumn("dist", col("cc") - lit(2.0) * col("dotc"))
+      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+      assign = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("cell"))
+    }
+    val centroids = parts.join(assign, "id")
+      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c"))
+    (assign, centroids)
+  }
+
+  /** Probe an IVF index: rank cells by query·centroid distance, search the
+    * best `nProbe` cells exhaustively with the codegen cosine. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      assign: DataFrame, centroids: DataFrame,
+      queryId: Long, kTop: Int, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val qParts = emb.filter(col(idCol) === queryId)
+      .select(posexplode(col(vecCol)).as(Seq("d", "qx")))
+      .withColumn("qx", col("qx").cast("double"))
+    val cellRank = centroids.join(broadcast(qParts), "d")
+      .groupBy(col("cell"))
+      .agg((sum(col("c") * col("c")) - lit(2.0) * sum(col("qx") * col("c"))).as("dist"))
+      .orderBy(col("dist"), col("cell")).limit(nProbe)
+      .select(col("cell"))
+    val qVec = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qvec"))
+    emb.join(assign.withColumnRenamed("id", idCol), idCol)
+      .join(broadcast(cellRank), "cell")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .withColumn("cos_sim",
+        round(graft.plans.GraftExtensions.graftCosine(spark, col(vecCol), col("__qvec")), 4))
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(kTop)
+  }
+
   /** Per-group vector mean (centroids) — posexplode + groupBy, the
     * distributed formulation of a vector-average aggregate: partial sums
     * combine map-side, nothing is collected. */

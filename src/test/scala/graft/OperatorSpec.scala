@@ -209,3 +209,21 @@ class VectorAvgAggregatorSpec extends AnyFunSuite {
     assert(typed == relational && typed.nonEmpty)
   }
 }
+
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IVF probe finds the planted nearest neighbor; recall vs brute force") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(assign.count() == emb.count())             // every vector assigned
+    assert(assign.select("cell").distinct().count() > 1)
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", assign, cents,
+      queryId = 0L, kTop = 10, nProbe = 4).select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.topKForId(emb, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf, brute=$brute)")
+  }
+}

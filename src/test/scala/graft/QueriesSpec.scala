@@ -92,3 +92,27 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(flagged.isEmpty, flagged.mkString("; "))
   }
 }
+
+class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("watermarked stream-stream interval join matches the batch range join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "2 hours")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = sg.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") > col("s_ts") && col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj_test").count()
+    val batch = RelationalQueries.queries("q_range_join")(spark, TestSpark.sf)
+      .agg(sum(col("n_purchases_1h"))).collect()(0).getLong(0)
+    assert(streamed == batch && streamed > 0)
+  }
+}
