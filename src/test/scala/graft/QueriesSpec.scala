@@ -81,7 +81,9 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val allowed = Map(
     "q_cross" -> Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
-    "q_embed_pairs" -> Seq("BroadcastNestedLoopJoin")) // exact all-pairs baseline; scale path is q_embed_ann
+    "q_embed_pairs" -> Seq("BroadcastNestedLoopJoin"), // exact all-pairs baseline; scale path is q_embed_ann
+    "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector
+    "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast corpus total
 
   test("no unexpected cartesian products or nested-loop joins") {
     val flagged = SparkEntry.queries.flatMap { case (name, fn) =>
