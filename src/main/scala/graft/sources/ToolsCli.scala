@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * CLI parity with the reference's three tools (SURVEY.md §3 E3):
+ *  - `schema <path>`               ≙ parquet-dump-schema (`parquet-dump-schema.cc:23-33`)
+ *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv]`
+ *                                  ≙ parquet_reader (`parquet_reader.cc:24-72`)
+ *  - `scan <path> [--columns=a,b]` ≙ parquet-scan timed count (`parquet-scan.cc:25-71`)
+ *
+ * Run: `sbt "runMain graft.sources.ToolsCli <cmd> <path> [flags]"`.
+ */
+object ToolsCli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ToolsCli schema|dump|scan <path> [flags]")
+    val cmd = args(0); val path = args(1)
+    val flags = args.drop(2).toSeq
+    def columns: Seq[String] = flags.collectFirst {
+      case f if f.startsWith("--columns=") => f.stripPrefix("--columns=").split(",").toSeq
+    }.getOrElse(Nil)
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, cmd, path, flags, columns)
+    finally spark.stop()
+  }
+
+  private[graft] def run(spark: SparkSession, cmd: String, path: String,
+      flags: Seq[String], columns: Seq[String]): Unit = cmd match {
+    case "schema" =>
+      println(Tools.schemaTree(spark, path))
+
+    case "dump" =>
+      val json = flags.contains("--json")
+      if (json) println(Tools.schemaJson(spark, path))
+      if (flags.contains("--print-kv"))
+        Tools.keyValueMetadata(spark, path).foreach { case (k, v) =>
+          println(s"$k: ${v.take(120)}") }
+      Tools.rowGroups(spark, path).foreach { rg =>
+        println(s"row group ${rg.rowGroup}: rows=${rg.numRows} bytes=${rg.totalByteSize} " +
+          s"compressed=${rg.compressedBytes} columns=${rg.numColumns}")
+      }
+      if (!flags.contains("--only-metadata")) {
+        val df0 = spark.read.parquet(path)
+        val df = if (columns.nonEmpty) df0.select(columns.map(org.apache.spark.sql.functions.col): _*) else df0
+        if (json) df.toJSON.collect().take(20).foreach(println)
+        else df.show(20, truncate = false)
+      }
+
+    case "scan" =>
+      val (rows, secs) = Tools.timedScan(spark, path, columns)
+      println(f"$rows rows scanned in $secs%.3f seconds")   // the parquet-scan report line
+
+    case other => sys.error(s"unknown command: $other")
+  }
+}

@@ -177,3 +177,32 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
+
+class ToolsCliSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def captureOut(f: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos))(f)
+    bos.toString
+  }
+
+  test("schema / dump / scan commands mirror the reference tools") {
+    val p = s"${TestSpark.sf}/lineitem.parquet"
+    val schemaOut = captureOut(graft.sources.ToolsCli.run(spark, "schema", p, Nil, Nil))
+    assert(schemaOut.contains("l_orderkey"))
+    val dumpOut = captureOut(graft.sources.ToolsCli.run(spark, "dump", p,
+      Seq("--json", "--only-metadata", "--print-kv"), Nil))
+    assert(dumpOut.contains("row group 0") && dumpOut.contains("pandas"))
+    val scanOut = captureOut(graft.sources.ToolsCli.run(spark, "scan", p, Nil, Seq("l_orderkey")))
+    assert(scanOut.contains("6000 rows scanned in"))
+  }
+
+  test("mergeSchema read reconciles drifted files at scan time") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ms").toString
+    spark.range(10).selectExpr("id", "id * 2 as x").write.parquet(s"$base/d/p1")
+    spark.range(10).selectExpr("id + 10 as id", "cast(id as string) as y").write.parquet(s"$base/d/p2")
+    val df = ParquetIO.read(spark, Seq(s"$base/d/p1", s"$base/d/p2"), mergeSchema = true)
+    assert(df.columns.sorted.toSeq == Seq("id", "x", "y"))
+    assert(df.count() == 20)
+  }
+}
