@@ -171,7 +171,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── sketch (rows-only: HLL implementations differ by engine) ────────
+    // ── sketches (rows-only: HLL/KLL implementations differ by engine) ──
+    "q_approx_quantile" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("pcts"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .select(col("l_returnflag"),
+          element_at(col("pcts"), 1).as("ap50"),
+          element_at(col("pcts"), 2).as("ap95"),
+          element_at(col("pcts"), 3).as("ap99"),
+          col("exact_p50"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_approx_distinct" -> ((s, dir) => {
       rd(s, dir, "events")
         .groupBy(col("event_type"))
