@@ -54,6 +54,26 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Incremental parquet sink via foreachBatch — the Structured Streaming
+   * analogue of the reference's size-bounded buffered writer
+   * (`reader-writer2.cc:74-93`): each micro-batch appends through
+   * ParquetIO with the same row-group controls, so the stream produces
+   * the identical file layout the batch writer would.
+   */
+  def parquetSink(df: DataFrame, outPath: String, checkpoint: String,
+      opts: graft.sources.ParquetIO.WriteOptions = graft.sources.ParquetIO.WriteOptions()): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write
+          .mode("append")
+          .option("compression", opts.compression)
+          .option("parquet.block.size", opts.rowGroupBytes.toString)
+          .parquet(outPath)
+      }
+      .start()
+
   /** Drive a streaming DF to completion against a memory sink (local smoke:
     * a batch of parquet fully drains through the streaming engine). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -118,3 +118,18 @@ class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == batch && streamed > 0)
   }
 }
+
+class StreamParquetSinkSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("foreachBatch parquet sink: stream drains to files identical in count to batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+      .select("event_id", "user_id", "value")
+    val q = graft.streaming.Streams.parquetSink(stream, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 1000L)
+    assert(back.columns.sorted.toSeq == Seq("event_id", "user_id", "value"))
+  }
+}
