@@ -227,3 +227,44 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall (ivf=$ivf, brute=$brute)")
   }
 }
+
+/** The per-row Column formulations and the relational (explode+aggregate)
+  * formulations must compute the SAME signatures — one is the semantic
+  * spec, the other the scale path. */
+class SignatureConsistencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "a b c d e f g x"),
+    (3L, "z y x w v u t s")).toDF("doc_id", "text")
+
+  test("relational minhash signatures equal the higher-order column form") {
+    val hof = docs.select(col("doc_id").as("id"),
+      minHashSignature(distinctShingles(col("text"), 3), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val rel = graft.operators.Dedup.minHashSignatures(docs, "doc_id", "text", 16, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hof == rel)
+  }
+
+  test("relational simhash signatures equal the higher-order column form") {
+    val hof = docs.select(col("doc_id").as("id"),
+      simHash64(distinctShingles(col("text"), 3)).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val rel = graft.operators.Dedup.simHashSignatures(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hof == rel)
+  }
+
+  test("relational lsh signatures equal the higher-order column form") {
+    val emb = Seq((1L, Seq(0.5f, -0.25f, 1.0f, -1.0f)), (2L, Seq(-0.5f, 0.25f, -1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val hof = emb.select(col("vec_id").as("id"), lshSignature(col("embedding"), 8).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val rel = graft.operators.Similarity.lshSignatures(emb, "vec_id", "embedding", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hof == rel)
+  }
+}
