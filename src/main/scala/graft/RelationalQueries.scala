@@ -117,6 +117,31 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    "q_having" -> ((s, dir) => {
+      rd(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .filter(col("n_cust") > 5)                      // HAVING
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_in_subquery" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      rd(s, dir, "customer").createOrReplaceTempView("customer_sq")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders_sq
+               WHERE o_custkey IN (SELECT c_custkey FROM customer_sq WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    }),
+
+    "q_scalar_subquery" -> ((s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("orders_ssq")
+      // deterministic scalar: exact decimal average
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_ssq
+               WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                                     FROM orders_ssq) * 1.5
+               ORDER BY o_orderkey""")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation"); val r = rd(s, dir, "region")
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -448,6 +473,20 @@ object RelationalQueries {
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
+    "q_having" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 5
+         ORDER BY c_nationkey""",
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                               FROM orders) * 1.5
+         ORDER BY o_orderkey""",
     "q_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
