@@ -76,6 +76,17 @@ object PipelineQueries {
         .limit(50)
     }),
 
+    "q_dedup_clusters" -> ((s, dir) => {  // rows-only: iterative component labels
+      // full near-dup pipeline: shingle Jaccard pairs ≥ 0.6 → connected
+      // components → (doc, cluster, keep) decisions
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
+      Dedup.clusterPairs(pairs)
+        .select(col("id").as("doc_id"), col("cluster"),
+          (col("id") === col("cluster")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_minhash" -> ((s, dir) => {   // rows-only: xxhash64-based
       Dedup.minHashPairs(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))

@@ -152,6 +152,39 @@ object Dedup {
           .reduce((a, c) => a.bitwiseOR(c)).as("sig"))
   }
 
+  /**
+   * Near-dup pairs → dedup clusters: connected components by iterative
+   * min-label propagation (each round: every node adopts the smallest
+   * label among itself and its neighbors; converges in O(cluster
+   * diameter) rounds — near-dup clusters are shallow, so `maxIters` ≈ 5
+   * suffices). Returns (id, cluster) where cluster = min id reachable;
+   * keep-one policy = keep id == cluster. Each round is one join + one
+   * aggregate — no driver-side graph state, so it runs at any scale.
+   */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 5): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 16, bands: Int = 8, k: Int = 3): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol, k)

@@ -268,3 +268,28 @@ class SignatureConsistencySpec extends AnyFunSuite {
     assert(hof == rel)
   }
 }
+
+class ClusterPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pairs form connected components with min-id labels") {
+    // components: {1,2,3,4} (chain), {7,8}, {9} absent (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("keep-one dedup policy over jaccard clusters on crafted dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (3L, "completely different content about spark query engines and parquet files"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.5)
+    val clusters = Dedup.clusterPairs(pairs)
+    val keep = docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("keep", coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+    assert(keep.filter("keep").count() == 2)   // one of {1,2,4} + 3
+  }
+}
