@@ -13,9 +13,18 @@ object Bench {
     // warm the JVM/codegen/file-footer paths so the first timed query
     // doesn't absorb session startup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    var failures = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink executes the FULL plan (a bare .count() lets Catalyst
+      // drop final sorts, under-measuring order-by cost)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          e.printStackTrace()
+          failures ::= name
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $secs%8.2f s")
       name -> secs
@@ -25,5 +34,9 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} queries FAILED: ${failures.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -94,7 +94,11 @@ object PipelineQueries {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {   // rows-only: xxhash64-based
-      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 40)
+      // maxHamming ≤ 8: with 8 bands the pigeonhole guarantee covers
+      // Hamming ≤ 7, and a tight radius keeps bucket collisions (and the
+      // dedup shuffle behind them) small — Hamming 8 of 64 bits is already
+      // the loose end of "near-duplicate"
+      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -152,7 +156,9 @@ object PipelineQueries {
       // corpus total stays lazy (1-row broadcast), no driver-side action
       val total = toks.agg(count(lit(1)).cast("double").as("t"))
       val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      toks.join(broadcast(freqs), "tok").crossJoin(broadcast(total))
+      // no broadcast hint on freqs: the vocabulary is corpus-sized
+      // (unbounded at 100 TB) — let AQE pick broadcast only when it fits
+      toks.join(freqs, "tok").crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(round((sum(-log(col("tf") / col("t"))) / count(lit(1))), 4).as("avg_neg_logp"),
           count(lit(1)).as("n_tokens"))
@@ -161,8 +167,12 @@ object PipelineQueries {
     }),
 
     "q_embed_ann" -> ((s, dir) => {       // rows-only: xxhash64-based LSH
+      // 32-bit signature / 4 bands = 8-bit buckets — the configuration the
+      // operator's own analysis calls for (Similarity.scala band-width
+      // note): candidate set ~1/60th of the 4-bit variant, recall held by
+      // the AnnRecallSpec ≥ 0.9 assertion vs brute force
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          bits = 16, bands = 4, minCos = 0.2)
+          bits = 32, bands = 4, minCos = 0.2)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -182,25 +192,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── sketches (rows-only: HLL/KLL implementations differ by engine) ──
+    // ── sketches (rows-only: HLL/KLL implementations differ by engine;
+    //    the exact companions live in q_exact_p50 / q_exact_users, which
+    //    ARE oracle-checked) ──
     "q_approx_quantile" -> ((s, dir) => {
       rd(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("pcts"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("pcts"))
         .select(col("l_returnflag"),
           element_at(col("pcts"), 1).as("ap50"),
           element_at(col("pcts"), 2).as("ap95"),
-          element_at(col("pcts"), 3).as("ap99"),
-          col("exact_p50"))
+          element_at(col("pcts"), 3).as("ap99"))
         .orderBy(col("l_returnflag"))
     }),
 
     "q_approx_distinct" -> ((s, dir) => {
       rd(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // exact halves of the sketch pair, split out so they oracle-check
+    "q_exact_p50" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_exact_users" -> ((s, dir) => {
+      rd(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))
     }))
 
@@ -213,7 +237,7 @@ object PipelineQueries {
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          fp AS (
            SELECT doc_id,
-             MOD(SUM(CAST(pos AS BIGINT) * (131 * LENGTH(tok) + ASCII(tok))), 1000000007) AS fp
+             CAST(MOD(SUM(CAST(pos AS BIGINT) * (131 * LENGTH(tok) + ASCII(tok))), 1000000007) AS BIGINT) AS fp
            FROM (SELECT doc_id, UNNEST(l) AS tok, UNNEST(range(1, len(l) + 1)) AS pos FROM toks) z
            GROUP BY doc_id)
          SELECT t.doc_id, CAST(len(l) AS INT) AS n_tokens,
@@ -340,5 +364,11 @@ object PipelineQueries {
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            'image' AS kind
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "q_exact_p50" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_exact_users" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }

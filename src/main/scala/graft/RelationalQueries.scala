@@ -201,6 +201,17 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_join_right" -> ((s, dir) => {
+      // right-outer mirror of q_join_left: orders RIGHT JOIN customer, so
+      // every customer survives (null order side aggregated away)
+      val c = rd(s, dir, "customer"); val o = rd(s, dir, "orders")
+      o.join(c, col("o_custkey") === col("c_custkey"), "right")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec(col("o_totalprice"))), lit(0)).cast("double").as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_join_semi" -> ((s, dir) => {
       val c = rd(s, dir, "customer")
       val o = rd(s, dir, "orders").filter(col("o_orderstatus") === "F")
@@ -376,6 +387,40 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_map_funcs" -> ((s, dir) => {
+      // MapType surface (§2.8): from_json → map<string,int>, map_keys /
+      // map_values / map_from_entries / map_concat / element_at. The
+      // rebuilt map (entries → zip → map_from_entries) must behave
+      // identically to the parsed one.
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+      val rebuilt = map_from_entries(arrays_zip(map_keys(m), map_values(m)))
+      rd(s, dir, "events").select(
+        col("event_id"),
+        size(map_keys(m)).cast("int").as("n_keys"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys"),
+        element_at(m, "k").as("k_val"),
+        element_at(map_concat(rebuilt, map(lit("extra"), lit(1))), "extra").as("extra_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_struct_nested" -> ((s, dir) => {
+      // nested-struct parquet round-trip (§1: GroupNode tree → StructType):
+      // build a two-level struct, write it to parquet, read it back and
+      // project leaf field paths — exercising nested schema pruning on the
+      // scan (ReadSchema keeps only the touched leaves)
+      val tmp = s"/tmp/graft_nested_${math.abs(dir.hashCode)}"
+      rd(s, dir, "orders").select(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"),
+          struct(year(col("o_orderdate")).cast("int").as("yr"),
+            col("o_totalprice").as("price")).as("dt")).as("info"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .select(col("o_orderkey"), col("info.st").as("st"), col("info.dt.yr").as("yr"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_math_funcs" -> ((s, dir) => {
       rd(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -522,6 +567,11 @@ object RelationalQueries {
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_right" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
@@ -620,6 +670,16 @@ object RelationalQueries {
     "q_json" ->
       """SELECT event_id, CAST(REGEXP_EXTRACT(props, '[0-9]+') AS INT) AS k_val
          FROM events ORDER BY event_id""",
+    "q_map_funcs" ->
+      """SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys,
+           CAST(REGEXP_EXTRACT(props, '[0-9]+') AS INT) AS k_val,
+           CAST(1 AS INT) AS extra_val
+         FROM events ORDER BY event_id""",
+    "q_struct_nested" ->
+      """SELECT o_orderkey, o_orderstatus AS st, CAST(YEAR(o_orderdate) AS INT) AS yr
+         FROM orders ORDER BY o_orderkey""",
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS q7,

@@ -18,16 +18,24 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup, keep-first: flags every row whose `textCol` was already
-    * seen under a smaller `idCol`. One shuffle on the text key. */
+    * seen under a smaller `idCol`. One shuffle, keyed by SHA-256 of the
+    * text rather than the text itself: the shuffle/sort key is a fixed
+    * 64 bytes instead of an arbitrarily long document, and collisions are
+    * cryptographically negligible, so semantics equal the raw-text window. */
   def exactDedupFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol))
+    val w = Window.partitionBy(sha2(col(textCol), 256))
     df.withColumn("keep_id", min(col(idCol)).over(w))
       .withColumn("is_dup", (col(idCol) =!= col("keep_id")).cast("int"))
   }
 
-  /** Exact dedup: keep one row (min id) per distinct key tuple. */
+  /** Exact dedup: keep one row (min id) per distinct key tuple. Same
+    * fixed-width-key trick as [[exactDedupFlags]]: each key column is
+    * hashed to SHA-256 of its string form, keeping the shuffle key narrow
+    * for wide text keys (string rendering is injective per column, so
+    * distinct tuples never merge). */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val w = Window.partitionBy(keyCols.map(c => sha2(col(c).cast("string"), 256)): _*)
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -163,25 +171,45 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 5): DataFrame = {
+    // localCheckpoint (eager) rather than cache: it MATERIALIZES the pair
+    // computation once — an expensive upstream (e.g. exact Jaccard) is
+    // never recomputed per round — and it TRUNCATES lineage, so the plan
+    // doesn't grow by one join+agg layer per iteration. Superseded label
+    // checkpoints are dropped on the spot to free executor storage.
+    val sc = pairs.sparkSession.sparkContext
+    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val beforeEdges = persisted
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
+    val edgeIds = persisted -- beforeEdges
+    val beforeLabels = persisted
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+      .withColumn("cluster", col("id")).localCheckpoint()
+    // Dataset doesn't expose its checkpoint RDD, so track the ids that
+    // appear in the persistent-RDD registry around each checkpoint and
+    // free the superseded generation explicitly each round.
+    var prevIds: Set[Int] = persisted -- beforeLabels
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      val before = persisted
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .cache()
+        .localCheckpoint()
+      val nextIds = persisted -- before
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
         .filter(col("cluster") =!= col("prev")).isEmpty
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = nextIds
       labels = next
       i += 1
     }
+    // the result is its own checkpoint; the edge list is no longer needed
+    edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     labels
   }
 
