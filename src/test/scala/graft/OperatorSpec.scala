@@ -72,6 +72,43 @@ class DedupSpec extends AnyFunSuite {
     assert(got((1L, 2L)) < 16)
     assert(got.get((1L, 3L)).forall(_ > got((1L, 2L))))
   }
+
+  test("simhash at the banded guarantee radius (<=8) keeps dups, drops unrelated") {
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 4L)))                       // exact dup, hamming 0
+    Seq((1L, 3L), (2L, 3L), (3L, 4L)).foreach(p =>       // unrelated doc 3
+      assert(!got.contains(p), s"unrelated pair $p passed the radius"))
+  }
+
+  test("simhash tight-radius pairs on the real corpus are near-dups by jaccard") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val sims = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jacc = Dedup.jaccardPairs(corpus, "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    if (sims.nonEmpty) {
+      val js = sims.toSeq.map(p => jacc.getOrElse(p, 0.0))
+      val mean = js.sum / js.size
+      assert(mean >= 0.5, s"simhash<=8 pairs average jaccard $mean — not near-dups")
+    }
+    // the dup pairs jaccard finds at >=0.9 should be recovered by simhash
+    val strong = jacc.filter(_._2 >= 0.9).keySet
+    assert(strong.subsetOf(sims),
+      s"missed strong pairs: ${strong -- sims} (simhash found ${sims.size})")
+  }
+
+  test("hash-keyed exact dedup handles a hot-key corpus (one text dominating)") {
+    val hot = (1L to 3000L).map(i =>
+      (i, "common boilerplate banner text repeated verbatim across the corpus"))
+    val uniq = (3001L to 4000L).map(i => (i, s"unique document number $i with its own words"))
+    val df = (hot ++ uniq).toDF("doc_id", "text")
+    val flags = Dedup.exactDedupFlags(df, "doc_id", "text")
+    assert(flags.filter(col("is_dup") === 1).count() == 2999L)
+    assert(flags.filter(col("keep_id") === 1L).count() == 3000L)
+    assert(Dedup.exactDedup(df, "doc_id", Seq("text")).count() == 1001L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -266,6 +303,27 @@ class SignatureConsistencySpec extends AnyFunSuite {
     val rel = graft.operators.Similarity.lshSignatures(emb, "vec_id", "embedding", 8)
       .as[(Long, Long)].collect().toMap
     assert(hof == rel)
+  }
+}
+
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("8-bit-band LSH ANN recall >= 0.9 vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val pairs = Similarity.annPairs(emb, "vec_id", "embedding", bits = 32, bands = 4)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    val neighbors = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .groupBy(_._1)
+      .map { case (q, vs) => q -> vs.sortBy(v => (-v._3, v._2)).take(10).map(_._2).toSet }
+    val recalls = (0L to 4L).map { q =>
+      val brute = Similarity.topKForId(emb, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      (neighbors.getOrElse(q, Set.empty) intersect brute).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"ANN recall too low: $mean (per-query: $recalls)")
   }
 }
 
