@@ -94,11 +94,11 @@ object PipelineQueries {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {   // rows-only: xxhash64-based
-      // maxHamming ≤ 8: with 8 bands the pigeonhole guarantee covers
-      // Hamming ≤ 7, and a tight radius keeps bucket collisions (and the
-      // dedup shuffle behind them) small — Hamming 8 of 64 bits is already
-      // the loose end of "near-duplicate"
-      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      // measured radius (round 3): strong near-dups (jaccard ≥ 0.9) land at
+      // Hamming ≤ 11 on this corpus, so radius 12 with 13 bands — whose
+      // pigeonhole guarantee covers exactly ≤ 12 — finds every one of
+      // them; the round-2 radius of 8 provably missed the h = 9..11 tail
+      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("hamming"), col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -166,13 +166,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "q_embed_ann" -> ((s, dir) => {       // rows-only: xxhash64-based LSH
-      // 32-bit signature / 4 bands = 8-bit buckets — the configuration the
-      // operator's own analysis calls for (Similarity.scala band-width
-      // note): candidate set ~1/60th of the 4-bit variant, recall held by
-      // the AnnRecallSpec ≥ 0.9 assertion vs brute force
+    "q_embed_ann" -> ((s, dir) => {       // rows-only: sketch-based candidates
+      // sketch-and-verify (round 3): 256-bit sign sketches, popcount
+      // estimate prefilter at est-cos ≥ 0.15, exact re-rank of survivors.
+      // Replaces the banded-LSH config whose measured recall was 0.02 —
+      // this corpus is isotropic (neighbors at cos 0.2–0.5), where banding
+      // cannot separate; the wide-sketch estimate keeps measured top-100
+      // recall at 1.00 (AnnRecallSpec ≥ 0.9 gate) while pruning ~83% of
+      // the pair space before touching any float vector.
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          bits = 32, bands = 4, minCos = 0.2)
+          bits = 256, minEstCos = 0.15, minCos = 0.2)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),

@@ -68,13 +68,19 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash blocking keys: `bands` byte-slices of the signature; docs within
-    * small Hamming distance collide on ≥1 band (pigeonhole). */
-  def simHashBands(sig: Column, bands: Int = 8): Column = {
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    array((0 until bands).map(b =>
-      struct(lit(b).as("band"), shiftright(sig, b * width).bitwiseAND(lit(mask)).as("bucket"))): _*)
+  /** SimHash blocking keys: the signature sliced into `bands` contiguous
+    * bit ranges (widths differ by at most 1 when 64 % bands ≠ 0); docs
+    * within Hamming distance ≤ bands−1 are GUARANTEED to collide on ≥1
+    * band (pigeonhole: that many mismatched bits cannot touch every band). */
+  def simHashBands(sig: Column, bands: Int = 13): Column = {
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Seq.fill(rem)(base + 1) ++ Seq.fill(bands - rem)(base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    array((0 until bands).map { b =>
+      val mask = (1L << widths(b)) - 1
+      struct(lit(b).as("band"), shiftright(sig, offsets(b)).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
   }
 
   /**

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.call_function
 
@@ -26,7 +26,19 @@ object GraftExtensions {
       (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
     ("graft_cosine",
       new ExpressionInfo(classOf[FloatVecCosine].getName, "graft_cosine"),
-      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))),
+    ("graft_simsig",
+      new ExpressionInfo(classOf[FloatVecSimSig].getName, "graft_simsig"),
+      (es: Seq[Expression]) => {
+        // bits/seed parameterize generated code — they must be literals
+        def lit(e: Expression, what: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_simsig $what must be an integer literal, got $other")
+        }
+        FloatVecSimSig(es(0), lit(es(1), "bits").toInt, lit(es(2), "seed"))
+      }))
 
   /** Idempotent: make graft_* functions available in `spark`'s registry. */
   def register(spark: SparkSession): Unit =
@@ -41,5 +53,11 @@ object GraftExtensions {
 
   def graftCosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark); call_function("graft_cosine", a, b)
+  }
+
+  def graftSimSig(spark: SparkSession, vec: Column, bits: Int, seed: Long = 42L): Column = {
+    register(spark)
+    call_function("graft_simsig", vec,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(seed))
   }
 }
