@@ -181,11 +181,16 @@ object PipelineQueries {
     }),
 
     // ── multimodal plumbing ─────────────────────────────────────────────
-    "q_multimodal_features" -> ((s, dir) => {   // rows-only: mapPartitions op
+    "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.attachMedia(rd(s, dir, "documents"))
-      Multimodal.extractFeatures(media).toDF()
+      val feats = Multimodal.extractFeatures(media).toDF()
         .select(col("doc_id"), col("n_bytes"),
           round(element_at(col("histogram"), 1).cast("double"), 4).as("h0"))
+      // spill-checkpoint BEFORE the global sort: the range partitioner
+      // samples its child, which re-executed the whole mapPartitions
+      // decode (round-2 finding: extraction ran twice, 1.0 s → 5.95 s);
+      // sorting the 3-column parquet re-scan decodes exactly once
+      graft.operators.Materialize.viaParquet(feats, "mm_features")
         .orderBy(col("doc_id"))
     }),
 

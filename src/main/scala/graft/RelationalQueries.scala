@@ -409,14 +409,15 @@ object RelationalQueries {
       // build a two-level struct, write it to parquet, read it back and
       // project leaf field paths — exercising nested schema pruning on the
       // scan (ReadSchema keeps only the touched leaves)
-      val tmp = s"/tmp/graft_nested_${math.abs(dir.hashCode)}"
-      rd(s, dir, "orders").select(
+      // round-trip through an app-scoped fresh dir (round-2 advisory: a
+      // fixed /tmp path keyed on abs(hashCode) could collide across
+      // datasets and races, and abs(Int.MinValue) is negative)
+      val nested = rd(s, dir, "orders").select(
         col("o_orderkey"),
         struct(col("o_orderstatus").as("st"),
           struct(year(col("o_orderdate")).cast("int").as("yr"),
             col("o_totalprice").as("price")).as("dt")).as("info"))
-        .write.mode("overwrite").parquet(tmp)
-      s.read.parquet(tmp)
+      graft.operators.Materialize.viaParquet(nested, "nested_roundtrip")
         .select(col("o_orderkey"), col("info.st").as("st"), col("info.dt.yr").as("yr"))
         .orderBy(col("o_orderkey"))
     }),

@@ -29,12 +29,13 @@ object Dedup {
   }
 
   /** Exact dedup: keep one row (min id) per distinct key tuple. Same
-    * fixed-width-key trick as [[exactDedupFlags]]: each key column is
-    * hashed to SHA-256 of its string form, keeping the shuffle key narrow
-    * for wide text keys (string rendering is injective per column, so
-    * distinct tuples never merge). */
+    * fixed-width-key trick as [[exactDedupFlags]], but the key tuple is
+    * hashed as ONE SHA-256 of its JSON rendering: JSON escaping keeps
+    * distinct values distinct for complex types too, where a plain
+    * cast-to-string does not (round-2 advisory: array('1, 2') and
+    * array('1','2') both render "[1, 2]" and would wrongly merge). */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(c => sha2(col(c).cast("string"), 256)): _*)
+    val w = Window.partitionBy(sha2(to_json(struct(keyCols.map(col): _*)), 256))
       .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
@@ -81,7 +82,12 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
-    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq).cache()
+    // no cache: the three consumers (sizes, both join sides) share the
+    // feature-index subtree, and Spark's ReuseExchange executes the
+    // underlying shuffles once within the final plan — verified in the
+    // physical plan (ReusedExchange nodes) and by timing; a cache here
+    // leaked executor storage across the session (round-2 finding)
+    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = idx.select(col("id").as("id_a"), col("feat"))
     val b = idx.select(col("id").as("id_b"), col("feat"))
@@ -165,46 +171,43 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 5): DataFrame = {
-    // localCheckpoint (eager) rather than cache: it MATERIALIZES the pair
-    // computation once — an expensive upstream (e.g. exact Jaccard) is
-    // never recomputed per round — and it TRUNCATES lineage, so the plan
-    // doesn't grow by one join+agg layer per iteration. Superseded label
-    // checkpoints are dropped on the spot to free executor storage.
-    val sc = pairs.sparkSession.sparkContext
-    def persisted: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val beforeEdges = persisted
+    import org.apache.spark.storage.StorageLevel
+    // persist + count materializes each generation exactly once — the
+    // expensive upstream (e.g. exact Jaccard) never recomputes per round —
+    // and every handle is freed as its generation is superseded, so a
+    // shared SparkContext (concurrent queries, parallel suites) never has
+    // foreign RDDs swept up (round-2 advisory: registry diffing raced).
+    // MEMORY_AND_DISK persists are also lineage-recoverable on executor
+    // loss, which localCheckpoint data is not.
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().localCheckpoint()
-    val edgeIds = persisted -- beforeEdges
-    val beforeLabels = persisted
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint()
-    // Dataset doesn't expose its checkpoint RDD, so track the ids that
-    // appear in the persistent-RDD registry around each checkpoint and
-    // free the superseded generation explicitly each round.
-    var prevIds: Set[Int] = persisted -- beforeLabels
+      .withColumn("cluster", col("id")).persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
-      val before = persisted
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
-      val nextIds = persisted -- before
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()  // materialize BEFORE dropping the parent generation
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
         .filter(col("cluster") =!= col("prev")).isEmpty
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = nextIds
+      labels.unpersist(blocking = false)
       labels = next
       i += 1
     }
-    // the result is its own checkpoint; the edge list is no longer needed
-    edgeIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    labels
+    // hand back a file-backed result and free ALL loop storage: operator
+    // scratch must not outlive the operator in a long-running session
+    val out = Materialize.viaParquet(labels, "cc_labels")
+    labels.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   /**

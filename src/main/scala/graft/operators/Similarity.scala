@@ -131,8 +131,11 @@ object Similarity {
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
+    // no cache: every consumer joins `parts` through the same exploded
+    // scan; within one materialized plan the shared subtree's exchanges
+    // are reused, and a cache here was never unpersisted (round-2 finding)
     val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .withColumn("x", col("x").cast("double")).cache()
+      .withColumn("x", col("x").cast("double"))
     // seed cells from LSH buckets (deterministic, data-dependent spread)
     var assign = lshSignatures(emb, idCol, vecCol, bits = 16)
       .select(col("id"), pmod(col("sig"), lit(k)).cast("int").as("cell"))

@@ -25,6 +25,12 @@ class QueriesSpec extends AnyFunSuite {
       val df = fn(spark, TestSpark.sf)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // storage-hygiene gate (round-2 finding: operator-internal caches
+      // accreted across the session): no query may leave persisted RDDs
+      // behind once it has produced its result
+      val leaked = spark.sparkContext.getPersistentRDDs
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persisted RDDs: ${leaked.values.map(_.name).mkString(", ")}")
     }
   }
 }
@@ -83,6 +89,7 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
     "q_embed_pairs" -> Seq("BroadcastNestedLoopJoin"), // exact all-pairs baseline; scale path is q_embed_ann
     "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector
+    "q_embed_ann" -> Seq("BroadcastNestedLoopJoin"),   // sketch-compare pass: 32-byte rows, id_a < id_b
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast corpus total
 
   test("no unexpected cartesian products or nested-loop joins") {
