@@ -76,9 +76,10 @@ object PipelineQueries {
         .limit(50)
     }),
 
-    "q_dedup_clusters" -> ((s, dir) => {  // rows-only: iterative component labels
+    "q_dedup_clusters" -> ((s, dir) => {
       // full near-dup pipeline: shingle Jaccard pairs ≥ 0.6 → connected
-      // components → (doc, cluster, keep) decisions
+      // components → (doc, cluster, keep) decisions; oracle-checked since
+      // round 3 via DuckDB WITH RECURSIVE min-label reachability
       val docs = rd(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
       Dedup.clusterPairs(pairs)
@@ -183,13 +184,19 @@ object PipelineQueries {
     // ── multimodal plumbing ─────────────────────────────────────────────
     "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.attachMedia(rd(s, dir, "documents"))
+      // project the ASCII-informative bins (2: space/punct, 3: digits,
+      // 6/7: lowercase letters) as INTEGER counts — exact in any engine,
+      // so the mapPartitions decode is fully oracle-checked; the
+      // normalized float histogram stays covered by MultimodalSpec
       val feats = Multimodal.extractFeatures(media).toDF()
         .select(col("doc_id"), col("n_bytes"),
-          round(element_at(col("histogram"), 1).cast("double"), 4).as("h0"))
+          element_at(col("bin_counts"), 3).as("c_punct"),
+          element_at(col("bin_counts"), 7).as("c_alpha1"),
+          element_at(col("bin_counts"), 8).as("c_alpha2"))
       // spill-checkpoint BEFORE the global sort: the range partitioner
       // samples its child, which re-executed the whole mapPartitions
       // decode (round-2 finding: extraction ran twice, 1.0 s → 5.95 s);
-      // sorting the 3-column parquet re-scan decodes exactly once
+      // sorting the narrow parquet re-scan decodes exactly once
       graft.operators.Materialize.viaParquet(feats, "mm_features")
         .orderBy(col("doc_id"))
     }),
@@ -323,6 +330,45 @@ object PipelineQueries {
           FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
           ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          good AS (
+            SELECT id_a, id_b FROM pairs
+            JOIN sizes sa ON pairs.id_a = sa.doc_id
+            JOIN sizes sb ON pairs.id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                    UNION SELECT id_b, id_a FROM good),
+          reach AS (
+            SELECT src AS id, src AS lbl FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+          SELECT id AS doc_id, MIN(lbl) AS cluster,
+            CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
+          FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_multimodal_features" ->
+      """WITH b AS (
+           SELECT doc_id, text,
+             octet_length(encode(text)) AS nb,
+             least(octet_length(encode(text)), 1024) AS np
+           FROM documents),
+         bins AS (
+           SELECT doc_id, nb,
+             list_transform(range(1, np + 1),
+               i -> CAST(FLOOR((ascii(substr(text, CAST(i AS INT), 1)) / 255.0) * 15.999) AS INT)) AS bl
+           FROM b)
+         SELECT doc_id, CAST(nb AS INT) AS n_bytes,
+           CAST(len(list_filter(bl, x -> x = 2)) AS INT) AS c_punct,
+           CAST(len(list_filter(bl, x -> x = 6)) AS INT) AS c_alpha1,
+           CAST(len(list_filter(bl, x -> x = 7)) AS INT) AS c_alpha2
+         FROM bins ORDER BY doc_id""",
     "q_doc_logprob" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
          total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM toks),

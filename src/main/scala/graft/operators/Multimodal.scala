@@ -54,7 +54,12 @@ object Multimodal {
     out
   }
 
-  final case class MediaFeatures(doc_id: Long, n_bytes: Int, histogram: Array[Float])
+  /** `histogram` is the normalized float feature vector; `bin_counts`
+    * carries the raw integer bin counts so downstream checks can compare
+    * exactly (integer arithmetic is engine-independent; normalized floats
+    * round differently under float32 vs float64). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      histogram: Array[Float], bin_counts: Array[Int])
 
   /**
    * Batched feature extraction over (id, media) — the `mapInPandas`
@@ -72,10 +77,10 @@ object Multimodal {
           // batch boundary = where a real decoder would run vectorized
           batch.map { case (id, bytes) =>
             val pixels = decodeStub(bytes, math.min(bytes.length, 1024))
-            val hist = new Array[Float](16)
-            pixels.foreach(p => hist((p * 15.999f).toInt) += 1.0f)
+            val counts = new Array[Int](16)
+            pixels.foreach(p => counts((p * 15.999f).toInt) += 1)
             val n = math.max(1, pixels.length)
-            MediaFeatures(id, bytes.length, hist.map(_ / n))
+            MediaFeatures(id, bytes.length, counts.map(_.toFloat / n), counts)
           }
         }
       }
