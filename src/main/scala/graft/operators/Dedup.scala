@@ -101,6 +101,53 @@ object Dedup {
   }
 
   /**
+   * Threshold-aware exact Jaccard pairs via PPJoin-style prefix filtering
+   * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+   * Detection", WWW'08, Lemma 1 — public literature): under one global
+   * feature order, two sets with J ≥ t MUST intersect within their first
+   * |X| − ⌈t·|X|⌉ + 1 features, so only those prefixes enter the
+   * inverted-index join. Features are ordered rarest-first (doc-frequency,
+   * then lexicographic) — the standard choice, because rare features make
+   * the smallest candidate buckets. Survivors are verified exactly with a
+   * codegen'd array_intersect against the full per-doc shingle arrays, plus
+   * the size filter t·|A| ≤ |B| ≤ |A|/t applied before any verification.
+   *
+   * Same output columns as [[jaccardPairs]] restricted to jaccard ≥
+   * minJaccard — the clusters oracle checks the equivalence end-to-end.
+   * At scale this turns the quadratic term from Σ_feat df² over ALL
+   * features into the same sum over prefix features only (~(1−t) of each
+   * doc), a ~6× candidate cut at t = 0.6 before verification.
+   */
+  def jaccardPairsThresholded(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, minJaccard: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
+    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
+    val dfreq = idx.groupBy(col("feat")).agg(count(lit(1)).as("dfreq"))
+    val szW = Window.partitionBy(col("id"))
+    val ordW = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("feat"))
+    val prefix = idx.join(dfreq, "feat")
+      .withColumn("sz", count(lit(1)).over(szW))
+      .withColumn("rn", row_number().over(ordW))
+      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .select(col("id"), col("feat"), col("sz"))
+    val cands = prefix.as("x").join(prefix.as("y"), Seq("feat"))
+      .filter(col("x.id") < col("y.id"))
+      // size bound: J >= t forces t·|A| <= |B| <= |A|/t
+      .filter(col("y.sz") >= ceil(lit(minJaccard) * col("x.sz")) &&
+        col("y.sz") <= floor(col("x.sz") / lit(minJaccard)))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val docFeats = idx.groupBy(col("id"))
+      .agg(collect_list(col("feat")).as("feats"), count(lit(1)).as("sz"))
+    cands
+      .join(docFeats.select(col("id").as("id_a"), col("feats").as("fa"), col("sz").as("size_a")), "id_a")
+      .join(docFeats.select(col("id").as("id_b"), col("feats").as("fb"), col("sz").as("size_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /**
    * MinHash signatures, relationally: explode distinct shingles once, hash
    * each (feature, i) with codegen'd xxhash64, then ONE hash-aggregate
    * builds all `numHashes` mins per doc (partial aggregation map-side, a

@@ -101,6 +101,18 @@ class DedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong -- sims} (simhash found ${sims.size})")
   }
 
+  test("prefix-filtered thresholded jaccard equals the full join filtered, on the corpus") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    def keyOf(r: (Long, Long, Long, Long, Long, Double)) = (r._1, r._2, r._3, r._4, r._5, r._6)
+    val full = Dedup.jaccardPairs(corpus, "doc_id", "text").filter(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().map(keyOf).toSet
+    val pf = Dedup.jaccardPairsThresholded(corpus, "doc_id", "text", minJaccard = 0.6)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().map(keyOf).toSet
+    assert(pf == full, s"prefix filter changed results: missing=${full -- pf} extra=${pf -- full}")
+    assert(full.nonEmpty)
+  }
+
   test("hash-keyed exact dedup handles a hot-key corpus (one text dominating)") {
     val hot = (1L to 3000L).map(i =>
       (i, "common boilerplate banner text repeated verbatim across the corpus"))
