@@ -1,0 +1,57 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale rehearsal (SCALE.md): synthesize a 10× corpus ("sf1") from sf0.1
+ * and time the dedup/ANN queries at both scales. The scale-up preserves
+ * per-replica near-dup structure without creating cross-replica dups:
+ * documents get a per-replica token namespace (disjoint shingle spaces),
+ * embeddings get a per-replica component rotation (same norm/distribution,
+ * decorrelated). Not part of the driver contract.
+ */
+object ProfileScale {
+  val Sf1Dir = "/tmp/graft_sf1"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    if (!new java.io.File(s"$Sf1Dir/embeddings.parquet").exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until 10).map { r =>
+        docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          .withColumn("text",
+            if (r == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " +"),
+              t => concat(t, lit(s"_$r")))))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until 10).map { r =>
+        emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+          .withColumn("embedding",
+            if (r == 0) col("embedding")
+            else concat(slice(col("embedding"), r + 1, 64 - r), slice(col("embedding"), 1, r)))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/embeddings.parquet")
+      println(s"[scale] wrote $Sf1Dir")
+    }
+
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_prefix",
+        "q_dedup_minhash", "q_dedup_simhash", "q_embed_ann", "q_embed_ivf")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      Seq("sf0.1" -> src, "sf1" -> Sf1Dir).foreach { case (tag, dir) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[scale] $name%-22s $tag%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -82,11 +82,11 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, maxDocFreq: Int = 10000): DataFrame = {
-    // no cache: the three consumers (sizes, both join sides) share the
-    // feature-index subtree, and Spark's ReuseExchange executes the
-    // underlying shuffles once within the final plan — verified in the
-    // physical plan (ReusedExchange nodes) and by timing; a cache here
-    // leaked executor storage across the session (round-2 finding)
+    // no cache: the three consumers (sizes, both join sides) each
+    // recompute the feature-index subtree, and measured at sf0.1 that is
+    // 6× FASTER than the round-2 cache (13.2 → 2.2 s warm) — codegen'd
+    // shingle windows recompute cheaper than eager full-index
+    // materialization into executor storage, which also leaked
     val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = idx.select(col("id").as("id_a"), col("feat"))

@@ -131,9 +131,11 @@ object Similarity {
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
-    // no cache: every consumer joins `parts` through the same exploded
-    // scan; within one materialized plan the shared subtree's exchanges
-    // are reused, and a cache here was never unpersisted (round-2 finding)
+    // no cache: consumers recompute the exploded scan, which is a
+    // map-side Generate over a pruned parquet read — cheaper per pass
+    // than storing n·dim exploded rows in executor memory, and the
+    // round-2 cache here was never unpersisted (leak). Lloyd iterations
+    // re-reading their input is the normal distributed k-means shape.
     val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast("double"))
     // seed cells from LSH buckets (deterministic, data-dependent spread)
