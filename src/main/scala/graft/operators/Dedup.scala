@@ -242,9 +242,11 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()  // materialize BEFORE dropping the parent generation
+      // ONE action per round: counting changed labels both materializes
+      // `next` (populating its persist before the parent is dropped) and
+      // decides convergence
       converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).isEmpty
+        .filter(col("cluster") =!= col("prev")).count() == 0
       labels.unpersist(blocking = false)
       labels = next
       i += 1
