@@ -185,6 +185,43 @@ object Similarity {
       .limit(kTop)
   }
 
+  /**
+   * IVF-backed similarity-pair mining for CLUSTERED corpora: every vector
+   * is multi-assigned to its `nAssign` nearest coarse cells, vectors
+   * sharing a cell become candidates, candidates re-rank with the exact
+   * codegen cosine. This is the bucketed complement to [[annPairs]]: on
+   * corpora with real cluster structure the candidate set is
+   * Σ_cell freq² ≪ n², while on isotropic data (like the synthetic
+   * embeddings table — measured round 3) no partition of space can
+   * separate neighbors and [[annPairs]]'s sketch estimate is the honest
+   * path. IvfPairsSpec proves the recall claim on planted clusters.
+   */
+  def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame = {
+    val spark = emb.sparkSession
+    val (_, centroids) = ivfIndex(emb, idCol, vecCol, k, iters)
+    val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val scores = parts.join(centroids, "d")
+      .groupBy(col("id"), col("cell"))
+      .agg(sum(col("x") * col("c")).as("dotc"), sum(col("c") * col("c")).as("cc"))
+      .withColumn("dist", col("cc") - lit(2.0) * col("dotc"))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
+    val multiAssign = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nAssign).select(col("id"), col("cell"))
+    val cands = multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos_sim",
+        round(GraftExtensions.graftCosine(spark, col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos_sim") >= minCos)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Per-group vector mean (centroids) — posexplode + groupBy, the
     * distributed formulation of a vector-average aggregate: partial sums
     * combine map-side, nothing is collected. */

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
@@ -51,7 +51,7 @@ object Tools {
       minValue: String,
       maxValue: String)
 
-  private def parquetFiles(spark: SparkSession, path: String): Seq[Path] = {
+  private[graft] def parquetFiles(spark: SparkSession, path: String): Seq[Path] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs: FileSystem = p.getFileSystem(conf)
@@ -97,8 +97,7 @@ object Tools {
     }
   }
 
-  /** M4 (read side): file key-value (user) metadata from the footer.
-    * Write side has no public Spark API — documented non-goal (SURVEY.md §7). */
+  /** M4 (read side): file key-value (user) metadata from the footer. */
   def keyValueMetadata(spark: SparkSession, path: String): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     parquetFiles(spark, path).headOption.map { f =>
@@ -106,6 +105,37 @@ object Tools {
       try reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
       finally reader.close()
     }.getOrElse(Map.empty)
+  }
+
+  /**
+   * M4 (write side): attach user key-value metadata to a parquet file.
+   * Spark's DataFrame writer exposes no footer-KV hook, so this goes one
+   * level down to parquet-mr (the same library Spark writes with): row
+   * groups are byte-copied via `ParquetFileWriter.appendFile` — no decode,
+   * no re-encode, footer-only work, mirroring the reference's low-level
+   * writer setting `key_value_metadata` at file close
+   * (`cpp/examples/parquet/low-level-api/reader-writer.cc` builder setup).
+   * Existing KV entries (including Spark's schema key) are preserved;
+   * `extra` wins on conflict. Driver-side by design: it is a per-FILE
+   * footer tool like the rest of [[Tools]], not a distributed operator.
+   */
+  def writeKeyValueMetadata(spark: SparkSession, srcFile: String, dstFile: String,
+      extra: Map[String, String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = HadoopInputFile.fromPath(new Path(srcFile), conf)
+    val reader = ParquetFileReader.open(in)
+    val (schema, existingKv) =
+      try (reader.getFooter.getFileMetaData.getSchema,
+        reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap)
+      finally reader.close()
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(new Path(dstFile), conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024 /* row-group bytes — unused for byte-copied groups */,
+      8 * 1024 * 1024 /* max padding */)
+    writer.start()
+    writer.appendFile(in)
+    writer.end((existingKv ++ extra).asJava)
   }
 
   /** Metadata DataFrames, so introspection itself is queryable. */

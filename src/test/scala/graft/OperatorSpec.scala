@@ -372,6 +372,63 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 }
 
+class IvfPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IVF pair mining on planted clusters: high recall of strong pairs, real pruning") {
+    // 10 planted clusters of 20 vectors each (dim 32): center + small
+    // deterministic noise, so same-cluster pairs have high cosine and
+    // cross-cluster pairs are near-orthogonal — the corpus shape IVF is for
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPairs(df, "vec_id", "embedding", k = 16, iters = 2, nAssign = 2)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    // exact strong pairs (cos >= 0.9) via driver-side brute force (200 vecs)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val strong = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(strong.nonEmpty)
+    val recall = (strong intersect gotPairs).size.toDouble / strong.size
+    assert(recall >= 0.9, s"IVF pair recall too low: $recall (${strong.size} strong pairs)")
+    // pruning: candidates well under the full pair space
+    assert(got.length < vecs.size * (vecs.size - 1) / 4,
+      s"IVF pruned nothing: ${got.length} candidates")
+  }
+}
+
+class KvMetadataWriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("M4 write: footer KV metadata attached via byte-level row-group copy") {
+    val base = java.nio.file.Files.createTempDirectory("graft-kv").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1).write.mode("overwrite").parquet(s"$base/src")
+    val srcFile = graft.sources.Tools.parquetFiles(spark, s"$base/src").head.toString
+    val dst = s"$base/with_kv.parquet"
+    graft.sources.Tools.writeKeyValueMetadata(spark, srcFile, dst,
+      Map("graft.owner" -> "kv-spec", "graft.round" -> "3"))
+    val kv = graft.sources.Tools.keyValueMetadata(spark, dst)
+    assert(kv.get("graft.owner").contains("kv-spec") && kv.get("graft.round").contains("3"))
+    // Spark's schema KV entry survives the copy, and so does the data
+    assert(kv.keys.exists(_.contains("spark")), s"spark schema key lost: ${kv.keys}")
+    val back = spark.read.parquet(dst).as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}
+
 class ClusterPairsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
