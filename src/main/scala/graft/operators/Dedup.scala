@@ -122,10 +122,12 @@ object Dedup {
       k: Int = 3, minJaccard: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
     val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
     val dfreq = idx.groupBy(col("feat")).agg(count(lit(1)).as("dfreq"))
-    val szW = Window.partitionBy(col("id"))
     val ordW = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("feat"))
+    // sz shares ordW's partition+order (with an explicit full frame) so
+    // both window functions evaluate in ONE Window operator over one sort
+    val fullFrame = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val prefix = idx.join(dfreq, "feat")
-      .withColumn("sz", count(lit(1)).over(szW))
+      .withColumn("sz", count(lit(1)).over(fullFrame))
       .withColumn("rn", row_number().over(ordW))
       .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
       .select(col("id"), col("feat"), col("sz"))

@@ -86,6 +86,46 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
+
+  /**
+   * Batched resize: decode (STUB) to the source geometry from `media_meta`,
+   * then nearest-neighbor sample down/up to (outW, outH). Same
+   * mapPartitions contract as [[extractFeatures]] — a real codec/scaler
+   * slots into the batch loop without touching the pipeline shape. Output
+   * rows are fixed-size float arrays, the shape a training pipeline feeds
+   * to an image tower.
+   */
+  def resize(df: DataFrame, outW: Int, outH: Int, idCol: String = "doc_id",
+      mediaCol: String = "media", batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol),
+        col("media_meta.width"), col("media_meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes, w, h) =>
+            val srcW = math.max(1, w); val srcH = math.max(1, h)
+            val src = decodeStub(bytes, math.min(srcW * srcH, 4096))
+            val out = new Array[Float](outW * outH)
+            var y = 0
+            while (y < outH) {
+              val sy = y * srcH / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * srcW / outW
+                out(y * outW + x) = src((sy * srcW + sx) % src.length)
+                x += 1
+              }
+              y += 1
+            }
+            ResizedMedia(id, outW, outH, out)
+          }
+        }
+      }
+  }
+
   /** Deterministic frame sampling: n evenly spaced byte-slices ("frames"). */
   def sampleFrames(df: DataFrame, mediaCol: String, nFrames: Int, frameBytes: Int): DataFrame = {
     val len = octet_length(col(mediaCol))

@@ -244,6 +244,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("batched resize: fixed output geometry, deterministic, values in range") {
+    val docs = Multimodal.attachMedia(spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(20))
+    val a = Multimodal.resize(docs, outW = 8, outH = 8).collect()
+    val b = Multimodal.resize(docs, outW = 8, outH = 8).collect()
+    assert(a.length == 20)
+    a.foreach { r =>
+      assert(r.pixels.length == 64 && r.width == 8 && r.height == 8)
+      assert(r.pixels.forall(p => p >= 0.0f && p <= 1.0f))
+    }
+    // deterministic across runs
+    assert(a.map(r => (r.doc_id, r.pixels.toSeq)).toMap == b.map(r => (r.doc_id, r.pixels.toSeq)).toMap)
+  }
+
   test("frame sampling emits n deterministic slices") {
     val docs = Multimodal.attachMedia(spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(5))
     val frames = Multimodal.sampleFrames(docs, "media", nFrames = 4, frameBytes = 8)
