@@ -96,8 +96,10 @@ object PipelineQueries {
       // the 100 TB-shape thresholded path: PPJoin prefix filtering cuts
       // the inverted join to rarest-first prefixes (~(1−t) of each doc)
       // before exact array_intersect verification; result provably equals
-      // the full join filtered at the threshold (DedupSpec + this oracle)
-      Dedup.jaccardPairsThresholded(rd(s, dir, "documents"), "doc_id", "text", minJaccard = 0.6)
+      // the full join filtered at the threshold (DedupSpec + this oracle).
+      // t = 0.8 is the strong-near-dup mining regime where the prefix
+      // trick earns its keep: prefixes shrink to ~20% of each doc
+      Dedup.jaccardPairsThresholded(rd(s, dir, "documents"), "doc_id", "text", minJaccard = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -357,7 +359,7 @@ object PipelineQueries {
             CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
           FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
-          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.8
           ORDER BY id_a, id_b""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
