@@ -81,9 +81,10 @@ object PipelineQueries {
       // components → (doc, cluster, keep) decisions; oracle-checked since
       // round 3 via DuckDB WITH RECURSIVE min-label reachability.
       // Feeds from the plain inverted join: at this corpus size it is
-      // measured 2.5× faster warm than the prefix-filtered variant (whose
-      // extra index shuffles only amortize once the candidate join's
-      // quadratic term dominates — see q_dedup_prefix for that path)
+      // measured ~3× faster warm (1.7 s vs 5.1 s, round 4) than the
+      // prefix-filtered variant, whose materialize/window overheads only
+      // amortize once the candidate join's quadratic term dominates —
+      // see q_dedup_prefix for that path and its scale rationale
       val docs = rd(s, dir, "documents")
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
       Dedup.clusterPairs(pairs)

@@ -47,7 +47,7 @@ object Dedup {
    * `distinctShingles` array (interpreted) at sf0.1, and the window is
    * keyed by doc so it parallelizes at any scale.
    */
-  private[operators] def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " +")).as(Seq("pos", "tok")))
@@ -66,11 +66,18 @@ object Dedup {
   /** (id, feature) inverted index over distinct k-gram shingles, with a
     * document-frequency cap on features (skew guard). */
   private def featureIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDocFreq: Int): DataFrame =
+    featureIndexWithDf(df, idCol, textCol, k, maxDocFreq).drop("dfreq")
+
+  /** Same index, keeping each feature's document frequency: the df-cap
+    * window already counts it, so rarity-ordered consumers (the PPJoin
+    * prefix) get it for free instead of re-aggregating and re-joining. */
+  private def featureIndexWithDf(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Int): DataFrame = {
     val feats = shingleIndex(df, idCol, textCol, k)
     val freqW = Window.partitionBy(col("feat"))
-    feats.withColumn("__df", count(lit(1)).over(freqW))
-      .filter(col("__df") <= maxDocFreq).drop("__df")
+    feats.withColumn("dfreq", count(lit(1)).over(freqW))
+      .filter(col("dfreq") <= maxDocFreq)
   }
 
   /**
@@ -120,24 +127,46 @@ object Dedup {
    */
   def jaccardPairsThresholded(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, minJaccard: Double = 0.6, maxDocFreq: Int = 10000): DataFrame = {
-    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
-    val dfreq = idx.groupBy(col("feat")).agg(count(lit(1)).as("dfreq"))
+    // the (id, feat, dfreq) index feeds THREE consumers (both prefix join
+    // sides via the rank window, and docFeats) each several shuffles deep —
+    // spill it to parquet once so every consumer re-scans a narrow columnar
+    // file instead of recomputing the shingle/distinct/df-cap subtree
+    // (round-3 finding: recomputed subtrees, not the prefix lemma,
+    // dominated the cost). dfreq comes from the cap window itself — no
+    // separate aggregate-and-join pass.
+    val idx = Materialize.viaParquet(
+      featureIndexWithDf(df, idCol, textCol, k, maxDocFreq), "ppjoin_idx")
     val ordW = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("feat"))
     // sz shares ordW's partition+order (with an explicit full frame) so
-    // both window functions evaluate in ONE Window operator over one sort
+    // both window functions evaluate in ONE Window operator over one sort.
+    // ceil/floor bounds subtract an epsilon so an exactly-integral t·sz is
+    // not pushed up by one ulp of fl(t)·sz (round-3 advisory): Lemma 1's
+    // prefix length must round the TRUE product, and 1e-9 is far below the
+    // spacing of representable t·sz for any realistic sz
     val fullFrame = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val prefix = idx.join(dfreq, "feat")
+    def ceilT(c: org.apache.spark.sql.Column) = ceil(lit(minJaccard) * c - lit(1e-9))
+    val prefix = idx
       .withColumn("sz", count(lit(1)).over(fullFrame))
       .withColumn("rn", row_number().over(ordW))
-      .filter(col("rn") <= col("sz") - ceil(lit(minJaccard) * col("sz")) + 1)
+      .filter(col("rn") <= col("sz") - ceilT(col("sz")) + 1)
       .select(col("id"), col("feat"), col("sz"))
-    val cands = prefix.as("x").join(prefix.as("y"), Seq("feat"))
-      .filter(col("x.id") < col("y.id"))
-      // size bound: J >= t forces t·|A| <= |B| <= |A|/t
-      .filter(col("y.sz") >= ceil(lit(minJaccard) * col("x.sz")) &&
-        col("y.sz") <= floor(col("x.sz") / lit(minJaccard)))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val docFeats = idx.groupBy(col("id"))
+    // cands is consumed twice (candIds + the verification join) and is the
+    // output of the quadratic stage — spill it so that stage runs once
+    val cands = Materialize.viaParquet(
+      prefix.as("x").join(prefix.as("y"), Seq("feat"))
+        .filter(col("x.id") < col("y.id"))
+        // size bound: J >= t forces t·|A| <= |B| <= |A|/t
+        .filter(col("y.sz") >= ceilT(col("x.sz")) &&
+          col("y.sz") <= floor(col("x.sz") / lit(minJaccard) + lit(1e-9)))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct(),
+      "ppjoin_cands")
+    // verification arrays only for docs that survived candidate
+    // generation: the semi-join keeps collect_list linear in CANDIDATES,
+    // not corpus size — at 100 TB almost all docs are in no pair at all
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val docFeats = idx.join(candIds, Seq("id"), "left_semi")
+      .groupBy(col("id"))
       .agg(collect_list(col("feat")).as("feats"), count(lit(1)).as("sz"))
     cands
       .join(docFeats.select(col("id").as("id_a"), col("feats").as("fa"), col("sz").as("size_a")), "id_a")
@@ -219,7 +248,7 @@ object Dedup {
    * aggregate — no driver-side graph state, so it runs at any scale.
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIters: Int = 5): DataFrame = {
+      maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // persist + count materializes each generation exactly once — the
     // expensive upstream (e.g. exact Jaccard) never recomputes per round —
@@ -253,6 +282,12 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a component whose diameter exceeds maxIters would return WRONG
+    // labels; that must fail loudly, never silently (round-3 advisory)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterPairs: min-label propagation did not converge in $maxIters rounds " +
+          "— raise maxIters (component diameter exceeds it)")
     // hand back a file-backed result and free ALL loop storage: operator
     // scratch must not outlive the operator in a long-running session
     val out = Materialize.viaParquet(labels, "cc_labels")

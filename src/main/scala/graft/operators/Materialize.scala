@@ -21,14 +21,31 @@ object Materialize {
 
   private val counter = new AtomicInteger(0)
 
+  // app ids whose checkpoint root already has an end-of-app cleanup hook
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Checkpoint root: the SparkContext checkpoint dir when configured
     * (shared storage on a real cluster), else the driver-local tmp dir —
-    * correct for local[*] where driver and executors share a filesystem. */
+    * correct for local[*] where driver and executors share a filesystem.
+    * The app-scoped root is deleted when the application ends (round-3
+    * advisory: per-call dirs otherwise accumulate in java.io.tmpdir for
+    * the lifetime of the machine, not just the session). */
   private def root(df: DataFrame): String = {
     val sc = df.sparkSession.sparkContext
     val base = sc.getCheckpointDir
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ckpt")
-    s"$base/${sc.applicationId}"
+    val dir = s"$base/${sc.applicationId}"
+    if (cleanupRegistered.add(sc.applicationId)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(sc.hadoopConfiguration)
+          try fs.delete(p, true) catch { case _: java.io.IOException => () }
+        }
+      })
+    }
+    dir
   }
 
   /** Write `df` to a fresh per-(app, tag, call) parquet dir and read it

@@ -133,9 +133,87 @@ object Tools {
       ParquetFileWriter.Mode.OVERWRITE,
       128L * 1024 * 1024 /* row-group bytes — unused for byte-copied groups */,
       8 * 1024 * 1024 /* max padding */)
-    writer.start()
-    writer.appendFile(in)
-    writer.end((existingKv ++ extra).asJava)
+    // a failure mid-append must not leak the output stream or leave a
+    // truncated dst behind (round-3 advisory)
+    try {
+      writer.start()
+      writer.appendFile(in)
+      writer.end((existingKv ++ extra).asJava)
+    } catch {
+      case e: Throwable =>
+        val dst = new Path(dstFile)
+        val fs = dst.getFileSystem(conf)
+        try fs.delete(dst, false) catch { case _: java.io.IOException => () }
+        throw e
+    }
+  }
+
+  /**
+   * S11: read exactly ONE row group's data (the reference reads a single
+   * row group's column data via `RowGroup(0)` readers,
+   * `cpp/examples/parquet/parquet-arrow/src/reader-writer.cc:77-90`).
+   * parquet-mr's `skipNextRowGroup()` advances over earlier groups
+   * touching footers only — no data pages before the target group are
+   * read or decoded. Records are assembled with the standard
+   * ColumnIOFactory/RecordReader machinery and returned as a DataFrame
+   * over the file's top-level primitive columns (the tool surface, like
+   * the reference example's int/double/string columns). Driver-side by
+   * design: a per-FILE repair/sampling tool like the rest of [[Tools]];
+   * the distributed path for RG-targeted reads is predicate pushdown with
+   * row-group stats pruning (PartitionPruningSpec / PLANS.md).
+   */
+  def readRowGroup(spark: SparkSession, file: String, rowGroup: Int): DataFrame = {
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.io.ColumnIOFactory
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      val nGroups = reader.getFooter.getBlocks.size()
+      require(rowGroup >= 0 && rowGroup < nGroups,
+        s"row group $rowGroup out of range [0, $nGroups)")
+      (0 until rowGroup).foreach(_ => reader.skipNextRowGroup())
+      val pages = reader.readNextRowGroup()
+      val columnIO = new ColumnIOFactory().getColumnIO(schema)
+      val recordReader = columnIO.getRecordReader(pages, new GroupRecordConverter(schema))
+      val fields = schema.getFields.asScala.toSeq
+      def isString(t: org.apache.parquet.schema.Type) =
+        t.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      val sparkFields = fields.map { f =>
+        require(f.isPrimitive, s"readRowGroup supports primitive top-level columns; got $f")
+        val dt = f.asPrimitiveType().getPrimitiveTypeName match {
+          case PrimitiveTypeName.INT64 => LongType
+          case PrimitiveTypeName.INT32 => IntegerType
+          case PrimitiveTypeName.DOUBLE => DoubleType
+          case PrimitiveTypeName.FLOAT => FloatType
+          case PrimitiveTypeName.BOOLEAN => BooleanType
+          case PrimitiveTypeName.BINARY => if (isString(f)) StringType else BinaryType
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+        StructField(f.getName, dt, nullable = true)
+      }
+      val rows = (0L until pages.getRowCount).map { _ =>
+        val g = recordReader.read()
+        Row.fromSeq(fields.zipWithIndex.map { case (f, i) =>
+          if (g.getFieldRepetitionCount(i) == 0) null
+          else f.asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT64 => g.getLong(i, 0)
+            case PrimitiveTypeName.INT32 => g.getInteger(i, 0)
+            case PrimitiveTypeName.DOUBLE => g.getDouble(i, 0)
+            case PrimitiveTypeName.FLOAT => g.getFloat(i, 0)
+            case PrimitiveTypeName.BOOLEAN => g.getBoolean(i, 0)
+            case PrimitiveTypeName.BINARY =>
+              if (isString(f)) g.getString(i, 0) else g.getBinary(i, 0).getBytes
+            case other => throw new IllegalArgumentException(s"unsupported type $other")
+          }
+        })
+      }
+      spark.createDataFrame(rows.asJava, StructType(sparkFields))
+    } finally reader.close()
   }
 
   /** Metadata DataFrames, so introspection itself is queryable. */
@@ -151,13 +229,24 @@ object Tools {
 
   /** P2+A1: the `parquet-scan` tool — timed, column-projected full scan
     * returning (rows, seconds). Column pruning reaches the parquet reader
-    * via Catalyst; batch size is the vectorized reader's
-    * `columnarReaderBatchSize` (the `--batch-size` analogue). */
-  def timedScan(spark: SparkSession, path: String, columns: Seq[String] = Nil): (Long, Double) = {
-    val df0 = spark.read.parquet(path)
-    val df = if (columns.nonEmpty) df0.select(columns.map(org.apache.spark.sql.functions.col): _*) else df0
-    val t0 = System.nanoTime()
-    val n = df.count()
-    (n, (System.nanoTime() - t0) / 1e9)
+    * via Catalyst; `batchSize` is the vectorized reader's
+    * `columnarReaderBatchSize`, the `--batch-size` knob of
+    * `cpp/tools/parquet/parquet-scan.cc:35`. The knob is a session conf in
+    * Spark (the vectorized reader has no per-read option), so it is set
+    * for the scan and restored after. */
+  def timedScan(spark: SparkSession, path: String, columns: Seq[String] = Nil,
+      batchSize: Option[Int] = None): (Long, Double) = {
+    val key = "spark.sql.parquet.columnarReaderBatchSize"
+    val prev = spark.conf.getOption(key)
+    batchSize.foreach(b => spark.conf.set(key, b.toString))
+    try {
+      val df0 = spark.read.parquet(path)
+      val df = if (columns.nonEmpty) df0.select(columns.map(org.apache.spark.sql.functions.col): _*) else df0
+      val t0 = System.nanoTime()
+      val n = df.count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    } finally if (batchSize.isDefined) {
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
   }
 }

@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
  *  - `schema <path>`               ≙ parquet-dump-schema (`parquet-dump-schema.cc:23-33`)
  *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv]`
  *                                  ≙ parquet_reader (`parquet_reader.cc:24-72`)
- *  - `scan <path> [--columns=a,b]` ≙ parquet-scan timed count (`parquet-scan.cc:25-71`)
+ *  - `scan <path> [--columns=a,b] [--batch-size=N]`
+ *                                  ≙ parquet-scan timed count (`parquet-scan.cc:25-71`;
+ *                                    `--batch-size` ≙ `parquet-scan.cc:35`)
+ *  - `read-row-group <path> --row-group=R`
+ *                                  ≙ single-row-group data read (`reader-writer.cc:77-90`)
  *
  * Run: `sbt "runMain graft.sources.ToolsCli <cmd> <path> [flags]"`.
  */
@@ -55,8 +59,17 @@ object ToolsCli {
       }
 
     case "scan" =>
-      val (rows, secs) = Tools.timedScan(spark, path, columns)
+      val batchSize = flags.collectFirst {
+        case f if f.startsWith("--batch-size=") => f.stripPrefix("--batch-size=").toInt
+      }
+      val (rows, secs) = Tools.timedScan(spark, path, columns, batchSize)
       println(f"$rows rows scanned in $secs%.3f seconds")   // the parquet-scan report line
+
+    case "read-row-group" =>
+      val rg = flags.collectFirst {
+        case f if f.startsWith("--row-group=") => f.stripPrefix("--row-group=").toInt
+      }.getOrElse(0)
+      Tools.readRowGroup(spark, path, rg).show(20, truncate = false)
 
     case other => sys.error(s"unknown command: $other")
   }

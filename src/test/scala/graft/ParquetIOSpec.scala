@@ -110,6 +110,40 @@ class ParquetIOSpec extends AnyFunSuite {
       Seq("l_orderkey", "l_quantity"))
     assert(rows == 6000L && secs > 0.0)
   }
+
+  test("timed scan honors --batch-size without leaking session conf (parquet-scan.cc:35)") {
+    val key = "spark.sql.parquet.columnarReaderBatchSize"
+    val before = spark.conf.getOption(key)
+    val (rows, _) = Tools.timedScan(spark, s"${TestSpark.sf}/lineitem.parquet",
+      Seq("l_orderkey"), batchSize = Some(512))
+    assert(rows == 6000L)
+    assert(spark.conf.getOption(key) == before)   // restored after the scan
+  }
+
+  test("S11: single-row-group read returns exactly one group's rows (reader-writer.cc:77-90)") {
+    // build a file with several row groups by capping page/block size
+    val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString + "/t"
+    val df = spark.range(0, 10000).repartition(1).sortWithinPartitions("id")
+      .selectExpr("id", "cast(id % 97 as double) as v",
+        "repeat(cast(id as string), 8) as s")
+    ParquetIO.write(df, dir, ParquetIO.WriteOptions(rowGroupBytes = 64 * 1024,
+      pageRowCountLimit = 500))
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).sorted.head
+    val rgs = Tools.rowGroups(spark, file)
+    assert(rgs.size > 1, s"need a multi-row-group file, got ${rgs.size}")
+    val got = Tools.readRowGroup(spark, file, 1)
+    // exactly the second group's row count, and exactly its row slice:
+    // the writer task emitted rows in ascending id order, so RG 1 holds
+    // the file's rows [rows(RG0), rows(RG0)+rows(RG1)) in id order
+    assert(got.count() == rgs(1).numRows)
+    val full = spark.read.parquet(file).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+    val expected = full.slice(rgs(0).numRows.toInt, (rgs(0).numRows + rgs(1).numRows).toInt).toSet
+    val actual = got.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(actual == expected)
+  }
 }
 
 class Int96Spec extends AnyFunSuite {
