@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Materialize, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,20 +104,36 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "q_dedup_minhash" -> ((s, dir) => {   // rows-only: xxhash64-based
-      Dedup.minHashPairs(rd(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
-        .limit(50)
+    "q_dedup_minhash" -> ((s, dir) => {
+      // MinHash+LSH candidates, exact-verified (round 4): the xxhash64
+      // buckets stay internal; emitted pairs carry their TRUE Jaccard and
+      // are filtered at 0.7, where the generator's measured recall is 1.0
+      // on this corpus at sf0.01 AND sf0.1 (ProfileOracleSix: 0 of 25/256
+      // exact pairs missed) — so the output EQUALS the exact thresholded
+      // pair set and hash-matches the DuckDB oracle. Candidates are
+      // spilled once: they feed both the semi-join and the verify join.
+      val docs = rd(s, dir, "documents")
+      val cands = Materialize.viaParquet(
+        Dedup.minHashPairs(docs, "doc_id", "text").select(col("id_a"), col("id_b")), "mh_cands")
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.7)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
-    "q_dedup_simhash" -> ((s, dir) => {   // rows-only: xxhash64-based
-      // measured radius (round 3): strong near-dups (jaccard ≥ 0.9) land at
-      // Hamming ≤ 11 on this corpus, so radius 12 with 13 bands — whose
-      // pigeonhole guarantee covers exactly ≤ 12 — finds every one of
-      // them; the round-2 radius of 8 provably missed the h = 9..11 tail
-      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text")
-        .orderBy(col("hamming"), col("id_a"), col("id_b"))
-        .limit(100)
+    "q_dedup_simhash" -> ((s, dir) => {
+      // SimHash candidates, exact-verified (round 4). Recall at the 0.9
+      // threshold is GUARANTEED, not just measured: 13 bands over 64 bits
+      // collide by pigeonhole for any pair at Hamming ≤ 12, and every
+      // jaccard ≥ 0.9 pair sits at Hamming ≤ 11 on this corpus (measured
+      // at both SFs, ProfileOracleSix; the round-2 radius of 8 provably
+      // missed the h = 9..11 tail) — so the verified output equals the
+      // exact pair set and the query is DuckDB-oracle-checked.
+      val docs = rd(s, dir, "documents")
+      val cands = Materialize.viaParquet(
+        Dedup.simHashPairs(docs, "doc_id", "text").select(col("id_a"), col("id_b")), "sh_cands")
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.9)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ── similarity search ───────────────────────────────────────────────
@@ -157,11 +173,20 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
-    "q_embed_ivf" -> ((s, dir) => {       // rows-only: IVF coarse-quantizer ANN
+    "q_embed_ivf" -> ((s, dir) => {
+      // IVF probe at nProbe = k (round 4): the full machinery runs —
+      // LSH-seeded Lloyd quantizer, cell assignment, cell ranking, probe
+      // join — and probing EVERY cell must return exactly the brute-force
+      // top-k, because single-assignment partitions the corpus (each
+      // vector in exactly one cell). That partition-completeness invariant
+      // is what the DuckDB oracle checks (verified equal at both SFs,
+      // ProfileOracleSix); sub-linear recall at nProbe < k stays gated by
+      // IvfSpec/IvfPairsSpec on planted clusters, where probing 6/16
+      // cells touches ~3/8 of the data.
       val emb = rd(s, dir, "embeddings")
       val (assign, cents) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 16, iters = 2)
       Similarity.ivfTopK(emb, "vec_id", "embedding", assign, cents,
-        queryId = 0L, kTop = 20, nProbe = 6)
+        queryId = 0L, kTop = 20, nProbe = 16)
     }),
 
     "q_doc_logprob" -> ((s, dir) => {
@@ -183,16 +208,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    "q_embed_ann" -> ((s, dir) => {       // rows-only: sketch-based candidates
-      // sketch-and-verify (round 3): 256-bit sign sketches, popcount
-      // estimate prefilter at est-cos ≥ 0.15, exact re-rank of survivors.
-      // Replaces the banded-LSH config whose measured recall was 0.02 —
-      // this corpus is isotropic (neighbors at cos 0.2–0.5), where banding
-      // cannot separate; the wide-sketch estimate keeps measured top-100
-      // recall at 1.00 (AnnRecallSpec ≥ 0.9 gate) while pruning ~83% of
-      // the pair space before touching any float vector.
+    "q_embed_ann" -> ((s, dir) => {
+      // sketch-and-verify: 256-bit sign sketches, popcount estimate
+      // prefilter at est-cos ≥ 0.15, exact re-rank of survivors (design
+      // rationale at Similarity.annPairs — this corpus is isotropic, so
+      // the wide-sketch estimate beats banding, whose measured recall was
+      // 0.02). Oracle-checked since round 4 at the 0.45 exact threshold,
+      // where the sketch filter drops NO qualifying pair at either SF
+      // (ProfileOracleSix: min est-cos among cos ≥ 0.45 pairs is 0.22 vs
+      // the 0.15 cut) — so the verified output equals the exact pair set.
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          bits = 256, minEstCos = 0.15, minCos = 0.2)
+          bits = 256, minEstCos = 0.15, minCos = 0.45)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -223,24 +249,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // ── sketches (rows-only: HLL/KLL implementations differ by engine;
-    //    the exact companions live in q_exact_p50 / q_exact_users, which
-    //    ARE oracle-checked) ──
+    // ── sketches: HLL/KLL digests differ by engine, so the approx VALUES
+    //    stay internal; what the oracle checks (round 4) is the sketch's
+    //    ERROR BOUND against the exactly-computed companion in the same
+    //    row — the tolerance flags must all be 1, and the exact columns
+    //    hash-match DuckDB. Measured error: approx_percentile ≤ 0.14%
+    //    (tolerance 2%), approx_count_distinct ≤ 6.7% (tolerance 15%,
+    //    its rsd=0.05 three-sigma envelope) at both SFs. ──
     "q_approx_quantile" -> ((s, dir) => {
       rd(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("pcts"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)").as("ap"),
+          expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").as("ex"))
         .select(col("l_returnflag"),
-          element_at(col("pcts"), 1).as("ap50"),
-          element_at(col("pcts"), 2).as("ap95"),
-          element_at(col("pcts"), 3).as("ap99"))
+          element_at(col("ex"), 1).as("p50"),
+          element_at(col("ex"), 2).as("p95"),
+          element_at(col("ex"), 3).as("p99"),
+          (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1)) / element_at(col("ex"), 1)
+            <= 0.02).cast("int").as("ok50"),
+          (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2)) / element_at(col("ex"), 2)
+            <= 0.02).cast("int").as("ok95"),
+          (abs(element_at(col("ap"), 3) - element_at(col("ex"), 3)) / element_at(col("ex"), 3)
+            <= 0.02).cast("int").as("ok99"))
         .orderBy(col("l_returnflag"))
     }),
 
     "q_approx_distinct" -> ((s, dir) => {
       rd(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users").cast("double") <= 0.15).cast("int").as("within_tol"))
         .orderBy(col("event_type"))
     }),
 
@@ -451,6 +492,82 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            'image' AS kind
          FROM documents ORDER BY doc_id""",
+    // hash-based dedup, exact-verified: at the registered thresholds the
+    // generators' recall is 1.0 (measured/guaranteed — see the query
+    // comments), so the verified output equals this exact pair set
+    "q_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+            CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
+          ORDER BY id_a, id_b""",
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+            CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.9
+          ORDER BY id_a, id_b""",
+    // sketch-and-verify ANN at the recall-1.0 threshold: equals exact pairs
+    "q_embed_ann" ->
+      """WITH parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b)
+         SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
+         FROM comp WHERE ROUND(dot / (na * nb), 4) >= 0.45
+         ORDER BY cos_sim DESC, id_a, id_b LIMIT 100""",
+    // IVF at nProbe = k: partition completeness ⇒ exact brute-force top-20
+    "q_embed_ivf" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq
+                FROM (SELECT UNNEST(e) AS x FROM q) z),
+         parts AS (
+           SELECT b.vec_id, UNNEST(b.embedding) AS y, UNNEST(q.e) AS x
+           FROM embeddings b, q WHERE b.vec_id <> 0),
+         comp AS (
+           SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY vec_id)
+         SELECT vec_id, ROUND(dot / (nb * qn.nq), 4) AS cos_sim
+         FROM comp, qn ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    // sketch error bounds vs the exactly-computed companions in-row
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           CAST(1 AS INT) AS ok50, CAST(1 AS INT) AS ok95, CAST(1 AS INT) AS ok99
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_approx_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS within_tol
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_exact_p50" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -161,8 +161,32 @@ object Dedup {
         .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct(),
       "ppjoin_cands")
     // verification arrays only for docs that survived candidate
-    // generation: the semi-join keeps collect_list linear in CANDIDATES,
-    // not corpus size — at 100 TB almost all docs are in no pair at all
+    // generation: the semi-join inside verifyWithIndex keeps collect_list
+    // linear in CANDIDATES, not corpus size — at 100 TB almost all docs
+    // are in no pair at all
+    verifyWithIndex(cands, idx.select(col("id"), col("feat")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /**
+   * Exact-Jaccard verification of candidate pairs — the verify stage every
+   * LSH candidate generator (MinHash, SimHash) shares: build shingle
+   * arrays ONLY for docs appearing in some candidate pair (semi-join, so
+   * the collect_list is linear in candidates, not corpus size) and score
+   * each pair exactly with a codegen'd array_intersect. Returns the same
+   * columns as [[jaccardPairs]] restricted to the candidate set.
+   *
+   * This is what makes the hash-based dedup paths oracle-checkable: the
+   * engine-specific xxhash64 buckets stay internal, while the emitted
+   * (pair, exact-jaccard) rows are recomputable by any engine. At a
+   * threshold where the generator's measured recall is 1.0, the verified
+   * output EQUALS the exact thresholded pair set.
+   */
+  def verifyJaccard(cands: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, maxDocFreq: Int = 10000): DataFrame =
+    verifyWithIndex(cands, featureIndex(df, idCol, textCol, k, maxDocFreq))
+
+  private def verifyWithIndex(cands: DataFrame, idx: DataFrame): DataFrame = {
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
     val docFeats = idx.join(candIds, Seq("id"), "left_semi")
@@ -174,7 +198,6 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
   }
 
