@@ -330,15 +330,43 @@ object Dedup {
    * ≤ 12 (pigeonhole), exactly covering maxHamming = 12; more bands would
    * only widen buckets (4-bit bands collide for 1/16 of RANDOM pairs) and
    * pay quadratic bucket-join cost for distances the filter discards anyway.
+   *
+   * Second-level blocking (round 4, the 100 TB fix): a fixed 64-bit
+   * signature means ~5-bit first-level buckets, whose occupancy grows
+   * O(n) and whose join cost grows O(n²/2^5). Buckets larger than
+   * `hotBucketCap` are therefore re-blocked by a SECOND banding of the
+   * BIT-ROTATED signature: rotation preserves Hamming distance, so a pair
+   * at h ≤ bands−1 still has a zero-diff band in the rotated slicing
+   * (pigeonhole over all 64 bits again) — the recall guarantee is kept
+   * EXACTLY, while hot buckets subdivide by the ~4.9 rotated bits each
+   * sub-band adds. Cold buckets pay nothing; hot-bucket members fan out
+   * ×bands but their Σ freq² drops by the sub-bucket split, turning the
+   * worst-case quadratic term into Σ_{(b,v,b2,v2)} freq² with ~10-bit
+   * effective keys. (True duplicate storms — identical signatures — stay
+   * quadratic in any blocking scheme; their output is itself quadratic.)
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12, bands: Int = 13, k: Int = 3): DataFrame = {
+      maxHamming: Int = 12, bands: Int = 13, k: Int = 3,
+      hotBucketCap: Int = 2000): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol, k)
     // signature rides through the bucket join (64 bits — free); hamming
     // filter BEFORE the distinct shrinks the dedup shuffle
     val buckets = sigs.select(col("id"), col("sig"), explode(simHashBands(col("sig"), bands)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
-    buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+    val freqW = Window.partitionBy(col("band"), col("bucket"))
+    val withF = buckets.withColumn("__f", count(lit(1)).over(freqW))
+    val cold = withF.filter(col("__f") <= hotBucketCap).drop("__f")
+      .withColumn("band2", lit(-1)).withColumn("bucket2", lit(0L))
+    // rotate left by half a band width so second-level bands straddle
+    // first-level boundaries (same-band bits alone carry no split power)
+    val rot = 3
+    val sig2 = shiftleft(col("sig"), rot).bitwiseOR(shiftrightunsigned(col("sig"), 64 - rot))
+    val hot = withF.filter(col("__f") > hotBucketCap).drop("__f")
+      .withColumn("bk2", explode(simHashBands(sig2, bands)))
+      .select(col("id"), col("sig"), col("band"), col("bucket"),
+        col("bk2.band").as("band2"), col("bk2.bucket").as("bucket2"))
+    val keyed = cold.unionByName(hot)
+    keyed.as("x").join(keyed.as("y"), Seq("band", "bucket", "band2", "bucket2"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         hamming64(col("x.sig"), col("y.sig")).as("hamming"))

@@ -101,6 +101,20 @@ class DedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong -- sims} (simhash found ${sims.size})")
   }
 
+  test("simhash second-level blocking loses no pairs (hot path == cold path)") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    // cap=1 forces EVERY bucket through the rotated sub-banding; a huge cap
+    // keeps everything first-level. The rotated re-banding preserves the
+    // pigeonhole guarantee, so the pair sets must be identical.
+    val allHot = Dedup.simHashPairs(corpus, "doc_id", "text", hotBucketCap = 1)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val allCold = Dedup.simHashPairs(corpus, "doc_id", "text", hotBucketCap = Int.MaxValue)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(allHot == allCold,
+      s"two-level blocking changed the result: only-hot=${allHot -- allCold} only-cold=${allCold -- allHot}")
+    assert(allCold.nonEmpty)
+  }
+
   test("prefix-filtered thresholded jaccard equals the full join filtered, on the corpus") {
     val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     def keyOf(r: (Long, Long, Long, Long, Long, Double)) = (r._1, r._2, r._3, r._4, r._5, r._6)
