@@ -110,12 +110,15 @@ object PipelineQueries {
       // are filtered at 0.7, where the generator's measured recall is 1.0
       // on this corpus at sf0.01 AND sf0.1 (ProfileOracleSix: 0 of 25/256
       // exact pairs missed) — so the output EQUALS the exact thresholded
-      // pair set and hash-matches the DuckDB oracle. Candidates are
-      // spilled once: they feed both the semi-join and the verify join.
+      // pair set and hash-matches the DuckDB oracle. The shingle index is
+      // spilled once and shared by signature generation AND verification;
+      // candidates likewise (each feeds two consumers).
       val docs = rd(s, dir, "documents")
+      val idx = Materialize.viaParquet(
+        Dedup.shingleIndex(docs, "doc_id", "text", 3), "mh_idx")
       val cands = Materialize.viaParquet(
-        Dedup.minHashPairs(docs, "doc_id", "text").select(col("id_a"), col("id_b")), "mh_cands")
-      Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+        Dedup.minHashPairsFromFeats(idx).select(col("id_a"), col("id_b")), "mh_cands")
+      Dedup.verifyJaccardOnIndex(cands, idx)
         .filter(col("jaccard") >= 0.7)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -127,11 +130,14 @@ object PipelineQueries {
       // jaccard ≥ 0.9 pair sits at Hamming ≤ 11 on this corpus (measured
       // at both SFs, ProfileOracleSix; the round-2 radius of 8 provably
       // missed the h = 9..11 tail) — so the verified output equals the
-      // exact pair set and the query is DuckDB-oracle-checked.
+      // exact pair set and the query is DuckDB-oracle-checked. One spilled
+      // shingle index feeds signatures and verification.
       val docs = rd(s, dir, "documents")
+      val idx = Materialize.viaParquet(
+        Dedup.shingleIndex(docs, "doc_id", "text", 3), "sh_idx")
       val cands = Materialize.viaParquet(
-        Dedup.simHashPairs(docs, "doc_id", "text").select(col("id_a"), col("id_b")), "sh_cands")
-      Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+        Dedup.simHashPairsFromFeats(idx).select(col("id_a"), col("id_b")), "sh_cands")
+      Dedup.verifyJaccardOnIndex(cands, idx)
         .filter(col("jaccard") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -426,6 +432,11 @@ object PipelineQueries {
           SELECT id AS doc_id, MIN(lbl) AS cluster,
             CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
           FROM reach GROUP BY id ORDER BY doc_id""",
+    // NOTE (round-3 advisory): this oracle indexes CHARACTERS
+    // (substr/ascii) while the Spark stub decodes UTF-8 BYTES — they agree
+    // because the documents corpus is pure ASCII (verified). A non-ASCII
+    // fixture would need the DuckDB side derived from bytes instead
+    // (unnest over encode(text)) to stay byte-exact.
     "q_multimodal_features" ->
       """WITH b AS (
            SELECT doc_id, text,

@@ -34,7 +34,14 @@ object RelationalQueries {
    * CAST(ts AS TIMESTAMP) µs truncation.
    */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The conf is session-global (Spark exposes no per-read option for
+    // nanos handling), so this is a set-once latch, not a toggle: it is
+    // only ever written when absent/false, and nothing in this library
+    // sets it back — concurrent callers can therefore only race towards
+    // the same value (round-3 advisory). Sessions that want full control
+    // should set it in their builder; Verify/Bench do.
+    if (!s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

@@ -186,6 +186,13 @@ object Dedup {
       k: Int = 3, maxDocFreq: Int = 10000): DataFrame =
     verifyWithIndex(cands, featureIndex(df, idCol, textCol, k, maxDocFreq))
 
+  /** [[verifyJaccard]] over a prebuilt (id, feat) index — callers that
+    * already materialized the index for candidate generation (one spill,
+    * two consumers) verify against the same files instead of re-deriving
+    * the shingle subtree. */
+  def verifyJaccardOnIndex(cands: DataFrame, idx: DataFrame): DataFrame =
+    verifyWithIndex(cands, idx)
+
   private def verifyWithIndex(cands: DataFrame, idx: DataFrame): DataFrame = {
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
@@ -214,8 +221,11 @@ object Dedup {
    * this plan — and it would be per-row serial at 100 TB too.
    */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, k: Int): DataFrame = {
-    val feats = shingleIndex(df, idCol, textCol, k)
+      numHashes: Int, k: Int): DataFrame =
+    minHashSignaturesFromFeats(shingleIndex(df, idCol, textCol, k), numHashes)
+
+  /** Signature aggregate over a prebuilt (id, feat) index. */
+  private[graft] def minHashSignaturesFromFeats(feats: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("feat"))).as(s"h$i"))
     feats.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
@@ -229,9 +239,14 @@ object Dedup {
    * signature positions. Only bucket-mates are ever paired.
    */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame =
+    minHashPairsFromFeats(shingleIndex(df, idCol, textCol, k), numHashes, bands)
+
+  /** [[minHashPairs]] over a prebuilt (id, feat) index. */
+  private[graft] def minHashPairsFromFeats(feats: DataFrame,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, numHashes, k)
+    val sigs = minHashSignaturesFromFeats(feats, numHashes)
     // carry the signature THROUGH the bucket join: one shuffle join total,
     // est similarity computed on the join rows, dedup (distinct) last on
     // the already-scored pairs — instead of distinct + two re-joins
@@ -249,9 +264,12 @@ object Dedup {
   /** SimHash signatures, relationally (same design as [[minHashSignatures]]):
     * one xxhash64 per exploded feature, 64 conditional-sum bit votes in a
     * single hash-aggregate, bits packed back into a long. */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val feats = shingleIndex(df, idCol, textCol, k)
-      .withColumn("h", xxhash64(col("feat")))
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    simHashSignaturesFromFeats(shingleIndex(df, idCol, textCol, k))
+
+  /** Signature aggregate over a prebuilt (id, feat) index. */
+  private[graft] def simHashSignaturesFromFeats(featIdx: DataFrame): DataFrame = {
+    val feats = featIdx.withColumn("h", xxhash64(col("feat")))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
     feats.groupBy(col("id"))
@@ -347,8 +365,13 @@ object Dedup {
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 12, bands: Int = 13, k: Int = 3,
-      hotBucketCap: Int = 2000): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol, k)
+      hotBucketCap: Int = 2000): DataFrame =
+    simHashPairsFromFeats(shingleIndex(df, idCol, textCol, k), maxHamming, bands, hotBucketCap)
+
+  /** [[simHashPairs]] over a prebuilt (id, feat) index. */
+  private[graft] def simHashPairsFromFeats(feats: DataFrame,
+      maxHamming: Int = 12, bands: Int = 13, hotBucketCap: Int = 2000): DataFrame = {
+    val sigs = simHashSignaturesFromFeats(feats)
     // signature rides through the bucket join (64 bits — free); hamming
     // filter BEFORE the distinct shrinks the dedup shuffle
     val buckets = sigs.select(col("id"), col("sig"), explode(simHashBands(col("sig"), bands)).as("bk"))
