@@ -301,26 +301,36 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    // init fuses the FIRST propagation round into label creation: each
+    // node's starting label is min(self, neighbors), computable from the
+    // symmetric edge list with one aggregate — no join, and one fewer
+    // loop round. The single init action materializes BOTH persists
+    // (labels' lineage runs through edges, populating its storage).
+    var gen = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("cluster"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    gen.count()
+    var labels = gen
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // the convergence flag rides the propagation row (nmin vs current
+      // label), so ONE action per round both materializes the new
+      // generation's persist and decides convergence — no extra join
+      // against the previous generation
+      val nextGen = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      // ONE action per round: counting changed labels both materializes
-      // `next` (populating its persist before the parent is dropped) and
-      // decides convergence
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count() == 0
-      labels.unpersist(blocking = false)
-      labels = next
+      converged = nextGen.filter(col("__chg")).count() == 0
+      gen.unpersist(blocking = false)
+      gen = nextGen
+      labels = nextGen.select(col("id"), col("cluster"))
       i += 1
     }
     // a component whose diameter exceeds maxIters would return WRONG
@@ -332,7 +342,7 @@ object Dedup {
     // hand back a file-backed result and free ALL loop storage: operator
     // scratch must not outlive the operator in a long-running session
     val out = Materialize.viaParquet(labels, "cc_labels")
-    labels.unpersist(blocking = false)
+    gen.unpersist(blocking = false)
     edges.unpersist(blocking = false)
     out
   }
