@@ -216,6 +216,82 @@ object Tools {
     } finally reader.close()
   }
 
+  final case class ValueLevel(column: String, rowGroup: Int, rep: Int, defLevel: Int, value: String)
+
+  /**
+   * Value-level debug dump WITH definition/repetition levels — parity with
+   * the reference's per-value scan loop printing `value, def, rep` for
+   * every column (`cpp/tools/parquet/parquet_reader.cc:66-72`, via each
+   * column's `ScanAllValues`). Spark's row-level surface cannot show
+   * levels (they are assembled away), so this drives parquet-mr's
+   * ColumnReader directly: per column chunk, every (rep, def) pair is
+   * emitted, with the value decoded only when def == maxDef (else the
+   * slot is a null at some nesting level, exactly like the reference's
+   * `is_null` branch). Driver-side per-FILE debug tool like the rest of
+   * [[Tools]]; `maxPerColumn` caps output per column chunk.
+   */
+  def valueLevels(spark: SparkSession, file: String,
+      maxPerColumn: Long = Long.MaxValue): Seq[ValueLevel] = {
+    import org.apache.parquet.column.impl.ColumnReadStoreImpl
+    import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    // trivial converter tree: ColumnReadStoreImpl only needs it to locate
+    // a PrimitiveConverter per column (dictionary support hook)
+    class NoopPrimitive extends PrimitiveConverter {
+      override def asGroupConverter(): GroupConverter = new NoopGroup
+    }
+    class NoopGroup extends GroupConverter {
+      override def getConverter(fieldIndex: Int): Converter = new NoopPrimitive
+      override def start(): Unit = ()
+      override def end(): Unit = ()
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      val meta = reader.getFooter.getFileMetaData
+      val schema = meta.getSchema
+      val out = Seq.newBuilder[ValueLevel]
+      var rg = 0
+      var pages = reader.readNextRowGroup()
+      while (pages != null) {
+        val crs = new ColumnReadStoreImpl(pages, new NoopGroup, schema, meta.getCreatedBy)
+        schema.getColumns.asScala.foreach { cd =>
+          val cr = crs.getColumnReader(cd)
+          val name = cd.getPath.mkString(".")
+          val maxDef = cd.getMaxDefinitionLevel
+          val tpe = cd.getPrimitiveType.getPrimitiveTypeName
+          val n = math.min(cr.getTotalValueCount, maxPerColumn)
+          (0L until n).foreach { _ =>
+            val rep = cr.getCurrentRepetitionLevel
+            val defl = cr.getCurrentDefinitionLevel
+            val v =
+              if (defl < maxDef) "NULL"
+              else tpe match {
+                case PrimitiveTypeName.INT64 => cr.getLong.toString
+                case PrimitiveTypeName.INT32 => cr.getInteger.toString
+                case PrimitiveTypeName.DOUBLE => cr.getDouble.toString
+                case PrimitiveTypeName.FLOAT => cr.getFloat.toString
+                case PrimitiveTypeName.BOOLEAN => cr.getBoolean.toString
+                case PrimitiveTypeName.INT96 => s"0x${cr.getBinary.getBytes.map("%02x".format(_)).mkString}"
+                case PrimitiveTypeName.BINARY | PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+                  val b = cr.getBinary
+                  cd.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => b.toStringUsingUTF8
+                    case _ => s"0x${b.getBytes.map("%02x".format(_)).mkString}"
+                  }
+              }
+            out += ValueLevel(name, rg, rep, defl, v)
+            cr.consume()
+          }
+        }
+        rg += 1
+        pages = reader.readNextRowGroup()
+      }
+      out.result()
+    } finally reader.close()
+  }
+
   /** Metadata DataFrames, so introspection itself is queryable. */
   def rowGroupsDf(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._

@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /**
  * CLI parity with the reference's three tools (SURVEY.md §3 E3):
  *  - `schema <path>`               ≙ parquet-dump-schema (`parquet-dump-schema.cc:23-33`)
- *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv]`
- *                                  ≙ parquet_reader (`parquet_reader.cc:24-72`)
+ *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv] [--levels[=N]]`
+ *                                  ≙ parquet_reader (`parquet_reader.cc:24-72`;
+ *                                    `--levels` = the per-value def/rep scan of
+ *                                    `parquet_reader.cc:66-72`, N values per column)
  *  - `scan <path> [--columns=a,b] [--batch-size=N]`
  *                                  ≙ parquet-scan timed count (`parquet-scan.cc:25-71`;
  *                                    `--batch-size` ≙ `parquet-scan.cc:35`)
@@ -50,6 +52,16 @@ object ToolsCli {
       Tools.rowGroups(spark, path).foreach { rg =>
         println(s"row group ${rg.rowGroup}: rows=${rg.numRows} bytes=${rg.totalByteSize} " +
           s"compressed=${rg.compressedBytes} columns=${rg.numColumns}")
+      }
+      flags.collectFirst {
+        case "--levels" => Long.MaxValue
+        case f if f.startsWith("--levels=") => f.stripPrefix("--levels=").toLong
+      }.foreach { cap =>
+        Tools.parquetFiles(spark, path).headOption.foreach { f =>
+          Tools.valueLevels(spark, f.toString, cap).foreach { v =>
+            println(s"${v.column} rg=${v.rowGroup} r:${v.rep} d:${v.defLevel} v:${v.value}")
+          }
+        }
       }
       if (!flags.contains("--only-metadata")) {
         val df0 = spark.read.parquet(path)

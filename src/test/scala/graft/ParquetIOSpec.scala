@@ -120,6 +120,34 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(spark.conf.getOption(key) == before)   // restored after the scan
   }
 
+  test("value-level dump: def/rep levels match null and array structure (parquet_reader.cc:66-72)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lvl").toString + "/t"
+    // 4 rows: id always set; v null on odd ids; arr = [id, id+1] (repeated)
+    spark.range(0, 4).repartition(1).sortWithinPartitions("id")
+      .selectExpr("id", "if(id % 2 = 1, null, cast(id as double)) as v",
+        "array(id, id + 1) as arr")
+      .write.parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).sorted.head
+    val vl = Tools.valueLevels(spark, file)
+    val byCol = vl.groupBy(_.column)
+    // id: required-ish long column — 4 values, no nulls, rep always 0
+    val ids = byCol("id")
+    assert(ids.map(_.value) == Seq("0", "1", "2", "3"))
+    assert(ids.forall(_.rep == 0))
+    // v: nullable — null slots surface as def < maxDef with NULL value
+    val vs = byCol("v")
+    assert(vs.map(_.value) == Seq("0.0", "NULL", "2.0", "NULL"))
+    assert(vs.filter(_.value == "NULL").forall(v => v.defLevel < vs.map(_.defLevel).max))
+    // arr.list.element: 8 values; rep=0 starts a record, rep>0 continues
+    // one — exactly the reference's repeated-field semantics
+    val arr = byCol.keys.find(_.startsWith("arr")).map(byCol).get
+    assert(arr.size == 8)
+    assert(arr.map(_.rep) == Seq(0, 1, 0, 1, 0, 1, 0, 1))
+    assert(arr.map(_.value) == Seq("0", "1", "1", "2", "2", "3", "3", "4"))
+  }
+
   test("S11: single-row-group read returns exactly one group's rows (reader-writer.cc:77-90)") {
     // build a file with several row groups by capping page/block size
     val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString + "/t"
