@@ -131,11 +131,11 @@ object Similarity {
   def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 3): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
-    // no cache: consumers recompute the exploded scan, which is a
-    // map-side Generate over a pruned parquet read — cheaper per pass
-    // than storing n·dim exploded rows in executor memory, and the
-    // round-2 cache here was never unpersisted (leak). Lloyd iterations
-    // re-reading their input is the normal distributed k-means shape.
+    // no cache on the exploded scan: consumers recompute it as a map-side
+    // Generate over a pruned parquet read — cheaper per pass than storing
+    // n·dim exploded rows in executor memory, and the round-2 cache here
+    // was never unpersisted (leak). Lloyd iterations re-reading their
+    // input is the normal distributed k-means shape.
     val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast("double"))
     // seed cells from LSH buckets (deterministic, data-dependent spread)
@@ -154,9 +154,18 @@ object Similarity {
       assign = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("id"), col("cell"))
     }
-    val centroids = parts.join(assign, "id")
-      .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c"))
-    (assign, centroids)
+    // an IVF index IS a materialized artifact: probes join it repeatedly,
+    // so hand back file-backed assignment and centroid tables — the lazy
+    // Lloyd chain (each iteration's plan embeds the previous) executes
+    // exactly once into the spill instead of once per downstream
+    // consumer, and at scale the index would be written once and reused
+    // across many queries anyway
+    val assignM = Materialize.viaParquet(assign, "ivf_assign")
+    val centroids = Materialize.viaParquet(
+      parts.join(assignM, "id")
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c")),
+      "ivf_cents")
+    (assignM, centroids)
   }
 
   /** Probe an IVF index: rank cells by query·centroid distance, search the
