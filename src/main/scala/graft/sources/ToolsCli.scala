@@ -32,6 +32,9 @@ object ToolsCli {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // tolerate TIMESTAMP(NANOS) files (e.g. the events table) — Spark 4
+      // rejects them outright without the legacy conf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try run(spark, cmd, path, flags, columns)
