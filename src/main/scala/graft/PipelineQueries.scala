@@ -157,13 +157,19 @@ object PipelineQueries {
 
     "q_embed_pairs" -> ((s, dir) => {
       // embedding-cosine near-dup, exact all-pairs baseline (oracle-able);
-      // the scale path for the same semantics is q_embed_ann (LSH buckets)
+      // the scale path for the same semantics is q_embed_ann (sketch) /
+      // q_embed_ivf (buckets). Norms are hoisted OUT of the quadratic
+      // stage (round 4): computed once per vector scan-side, so each of
+      // the n² pairs pays one dot product instead of three — bit-identical
+      // to graft_cosine, whose accumulation order this mirrors exactly.
+      val gd = graft.plans.GraftExtensions.graftDot(s, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
       val e = rd(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        .withColumn("nrm", sqrt(gd(col("embedding"), col("embedding"))))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
       a.join(broadcast(b), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(graft.plans.GraftExtensions.graftCosine(s, col("va"), col("vb")), 4).as("cos_sim"))
+          round(gd(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(50)
     }),
