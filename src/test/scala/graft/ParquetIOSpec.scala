@@ -148,6 +148,27 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(arr.map(_.value) == Seq("0", "1", "1", "2", "2", "3", "3", "4"))
   }
 
+  test("value-level dump decodes the remaining physical types (float/bool/binary/INT96)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lvl2").toString + "/t"
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try {
+      spark.sql(
+        """SELECT cast(1.5 as float) AS f, true AS bo,
+           cast(x'DEAD' as binary) AS bin,
+           timestamp'2024-01-02 03:04:05' AS ts""").write.parquet(dir)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).sorted.head
+    val byCol = Tools.valueLevels(spark, file).groupBy(_.column)
+    assert(byCol("f").map(_.value) == Seq("1.5"))
+    assert(byCol("bo").map(_.value) == Seq("true"))
+    assert(byCol("bin").map(_.value) == Seq("0xdead"))
+    // INT96: 12 bytes (nanos-in-day + julian day), hex-rendered
+    val ts = byCol("ts").head.value
+    assert(ts.startsWith("0x") && ts.length == 2 + 24, s"unexpected INT96 rendering: $ts")
+  }
+
   test("S11: single-row-group read returns exactly one group's rows (reader-writer.cc:77-90)") {
     // build a file with several row groups by capping page/block size
     val dir = java.nio.file.Files.createTempDirectory("graft-s11").toString + "/t"
