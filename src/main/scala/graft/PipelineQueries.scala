@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Materialize, Multimodal, Similarity}
+import graft.operators.{Dedup, Materialize, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -143,6 +143,31 @@ object PipelineQueries {
       Dedup.verifyJaccardOnIndex(cands, idx)
         .filter(col("jaccard") >= 0.9)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_decontam" -> ((s, dir) => {
+      // train/eval decontamination: docs 0..49 stand in for an eval
+      // benchmark; every remaining doc sharing ≥ 3 distinct 5-grams with
+      // a probe is flagged with its containment score. The corpus'
+      // near-dup structure guarantees real hits.
+      val docs = rd(s, dir, "documents")
+      Dedup.contaminationPairs(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          "doc_id", "text", k = 5)
+        .filter(col("overlap") >= 3)
+        .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
+    "q_sample_stratified" -> ((s, dir) => {
+      // data-mixing step: downweight the dominant strata (en 1/2, zh 1/4),
+      // keep the rest; report realized per-language mixture. Deterministic
+      // arithmetic slots — see operators/Sampling.scala for why an RNG
+      // sample would be a training-data bug.
+      val docs = rd(s, dir, "documents")
+      val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> (1, 2), "zh" -> (1, 4)))
+      Sampling.mixtureReport(docs, sampled, "lang")
+        .orderBy(col("lang"))
     }),
 
     // ── similarity search ───────────────────────────────────────────────
@@ -512,6 +537,34 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            'image' AS kind
          FROM documents ORDER BY doc_id""",
+    "q_decontam" ->
+      """WITH tc AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         sh AS (SELECT DISTINCT doc_id, sh FROM (
+           SELECT doc_id, UNNEST(list_transform(range(1, greatest(len(l) - 4, 0) + 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS sh
+           FROM tc) z),
+         probe AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id < 50),
+         corp AS (SELECT doc_id AS corpus_id, sh FROM sh WHERE doc_id >= 50),
+         psz AS (SELECT probe_id, COUNT(*) AS probe_sz FROM probe GROUP BY probe_id),
+         ov AS (SELECT corpus_id, probe_id, COUNT(*) AS overlap
+                FROM corp JOIN probe USING (sh) GROUP BY corpus_id, probe_id)
+         SELECT corpus_id, probe_id, CAST(overlap AS BIGINT) AS overlap,
+           CAST(psz.probe_sz AS BIGINT) AS probe_sz,
+           CAST(overlap AS DOUBLE) / CAST(psz.probe_sz AS DOUBLE) AS containment
+         FROM ov JOIN psz USING (probe_id)
+         WHERE overlap >= 3
+         ORDER BY corpus_id, probe_id""",
+    "q_sample_stratified" ->
+      """WITH kept AS (
+           SELECT lang FROM documents
+           WHERE CASE lang WHEN 'en' THEN doc_id % 2 < 1
+                           WHEN 'zh' THEN doc_id % 4 < 1
+                           ELSE TRUE END),
+         t AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+         s AS (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang)
+         SELECT t.lang, t.n_total, COALESCE(s.n_kept, 0) AS n_kept,
+           CAST(COALESCE(s.n_kept, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS ratio
+         FROM t LEFT JOIN s ON t.lang = s.lang ORDER BY t.lang""",
     // hash-based dedup, exact-verified: at the registered thresholds the
     // generators' recall is 1.0 (measured/guaranteed — see the query
     // comments), so the verified output equals this exact pair set

@@ -348,6 +348,36 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus n-gram containment — the train/eval DECONTAMINATION
+   * check of LLM training pipelines: for every (corpus doc, probe doc)
+   * pair sharing at least one k-shingle, the number of distinct shared
+   * shingles, the probe's shingle count, and their ratio (the standard
+   * containment score: what fraction of the eval doc's n-grams appear in
+   * the training doc).
+   *
+   * Shape: inverted-index join on the shingle — cost is
+   * Σ_feat df_corpus(feat)·df_probe(feat), never |corpus|×|probes| — with
+   * the probe-side index broadcast: at 100 TB the probe set is a fixed
+   * benchmark suite (thousands of docs), so the corpus side streams
+   * through a map-side join with no shuffle of corpus data at all.
+   */
+  def contaminationPairs(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, k: Int = 5, maxDocFreq: Int = 10000): DataFrame = {
+    val ci = featureIndex(corpus, idCol, textCol, k, maxDocFreq)
+      .select(col("id").as("corpus_id"), col("feat"))
+    val pi = featureIndex(probes, idCol, textCol, k, maxDocFreq)
+      .select(col("id").as("probe_id"), col("feat"))
+    val psz = pi.groupBy(col("probe_id")).agg(count(lit(1)).as("probe_sz"))
+    ci.join(broadcast(pi), "feat")
+      .groupBy(col("corpus_id"), col("probe_id"))
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(psz), "probe_id")
+      .withColumn("containment",
+        col("overlap").cast("double") / col("probe_sz").cast("double"))
+      .select("corpus_id", "probe_id", "overlap", "probe_sz", "containment")
+  }
+
+  /**
    * SimHash near-dup pairs: 64-bit signatures, sliced into `bands` blocking
    * keys; bucket-mates within `maxHamming` are near-dups.
    *

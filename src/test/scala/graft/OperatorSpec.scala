@@ -101,6 +101,43 @@ class DedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong -- sims} (simhash found ${sims.size})")
   }
 
+  test("contamination: planted 5-gram overlap found, clean docs not flagged") {
+    val probes = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains "quick brown fox jumps over" and more — 5 shared 5-grams
+      (10L, "she saw the quick brown fox jumps over the fence"),
+      // zero shared 5-grams (shared words but no 5-token run)
+      (11L, "quick dog brown lazy fox the over jumps tonight"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationPairs(corpus, probes, "doc_id", "text", k = 5)
+      .select("corpus_id", "probe_id", "overlap", "probe_sz")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(got.map(_._1) == List(10L))                 // only the planted doc
+    val (_, _, overlap, psz) = got.head
+    // probe has 6 distinct 5-grams; "the quick brown fox jumps",
+    // "quick brown fox jumps over", "brown fox jumps over the" appear in
+    // the corpus doc
+    assert(psz == 6L && overlap == 3L, s"overlap=$overlap probe_sz=$psz")
+  }
+
+  test("stratified sample: exact per-stratum arithmetic quotas, deterministic") {
+    val df = (0L until 100L).map(i => (i, if (i < 60) "en" else if (i < 80) "zh" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = graft.operators.Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> (1, 2), "zh" -> (1, 4)))
+    val rep = graft.operators.Sampling.mixtureReport(df, sampled, "lang")
+      .select("lang", "n_total", "n_kept").as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rep("en") == (60L, 30L))   // ids 0..59, even ids kept
+    assert(rep("zh") == (20L, 5L))    // ids 60..79, id%4==0 kept
+    assert(rep("de") == (20L, 20L))   // default: keep all
+    // determinism: same input -> same sample, element for element
+    val again = graft.operators.Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> (1, 2), "zh" -> (1, 4))).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == sampled.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("simhash second-level blocking loses no pairs (hot path == cold path)") {
     val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     // cap=1 forces EVERY bucket through the rotated sub-banding; a huge cap
