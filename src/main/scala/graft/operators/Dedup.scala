@@ -396,21 +396,30 @@ object Dedup {
    * BIT-ROTATED signature: rotation preserves Hamming distance, so a pair
    * at h ≤ bands−1 still has a zero-diff band in the rotated slicing
    * (pigeonhole over all 64 bits again) — the recall guarantee is kept
-   * EXACTLY, while hot buckets subdivide by the ~4.9 rotated bits each
-   * sub-band adds. Cold buckets pay nothing; hot-bucket members fan out
-   * ×bands but their Σ freq² drops by the sub-bucket split, turning the
-   * worst-case quadratic term into Σ_{(b,v,b2,v2)} freq² with ~10-bit
-   * effective keys. (True duplicate storms — identical signatures — stay
-   * quadratic in any blocking scheme; their output is itself quadratic.)
+   * EXACTLY (spec: hot path == cold path pair-for-pair).
+   *
+   * The cap default is MEASURED, not guessed: one extra level multiplies
+   * hot members ×bands while cutting their pair tests ~2.3× (a sub-band
+   * match costs 2^-4.9 per rotated band × 13 bands), so it only wins once
+   * bucket occupancy f is large enough that f² popcounts outweigh 13·f
+   * extra shuffled rows — measured at 10× (50 k docs, f ≈ 1.5–5 k) the
+   * un-split codegen'd popcount join is still 1.3–3× FASTER than
+   * splitting (ProfileSimhashCap: 5.5 s vs 7.3–21 s as the cap drops).
+   * 20 000 keeps the mechanism dormant below its win regime and engages
+   * it exactly where the quadratic term starts to dominate; at extreme
+   * occupancy the same construction recurses (rotate again) for a
+   * compounding cut. True duplicate storms — identical signatures —
+   * stay quadratic in any blocking scheme; their output is itself
+   * quadratic.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 12, bands: Int = 13, k: Int = 3,
-      hotBucketCap: Int = 2000): DataFrame =
+      hotBucketCap: Int = 20000): DataFrame =
     simHashPairsFromFeats(shingleIndex(df, idCol, textCol, k), maxHamming, bands, hotBucketCap)
 
   /** [[simHashPairs]] over a prebuilt (id, feat) index. */
   private[graft] def simHashPairsFromFeats(feats: DataFrame,
-      maxHamming: Int = 12, bands: Int = 13, hotBucketCap: Int = 2000): DataFrame = {
+      maxHamming: Int = 12, bands: Int = 13, hotBucketCap: Int = 20000): DataFrame = {
     val sigs = simHashSignaturesFromFeats(feats)
     // signature rides through the bucket join (64 bits — free); hamming
     // filter BEFORE the distinct shrinks the dedup shuffle
