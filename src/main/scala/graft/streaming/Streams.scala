@@ -55,6 +55,22 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Streaming INGEST dedup for a document corpus (round 4): drop any doc
+   * whose content hash (sha-256 of the text, the same fixed-width key
+   * trick as `Dedup.exactDedupFlags`) was already seen within the
+   * watermark horizon — what a production crawl pipeline runs at the
+   * front door. State is bounded by the watermark: exact within the
+   * horizon, memory-safe beyond it; that trade is the entire reason the
+   * streaming form exists next to the batch operator.
+   */
+  def contentDedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__content_key", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
+  /**
    * Incremental parquet sink via foreachBatch — the Structured Streaming
    * analogue of the reference's size-bounded buffered writer
    * (`reader-writer2.cc:74-93`): each micro-batch appends through
