@@ -68,46 +68,75 @@ object Similarity {
 
   /**
    * Sketch-and-verify similarity-pair mining: wide sign sketches
-   * ([[graft.plans.FloatVecSimSig]], default 256 bits = 4 longs) compared
+   * ([[graft.plans.FloatVecSimSig]], default 512 bits = 8 longs) compared
    * with codegen'd xor+popcount; pairs whose ESTIMATED cosine
    * (cos(π·hamming/bits)) clears `minEstCos` are re-ranked with the exact
    * codegen cosine.
    *
-   * Why not banded LSH: measured on this corpus (round 3), the embeddings
-   * are isotropic — top-10 neighbors sit at cosine 0.21–0.40 while random
-   * pairs center on 0, so per-bit agreement for true neighbors is only
-   * p ≈ 0.57–0.63 vs 0.5 for noise. Any band of w bits then passes
-   * neighbors at p^w vs noise at 0.5^w — a nearly flat ROC; the 8-bit-band
-   * configuration measured recall 0.02, and no (bits, bands) choice
-   * reaches 0.9 recall with meaningful pruning. A WIDE sketch estimate has
-   * binomial error σ_cos ≈ √(p(1−p)/bits)·π·sin θ ≈ 0.09 at 256 bits, so
-   * thresholding the estimate at minEstCos = 0.15 keeps every pair with
-   * true cosine ≳ 0.38 with per-pair miss ≈ 10⁻², while discarding ~83% of
-   * the pair space before any float vector is touched (measured: top-100
-   * recall 1.00 at sf0.01 and sf0.1, 17% candidate rate).
+   * Why not banded LSH: measured on this corpus (rounds 3 and 5), the
+   * embeddings are isotropic — qualifying pairs (cos ≥ 0.45) agree per
+   * bit at only p ≈ 0.65 vs 0.5 for noise, so any band of w bits passes
+   * neighbors at p^w vs noise at 0.5^w — a nearly flat ROC. The round-5
+   * sweep measured the full construction the banded path would use,
+   * INCLUDING rotated multi-probe (the pigeonhole trick simHashPairs
+   * uses): recall at the 0.45 exact threshold was 0.65 at w=8 (13%
+   * candidate rate — no better than the sketch cut), and ≤ 0.07 for
+   * every config with real pruning (w=16/32, 1–8 rotations). Banding is
+   * not registrable at any operating point on isotropic data.
    *
-   * Scale shape: the sketch pass moves 32 bytes/vector instead of 256
-   * (dim 64) — an 8× bandwidth cut on the quadratic stage — and the
-   * verify pass is linear in surviving candidates. On corpora with real
-   * cluster structure, raise minEstCos to prune harder; the bucketed
-   * alternative for such corpora is [[ivfIndex]]/[[ivfTopK]].
+   * What DOES cut candidates is a WIDER sketch: estimate error is
+   * binomial, σ_cos ≈ π·sin θ·√(p(1−p)/bits) — 0.083 at 256 bits but
+   * 0.059 at 512 — so the cut moves up with the same per-pair miss
+   * probability. Measured (round 5, both sf0.01 and sf0.1): 512 bits at
+   * minEstCos = 0.25 keeps recall 1.00 of all cos ≥ 0.45 pairs (min
+   * qualifying estimate 0.33) while passing only 3.8% of the pair space —
+   * 4.4× fewer candidates than the former 256-bit/0.15 config at the
+   * same statistical margin (Z ≈ −3.4 for a true-0.45 pair).
+   *
+   * Scale shape: the sketch pass moves 64 bytes/vector instead of 256
+   * (dim 64), and the verify pass is linear in surviving candidates.
+   * The pair enumeration itself is a BLOCK-MATRIX self-join, not a
+   * broadcast nested-loop: each vector's sketch is assigned a block
+   * b = hash(id) mod `numBlocks`, the (bx ≤ by) block-pair relation is
+   * broadcast (numBlocks² rows, trivial), and the sketch table shuffles
+   * to (bx, by) tasks — (n/m)² comparisons per task, m(m+1)/2 even
+   * tasks, O(n·m) shuffled sketch rows, and NO executor ever holds the
+   * whole table (the BNLJ formulation broadcasts it, an OOM at 100 TB;
+   * raise numBlocks with n so a block fits a task). The quadratic
+   * comparison count is irreducible on isotropic data — every pair must
+   * be estimated — but it runs at 64 bytes/row inside one codegen stage.
+   * On corpora with real cluster structure, raise minEstCos to prune
+   * harder; the bucketed alternative is [[ivfIndex]]/[[ivfPairs]].
    */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 256, minEstCos: Double = 0.15, minCos: Double = 0.0,
-      seed: Long = 42L): DataFrame = {
+      bits: Int = 512, minEstCos: Double = 0.25, minCos: Double = 0.0,
+      seed: Long = 42L, numBlocks: Int = 16): DataFrame = {
     val spark = emb.sparkSession
     val words = bits / 64
     // sketches are a stateless one-pass map — cheap to recompute, so
     // nothing here is cached (no session storage left behind)
     val sigs = emb.select(col(idCol).as("id"),
       GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("sig"))
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (0 until numBlocks).flatMap(i => (i until numBlocks).map(j => (i, j)))
+        .toDF("bx", "by"))
+    val blk = pmod(xxhash64(col("id")), lit(numBlocks)).cast("int")
+    val xs = sigs.select(blk.as("bx"), col("id").as("xid"), col("sig").as("xsig"))
+      .join(blockPairs, "bx")
+    val ys = sigs.select(blk.as("by"), col("id").as("yid"), col("sig").as("ysig"))
+      .join(blockPairs, "by")
     val hamming = (0 until words).map(w =>
-        bit_count(element_at(col("x.sig"), w + 1).bitwiseXOR(element_at(col("y.sig"), w + 1))))
+        bit_count(element_at(col("xsig"), w + 1).bitwiseXOR(element_at(col("ysig"), w + 1))))
       .reduce(_ + _)
-    val cands = sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+    // an unordered pair {a,b} meets exactly once: in task (blk(a), blk(b))
+    // with the x side from the smaller block (same-block ties broken by id)
+    val cands = xs.join(ys, Seq("bx", "by"))
+      .filter(col("bx") < col("by") || col("xid") < col("yid"))
       .withColumn("est_cos", cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble)))
       .filter(col("est_cos") >= minEstCos)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"))
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
