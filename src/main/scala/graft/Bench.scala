@@ -10,9 +10,19 @@ object Bench {
     // robust to a one-off stall and the reported spread shows whether a
     // number is signal or noise)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    // optional comma-separated query filter for targeted re-measurement
+    // optional comma-separated query filter for targeted re-measurement;
+    // unknown names fail fast — a typo must not print a success-looking
+    // zero-total JSON
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown query names in SPARK_GRAFT_BENCH_QUERIES: ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,34 +35,53 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     var failures = List.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val results = selected.flatMap { case (name, fn) =>
+      // failed iterations are excluded — mixing a time-to-exception into
+      // the median would corrupt the number; a query with zero successful
+      // runs is omitted from the JSON entirely (exit 1 carries the signal)
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan (a bare .count() lets Catalyst
         // drop final sorts, under-measuring order-by cost)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: $e")
             e.printStackTrace()
             failures ::= name
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val sorted = times.sorted
-      val median = sorted(sorted.size / 2)
-      System.err.println(f"[bench] $name%-24s median $median%8.2f s  " +
-        f"(min ${sorted.head}%.2f  max ${sorted.last}%.2f  n=$runs)")
-      name -> (median, sorted.head, sorted.last)
+      if (times.isEmpty) {
+        System.err.println(s"[bench] $name: all $runs runs failed — omitted from JSON")
+        None
+      } else {
+        val sorted = times.sorted
+        // true median: average the two middle elements for even n (the
+        // upper-middle pick would report the max for n=2 — biased high)
+        val median =
+          if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+          else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+        System.err.println(f"[bench] $name%-24s median $median%8.2f s  " +
+          f"(min ${sorted.head}%.2f  max ${sorted.last}%.2f  n=${sorted.size})")
+        Some(name -> (median, sorted.head, sorted.last))
+      }
     }
     def fmt(d: Double) = BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, (m, _, _)) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
+    // per-query [min,max] spread goes to STDERR (alongside the per-query
+    // lines above): the round-5 driver capture truncated the head of the
+    // stdout JSON line and lost the totals — keep that line as short as
+    // possible so it survives tail-limited capture intact
     val spread = results.map { case (k, (_, lo, hi)) =>
       s"\"" + k + "\":[" + fmt(lo) + "," + fmt(hi) + "]"
     }.mkString("{", ",", "}")
+    System.err.println(s"""[bench] spread $spread""")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.distinct.size} queries FAILED: ${failures.reverse.distinct.mkString(", ")}")

@@ -186,20 +186,27 @@ object PipelineQueries {
     "q_embed_pairs" -> ((s, dir) => {
       // embedding-cosine near-dup, exact all-pairs baseline (oracle-able);
       // the scale path for the same semantics is q_embed_ann (sketch) /
-      // q_embed_ivf (buckets). Norms are hoisted OUT of the quadratic
-      // stage (round 4): computed once per vector scan-side, so each of
-      // the n² pairs pays one dot product instead of three — bit-identical
-      // to graft_cosine, whose accumulation order this mirrors exactly.
-      val gd = graft.plans.GraftExtensions.graftDot(s, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
-      val e = rd(s, dir, "embeddings")
-        .withColumn("nrm", sqrt(gd(col("embedding"), col("embedding"))))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
-      a.join(broadcast(b), col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(gd(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      // q_embed_ivf (buckets). Round 6: enumerated with the same
+      // block-matrix self-join as annPairs — no broadcast of the table
+      // (the former BNLJ held the whole side on every executor, the last
+      // full-table broadcast in the registered set) — with norms still
+      // hoisted out of the quadratic stage (one dot product per pair,
+      // bit-identical to graft_cosine).
+      Similarity.exactCosinePairs(rd(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(50)
+    }),
+
+    "q_embed_topk_multi" -> ((s, dir) => {
+      // the multi-query form a real retrieval pipeline runs: a small query
+      // set (vec_id < 5) broadcast against one linear scan of the corpus,
+      // per-query ranked top-10 via window row_number on the rounded
+      // cosine (engine-agnostic tie order, so the rank column oracles)
+      val emb = rd(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.topKForQueries(emb, qs, "vec_id", "embedding", "q_id", "q_vec", kTop = 10)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q_token_bpe" -> ((s, dir) => {
@@ -249,16 +256,18 @@ object PipelineQueries {
     }),
 
     "q_embed_ann" -> ((s, dir) => {
-      // sketch-and-verify: 256-bit sign sketches, popcount estimate
-      // prefilter at est-cos ≥ 0.15, exact re-rank of survivors (design
-      // rationale at Similarity.annPairs — this corpus is isotropic, so
-      // the wide-sketch estimate beats banding, whose measured recall was
-      // 0.02). Oracle-checked since round 4 at the 0.45 exact threshold,
-      // where the sketch filter drops NO qualifying pair at either SF
-      // (ProfileOracleSix: min est-cos among cos ≥ 0.45 pairs is 0.22 vs
-      // the 0.15 cut) — so the verified output equals the exact pair set.
+      // sketch-and-verify at the measured round-5 operating point (the
+      // library defaults): 512-bit sign sketches, popcount estimate
+      // prefilter at est-cos ≥ 0.25 — 3.8% of the pair space survives vs
+      // ~17% at the former 256-bit/0.15 config, same recall-1.0 margin
+      // (design rationale at Similarity.annPairs — this corpus is
+      // isotropic, so the wide-sketch estimate beats banding). Oracle-
+      // checked at the 0.45 exact threshold, where the sketch filter drops
+      // NO qualifying pair at either SF (ProfileOracleSix: min est-cos
+      // among cos ≥ 0.45 pairs is 0.33 vs the 0.25 cut) — so the verified
+      // output equals the exact pair set.
       Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          bits = 256, minEstCos = 0.15, minCos = 0.45)
+          minCos = 0.45)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
         .limit(100)
     }),
@@ -527,6 +536,25 @@ object PipelineQueries {
            FROM parts GROUP BY vec_id)
          SELECT vec_id, ROUND(dot / (nb * qn.nq), 4) AS cos_sim
          FROM comp, qn ORDER BY cos_sim DESC, vec_id LIMIT 20""",
+    "q_embed_topk_multi" ->
+      """WITH parts AS (
+           SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             UNNEST(q.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings q, embeddings b
+           WHERE q.vec_id < 5 AND b.vec_id <> q.vec_id),
+         comp AS (
+           SELECT query_id, neighbor_id,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY query_id, neighbor_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, ROUND(dot / (nq * nb), 4) AS cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY ROUND(dot / (nq * nb), 4) DESC, neighbor_id) AS INT) AS rank
+           FROM comp)
+         SELECT query_id, neighbor_id, cos_sim, rank
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_embed_centroids" ->
       """SELECT label, CAST(pos AS INT) AS pos,
            ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_v

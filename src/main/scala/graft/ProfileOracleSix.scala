@@ -45,8 +45,10 @@ object ProfileOracleSix {
       println("strong-pair hamming: " + withH.agg(max("h"), avg("h")).collect().mkString)
       exact.unpersist()
 
-      // ANN: true-cos of pairs the sketch filter would drop
-      val bits = 256
+      // ANN: true-cos of pairs the sketch filter would drop, at the
+      // REGISTERED operating point (512-bit sketch, est-cos cut 0.25 —
+      // round 5's measured config, round 6's registered one)
+      val bits = 512
       val sigsE = emb.select(col("vec_id").as("id"),
         graft.plans.GraftExtensions.graftSimSig(spark, col("embedding"), bits, 42L).as("sig"))
       val hamming = (0 until bits / 64).map(w =>
@@ -64,7 +66,7 @@ object ProfileOracleSix {
       for (t <- Seq(0.3, 0.35, 0.4, 0.45)) {
         val above = trueCos.filter(col("tc") >= t)
         val n = above.count()
-        val dropped = above.filter(col("est_cos") < 0.15).count()
+        val dropped = above.filter(col("est_cos") < 0.25).count()
         val minEst = above.agg(min("est_cos")).as[Double].collect().headOption.getOrElse(Double.NaN)
         println(f"cos>=$t%.2f: n=$n dropped_by_sketch=$dropped min_est=$minEst%.4f")
       }

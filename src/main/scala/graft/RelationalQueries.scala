@@ -251,6 +251,21 @@ object RelationalQueries {
         .orderBy(col("region_a"), col("region_b"))
     }),
 
+    "q_join_salted" -> ((s, dir) => {
+      // explicit skew tool on the power-law key (events.user_id,
+      // FIXTURES.md): a fact-fact join where the probe side scatters
+      // across 8 salted sub-keys and the build side replicates to all
+      // salts — no single reducer owns a hot key. Result is provably the
+      // plain equi-join (SkewSpec), which is exactly what the oracle runs.
+      val ev = rd(s, dir, "events").select(col("event_id"), col("user_id"))
+      val perUser = rd(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.Skew.saltedJoin(ev, perUser, "user_id",
+          salts = 8, spreadCol = "event_id")
+        .select(col("event_id"), col("user_id"), col("n_events"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val e = rd(s, dir, "events")
       val sg = e.filter(col("event_type") === "signup")
@@ -599,6 +614,12 @@ object RelationalQueries {
     "q_cross" ->
       """SELECT r1.r_name AS region_a, r2.r_name AS region_b
          FROM region r1 CROSS JOIN region r2 ORDER BY region_a, region_b""",
+    "q_join_salted" ->
+      """SELECT e.event_id, e.user_id, c.n_events
+         FROM events e
+         JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) c
+           USING (user_id)
+         ORDER BY e.event_id""",
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events)
          SELECT s.user_id, s.event_id AS signup_id, COUNT(*) AS n_purchases_1h

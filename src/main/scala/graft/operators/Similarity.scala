@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.plans.GraftExtensions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,17 +30,20 @@ object Similarity {
   }
 
   /** Brute-force cosine top-k for a whole (small, broadcastable) query set:
-    * returns per-query ranked neighbors via window row_number. */
+    * returns per-query ranked neighbors via window row_number. Ranking uses
+    * the ROUNDED cosine (ties broken by neighbor id) so the order — and
+    * therefore the emitted rank — is engine-agnostic and oracle-stable. */
   def topKForQueries(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, kTop: Int): DataFrame = {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col(qIdCol))
-      .withColumn("cos", GraftExtensions.graftCosine(emb.sparkSession, col(vecCol), col(qVecCol)))
+      .withColumn("cos",
+        round(GraftExtensions.graftCosine(emb.sparkSession, col(vecCol), col(qVecCol)), 4))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kTop)
       .select(col(qIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        round(col("cos"), 4).as("cos_sim"), col("rank"))
+        col("cos").as("cos_sim"), col("rank"))
   }
 
   /**
@@ -102,7 +105,8 @@ object Similarity {
    * to (bx, by) tasks — (n/m)² comparisons per task, m(m+1)/2 even
    * tasks, O(n·m) shuffled sketch rows, and NO executor ever holds the
    * whole table (the BNLJ formulation broadcasts it, an OOM at 100 TB;
-   * raise numBlocks with n so a block fits a task). The quadratic
+   * numBlocks derives from input size so a block stays task-sized as n
+   * grows — see [[resolveBlocks]]). The quadratic
    * comparison count is irreducible on isotropic data — every pair must
    * be estimated — but it runs at 64 bytes/row inside one codegen stage.
    * On corpora with real cluster structure, raise minEstCos to prune
@@ -110,29 +114,25 @@ object Similarity {
    */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
       bits: Int = 512, minEstCos: Double = 0.25, minCos: Double = 0.0,
-      seed: Long = 42L, numBlocks: Int = 16): DataFrame = {
+      seed: Long = 42L, numBlocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     val words = bits / 64
-    // sketches are a stateless one-pass map — cheap to recompute, so
-    // nothing here is cached (no session storage left behind)
-    val sigs = emb.select(col(idCol).as("id"),
-      GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("sig"))
-    import spark.implicits._
-    val blockPairs = broadcast(
-      (0 until numBlocks).flatMap(i => (i until numBlocks).map(j => (i, j)))
-        .toDF("bx", "by"))
-    val blk = pmod(xxhash64(col("id")), lit(numBlocks)).cast("int")
-    val xs = sigs.select(blk.as("bx"), col("id").as("xid"), col("sig").as("xsig"))
-      .join(blockPairs, "bx")
-    val ys = sigs.select(blk.as("by"), col("id").as("yid"), col("sig").as("ysig"))
-      .join(blockPairs, "by")
+    // the sketch table is SPILLED before the block-pair replication: left
+    // inline, the O(bits·dim) graft_simsig expression lands below the
+    // replicating join and its inferred isnotnull filter, and executes
+    // ~2·numBlocks× per vector (measured round 6: 6.6 s vs 2.0 s for
+    // q_embed_ann at sf0.1 — the sig recomputation, not the shuffle, was
+    // the whole round-5 "block-matrix regression"). Writing sketches once
+    // is also the 100 TB shape: the quadratic stage re-reads 72 B/row
+    // instead of re-deriving 512 projections per replica.
+    val sigs = Materialize.viaParquet(
+      emb.select(col(idCol).as("id"),
+        GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("p")),
+      "ann_sigs")
     val hamming = (0 until words).map(w =>
-        bit_count(element_at(col("xsig"), w + 1).bitwiseXOR(element_at(col("ysig"), w + 1))))
+        bit_count(element_at(col("xp"), w + 1).bitwiseXOR(element_at(col("yp"), w + 1))))
       .reduce(_ + _)
-    // an unordered pair {a,b} meets exactly once: in task (blk(a), blk(b))
-    // with the x side from the smaller block (same-block ties broken by id)
-    val cands = xs.join(ys, Seq("bx", "by"))
-      .filter(col("bx") < col("by") || col("xid") < col("yid"))
+    val cands = blockPairRows(sigs, resolveBlocks(emb, numBlocks))
       .withColumn("est_cos", cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble)))
       .filter(col("est_cos") >= minEstCos)
       .select(least(col("xid"), col("yid")).as("id_a"),
@@ -146,6 +146,83 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /**
+   * Exact all-pairs cosine in its 100 TB shape: the same block-matrix
+   * enumeration as [[annPairs]] — no broadcast of the table (the former
+   * `a.join(broadcast(b), id_a < id_b)` BNLJ held the whole side on every
+   * executor, an OOM at scale), O(n·m) shuffled rows, (n/m)² dot products
+   * per task. Norms are hoisted out of the quadratic stage: computed once
+   * per vector scan-side, so each pair pays ONE dot product; multiplication
+   * is commutative and [[graft.plans.FloatVecDot]] accumulates by index, so
+   * the score is bit-identical to the fused `graft_cosine` regardless of
+   * which side of the block pair a vector lands on.
+   */
+  def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double = -1.0, numBlocks: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
+    // spilled for the same reason as annPairs' sketch table: the hoisted
+    // norm must be computed once per VECTOR, not once per block replica —
+    // inline, the norm expression slides below the replicating join
+    val rows = Materialize.viaParquet(
+      emb.select(col(idCol).as("id"),
+        struct(col(vecCol).as("vec"),
+          sqrt(gd(col(vecCol), col(vecCol))).as("nrm")).as("p")),
+      "pair_vecs")
+    blockPairRows(rows, resolveBlocks(emb, numBlocks))
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"),
+        round(gd(col("xp.vec"), col("yp.vec")) /
+          (col("xp.nrm") * col("yp.nrm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /**
+   * The shared block-matrix unordered-pair relation. `rows` must carry
+   * (`id`, payload `p`); each row lands in block hash(id) mod m, the
+   * (bx ≤ by) block-pair relation is broadcast (m(m+1)/2 rows, trivial),
+   * and rows shuffle to their block-pair tasks: (n/m)² comparisons per
+   * task, m(m+1)/2 tasks (same-block tasks see ~2× the comparisons of a
+   * cross-block task before the id filter — acceptable imbalance at m ≥
+   * 16), O(n·m) shuffled rows, and NO executor ever holds the whole table.
+   * An unordered pair {a,b} meets exactly once: in task (blk(a), blk(b)),
+   * same-block ties broken by id. Output columns: xid, xp, yid, yp.
+   */
+  private def blockPairRows(rows: DataFrame, numBlocks: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val blockPairs = broadcast(
+      (0 until numBlocks).flatMap(i => (i until numBlocks).map(j => (i, j)))
+        .toDF("bx", "by"))
+    val blk = pmod(xxhash64(col("id")), lit(numBlocks)).cast("int")
+    val xs = rows.select(blk.as("bx"), col("id").as("xid"), col("p").as("xp"))
+      .join(blockPairs, "bx")
+    val ys = rows.select(blk.as("by"), col("id").as("yid"), col("p").as("yp"))
+      .join(blockPairs, "by")
+    xs.join(ys, Seq("bx", "by"))
+      .filter(col("bx") < col("by") || col("xid") < col("yid"))
+  }
+
+  /** Target payload bytes per block — a block is one task's working set. */
+  private val TargetBlockBytes = 64L * 1024 * 1024
+
+  /**
+   * Block count for the pair join, derived from the input's optimized-plan
+   * size estimate (driver-side stats, no job — mirrors how
+   * [[graft.sources.ParquetIO.merge]] sizes output files from input bytes):
+   * m = clamp(bytes / 64 MB, 16, 1024). Raising m with n keeps a block
+   * task-sized as data grows; the 1024 cap keeps the broadcast block-pair
+   * relation trivial (≤ ~0.5M rows) — beyond it the quadratic pair space
+   * itself, not the block size, is the binding constraint.
+   */
+  private def resolveBlocks(emb: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else {
+      val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+      val m = (bytes / BigInt(TargetBlockBytes)).toLong + 1
+      math.min(1024L, math.max(16L, m)).toInt
+    }
 
   /**
    * IVF-style ANN (the classic inverted-file index): k-means-lite coarse

@@ -73,9 +73,16 @@ object ParquetIO {
     val merged = dfs.reduce(_.unionByName(_, allowMissingColumns = true))
     val totalBytes = inputBytes(spark, inputPaths)
     val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
-    // coalesce (narrow) when reducing partition count; repartition only to widen
+    // coalesce (narrow) when reducing partition count; repartition only to
+    // widen. The scan's parallelism is estimated from the same listing
+    // bytes (totalBytes / maxPartitionBytes) instead of touching
+    // `merged.rdd` — forcing plan conversion there would hide the stage
+    // from AQE and execute the conversion eagerly.
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estScanParts = math.max(1L, (totalBytes + maxPartBytes - 1) / math.max(1L, maxPartBytes))
     val sized =
-      if (parts <= merged.rdd.getNumPartitions) merged.coalesce(parts)
+      if (parts <= estScanParts) merged.coalesce(parts)
       else merged.repartition(parts)
     write(sized, outPath, opts)
   }

@@ -429,7 +429,9 @@ class AnnRecallSpec extends AnyFunSuite {
     val recall = (approx intersect exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"ANN top-100 recall too low: $recall")
     // the filter must also genuinely prune: surviving candidates well under
-    // half the n(n-1)/2 pair space (measured ~17% on this corpus)
+    // half the n(n-1)/2 pair space (with the 512-bit default sketch the
+    // registered 0.25 cut passes ~3.8% of pairs; this looser 0.15 cut
+    // passes more but stays comfortably under the 50% bound)
     val candidates = Similarity.annPairs(emb, "vec_id", "embedding", minEstCos = 0.15).count()
     assert(candidates.toDouble < 0.5 * (n * (n - 1) / 2),
       s"estimate filter pruned nothing: $candidates candidates of ${n * (n - 1) / 2} pairs")
@@ -515,5 +517,79 @@ class ClusterPairsSpec extends AnyFunSuite {
     val keep = docs.join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("keep", coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
     assert(keep.filter("keep").count() == 2)   // one of {1,2,4} + 3
+  }
+}
+
+class BlockPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the block-matrix enumeration must be a pure re-plan of the all-pairs
+  // relation: same pairs, same scores, no broadcast of the table
+  test("exactCosinePairs == BNLJ all-pairs formulation, every pair exactly once") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val n = emb.count()
+    val got = Similarity.exactCosinePairs(emb, "vec_id", "embedding")
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    // every unordered pair exactly once, ordered id_a < id_b
+    assert(got.length == (n * (n - 1) / 2).toInt)
+    assert(got.forall { case (a, b, _) => a < b })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // scores bit-identical to the broadcast BNLJ formulation it replaces
+    val gd = graft.plans.GraftExtensions.graftDot(spark, _: org.apache.spark.sql.Column, _: org.apache.spark.sql.Column)
+    val e = emb.withColumn("nrm", sqrt(gd(col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val ref = a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(gd(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .as[(Long, Long, Double)].collect()
+    assert(got.sorted.toSeq == ref.sorted.toSeq)
+  }
+
+  test("q_embed_pairs plan has no full-table BroadcastNestedLoopJoin") {
+    val plan = SparkEntry.queries("q_embed_pairs")(spark, TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"scale-killer BNLJ back in the plan:\n$plan")
+  }
+
+  test("minCos filter and explicit block count are honored") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val all = Similarity.exactCosinePairs(emb, "vec_id", "embedding", numBlocks = 4)
+    val strong = Similarity.exactCosinePairs(emb, "vec_id", "embedding", minCos = 0.45, numBlocks = 4)
+    val viaFilter = all.filter(col("cos_sim") >= 0.45)
+    assert(strong.exceptAll(viaFilter).count() == 0 && viaFilter.exceptAll(strong).count() == 0)
+  }
+}
+
+class MultimodalNonAsciiSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // the registered q_multimodal_features oracle indexes CHARACTERS and is
+  // valid only because the driver corpus is pure ASCII (documented in
+  // PipelineQueries); this spec pins the engine's actual contract — the
+  // decode operates on UTF-8 BYTES — on text where the two diverge
+  test("feature extraction is byte-derived on non-ASCII text") {
+    val docs = Seq(
+      (1L, "héllo wörld"),            // 2-byte code points
+      (2L, "数据 管道 引擎"),            // 3-byte CJK
+      (3L, "mixed ascii + ürl ✓"))    // 1-, 2- and 3-byte mix
+      .toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(Multimodal.attachMedia(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(got(id).n_bytes == bytes.length, s"doc $id: n_bytes must be UTF-8 bytes")
+      assert(bytes.length > text.length || id == 3L || !text.exists(_ > 127))
+      // expected bins from the same byte arithmetic the stub decode uses
+      val expected = new Array[Int](16)
+      bytes.take(1024).foreach { b =>
+        expected((((b & 0xff) / 255.0f) * 15.999f).toInt) += 1
+      }
+      assert(got(id).bin_counts.toSeq == expected.toSeq,
+        s"doc $id: bin counts must derive from UTF-8 bytes")
+    }
   }
 }

@@ -87,10 +87,12 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
   private val allowed = Map(
     "q_cross" -> Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
-    "q_embed_pairs" -> Seq("BroadcastNestedLoopJoin"), // exact all-pairs baseline; scale path is q_embed_ann
+    "q_embed_topk_multi" -> Seq("BroadcastNestedLoopJoin"), // 5-row broadcast query set
     "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector
-    "q_embed_ann" -> Seq("BroadcastNestedLoopJoin"),   // sketch-compare pass: 32-byte rows, id_a < id_b
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast corpus total
+  // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
+  // enumerate pairs with the block-matrix self-join (no full-table
+  // broadcast) — a BNLJ reappearing there must fail this audit
 
   test("no unexpected cartesian products or nested-loop joins") {
     val flagged = SparkEntry.queries.flatMap { case (name, fn) =>
