@@ -1,7 +1,8 @@
 package graft
 
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Materialize, Multimodal, Sampling, Similarity}
+import graft.operators.{Dedup, Materialize, Multimodal, Packing, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,6 +67,14 @@ object PipelineQueries {
       val doubled = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000L))
       Dedup.exactDedupFlags(doubled, "doc_id", "text")
         .select(col("doc_id"), col("keep_id"), col("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_dedup_spans" -> ((s, dir) => {
+      // span-level dedup (Lee et al. ACL'22): fraction of each doc's
+      // 8-token windows whose exact text recurs anywhere in the corpus
+      Dedup.spanStats(rd(s, dir, "documents"), "doc_id", "text", k = 8)
+        .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
 
@@ -156,6 +165,35 @@ object PipelineQueries {
           "doc_id", "text", k = 5)
         .filter(col("overlap") >= 3)
         .orderBy(col("corpus_id"), col("probe_id"))
+    }),
+
+    "q_pack_sequences" -> ((s, dir) => {
+      // training-sequence packing: deterministic corpus shuffle
+      // (multiplicative hash), global token offsets via the two-level
+      // bucketed prefix sum (operators/Packing.scala — no single global
+      // window), slices of 512 tokens
+      Packing.packSequences(rd(s, dir, "documents"),
+          "doc_id", TextFunctions.tokenCount(col("text")), seqLen = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality_rep" -> ((s, dir) => {
+      // repetition quality metrics (Gopher-style filters): duplicated
+      // bigram fraction + most-frequent-token share, per document
+      val d = rd(s, dir, "documents")
+      val bigs = shingles(tokens(col("text")), 2)
+      val base = d.select(col("doc_id"),
+        size(tokens(col("text"))).cast("int").as("n_tokens"),
+        when(size(bigs) > 0,
+            round(lit(1.0) - size(array_distinct(bigs)).cast("double")
+              / size(bigs).cast("double"), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      val top = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(round(max(col("tf")).cast("double") / sum(col("tf")).cast("double"), 4)
+          .as("top_tok_frac"))
+      base.join(top, "doc_id").orderBy(col("doc_id"))
     }),
 
     "q_sample_stratified" -> ((s, dir) => {
@@ -421,6 +459,48 @@ object PipelineQueries {
          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keep_id,
            CAST(CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY text) THEN 1 ELSE 0 END AS INT) AS is_dup
          FROM u ORDER BY doc_id""",
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         w AS (SELECT doc_id,
+             UNNEST(list_transform(range(1, greatest(len(l) - 7, 0) + 1),
+               i -> array_to_string(list_slice(l, i, i + 7), ' '))) AS sp
+           FROM toks),
+         cnt AS (SELECT sp, COUNT(*) AS c FROM w GROUP BY sp)
+         SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_windows,
+           ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+             AS dup_ratio
+         FROM w JOIN cnt USING (sp) GROUP BY doc_id ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
+             (doc_id * 2654435761) % 4294967296 AS key FROM documents),
+         c AS (SELECT doc_id, key, n,
+             CAST(SUM(n) OVER (ORDER BY key, doc_id) AS BIGINT) AS cum FROM t)
+         SELECT doc_id, key AS shuffle_key, CAST(n AS INT) AS n_tokens,
+           cum AS cum_tokens,
+           (cum - n) // 512 AS seq_id,
+           (cum - n) % 512 AS seq_offset,
+           ((cum - 1) // 512) - ((cum - n) // 512) + 1 AS n_seqs
+         FROM c ORDER BY doc_id""",
+    "q_quality_rep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         bg AS (SELECT doc_id, len(l) AS n,
+             list_transform(range(1, greatest(len(l) - 1, 0) + 1),
+               i -> l[i] || ' ' || l[i+1]) AS b
+           FROM toks),
+         base AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+             CASE WHEN len(b) > 0
+               THEN ROUND(1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b), 4)
+               ELSE 0.0 END AS dup_bigram_ratio
+           FROM bg),
+         tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+             (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) z
+           GROUP BY doc_id, tok),
+         top AS (SELECT doc_id,
+             ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 4) AS top_tok_frac
+           FROM tf GROUP BY doc_id)
+         SELECT base.doc_id, n_tokens, dup_bigram_ratio, top_tok_frac
+         FROM base JOIN top USING (doc_id) ORDER BY doc_id""",
     "q_dedup_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
           sh AS (SELECT DISTINCT doc_id, sh FROM

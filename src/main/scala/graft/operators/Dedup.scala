@@ -445,4 +445,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /**
+   * Duplicated-span statistics — the span-level complement of
+   * document-level dedup (Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better", ACL'22): slide a k-token window over every
+   * document and flag windows whose exact text occurs more than once in
+   * the corpus (across documents, or repeated inside one). Emits per doc
+   * the window count, duplicated-window count, and duplicated fraction;
+   * pipelines trim or drop documents above a dup_ratio threshold.
+   * Documents shorter than k tokens have no windows and are absent.
+   *
+   * Shape: posexplode + per-doc lead windows (one shuffle on id), an
+   * occurrence count per window text (one shuffle on the window string),
+   * one per-doc re-aggregate — all codegen'd, no driver state. The window
+   * STRING is the count key so the DuckDB oracle mirrors it exactly; at
+   * 100 TB substitute `xxhash64(span)` for the string (same plan, 8-byte
+   * shuffle keys, collision odds ~n²/2⁶⁴).
+   */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " +")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until k).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
+    val spans = toks.select(col("id") +: col("tok") +: leads: _*)
+      .filter(col(s"t${k - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"t$o")): _*).as("sp"))
+    val dup = (count(lit(1)).over(Window.partitionBy(col("sp"))) > 1).cast("int")
+    spans.select(col("id"), dup.as("is_dup"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("int").as("n_windows"),
+        sum(col("is_dup")).cast("int").as("n_dup_windows"),
+        round(sum(col("is_dup")).cast("double") / count(lit(1)).cast("double"), 4)
+          .as("dup_ratio"))
+  }
 }

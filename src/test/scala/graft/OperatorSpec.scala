@@ -593,3 +593,74 @@ class MultimodalNonAsciiSpec extends AnyFunSuite {
     }
   }
 }
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Packing
+
+  test("prefixSum equals the naive single-partition running total") {
+    val df = (0L until 500L).map(i => (i, (i % 37) + 1)).toDF("id", "n")
+    val keyed = df.select(col("id"), Packing.shuffleKey(col("id")).as("key"),
+      col("n").cast("long").as("n"))
+    val got = Packing.prefixSum(keyed, col("key"), col("id"), col("n"), bucketBits = 4)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    // naive oracle: sort driver-side in (key, id) order and accumulate
+    val rows = keyed.select("id", "key", "n").as[(Long, Long, Long)].collect()
+      .sortBy { case (id, key, _) => (key, id) }
+    var acc = 0L
+    rows.foreach { case (id, _, n) =>
+      acc += n
+      assert(got(id) == acc, s"id $id: two-level prefix sum must match naive scan")
+    }
+  }
+
+  test("packSequences invariants: offsets, spans, totals") {
+    val df = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .withColumn("ntok", (pmod(col("doc_id") * 7, lit(90)) + 1))
+    val packed = Packing.packSequences(df, "doc_id", col("ntok"), seqLen = 64)
+      .select("doc_id", "n_tokens", "cum_tokens", "seq_id", "seq_offset", "n_seqs")
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    val totalToks = packed.map(_._2.toLong).sum
+    assert(packed.map(_._3).max == totalToks,
+      "max cumulative offset must equal the corpus token total")
+    packed.foreach { case (id, n, cum, seq, off, spans) =>
+      assert(off >= 0 && off < 64, s"doc $id: offset in [0, seqLen)")
+      assert(seq == (cum - n) / 64, s"doc $id: seq_id is the first token's slice")
+      val expectSpans = (cum - 1) / 64 - (cum - n) / 64 + 1
+      assert(spans == expectSpans, s"doc $id: span count")
+    }
+    // cum is a bijection onto running totals: distinct and dense
+    assert(packed.map(_._3).distinct.length == packed.length)
+  }
+}
+
+class SpanStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("spanStats flags exactly the recurring k-token windows") {
+    // docs 1 and 2 share the 8-token prefix; doc 3 is disjoint
+    val shared = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$shared x y z"),
+      (2L, s"$shared p q r"),
+      (3L, "u v w aa bb cc dd ee ff gg")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanStats(docs, "doc_id", "text", k = 8)
+      .select("id", "n_windows", "n_dup_windows", "dup_ratio")
+      .as[(Long, Int, Int, Double)].collect()
+      .map { case (id, a, b, r) => id -> (a, b, r) }.toMap
+    // doc 1: 11 tokens -> 4 windows; only the pure prefix window recurs
+    assert(got(1L) == ((4, 1, 0.25)), "doc 1: one duplicated window of four")
+    assert(got(2L) == ((4, 1, 0.25)), "doc 2: mirror of doc 1")
+    assert(got(3L) == ((3, 0, 0.0)), "doc 3: no shared spans")
+  }
+
+  test("documents shorter than k have no windows and are absent") {
+    val docs = Seq((1L, "only five tokens right here"), (2L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val ids = Dedup.spanStats(docs, "doc_id", "text", k = 8)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+}
