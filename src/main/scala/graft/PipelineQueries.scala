@@ -555,21 +555,22 @@ object PipelineQueries {
           SELECT id AS doc_id, MIN(lbl) AS cluster,
             CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
           FROM reach GROUP BY id ORDER BY doc_id""",
-    // NOTE (round-3 advisory): this oracle indexes CHARACTERS
-    // (substr/ascii) while the Spark stub decodes UTF-8 BYTES — they agree
-    // because the documents corpus is pure ASCII (verified). A non-ASCII
-    // fixture would need the DuckDB side derived from bytes instead
-    // (unnest over encode(text)) to stay byte-exact.
+    // The oracle indexes BYTES, exactly like the Spark-side decode stub:
+    // byte i of the UTF-8 encoding is read out of the hex dump
+    // (`('0x' || substring(hex(encode(text)), 2i+1, 2))::INT`), so the
+    // compare stays byte-exact on non-ASCII text too (the round-3
+    // character-indexed formulation only agreed because this corpus is
+    // pure ASCII; MultimodalNonAsciiSpec pins the byte semantics).
     "q_multimodal_features" ->
       """WITH b AS (
-           SELECT doc_id, text,
+           SELECT doc_id, hex(encode(text)) AS h,
              octet_length(encode(text)) AS nb,
              least(octet_length(encode(text)), 1024) AS np
            FROM documents),
          bins AS (
            SELECT doc_id, nb,
-             list_transform(range(1, np + 1),
-               i -> CAST(FLOOR((ascii(substr(text, CAST(i AS INT), 1)) / 255.0) * 15.999) AS INT)) AS bl
+             list_transform(range(0, np),
+               i -> CAST(FLOOR(((('0x' || substring(h, 2*i + 1, 2))::INT) / 255.0) * 15.999) AS INT)) AS bl
            FROM b)
          SELECT doc_id, CAST(nb AS INT) AS n_bytes,
            CAST(len(list_filter(bl, x -> x = 2)) AS INT) AS c_punct,
