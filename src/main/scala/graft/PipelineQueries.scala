@@ -167,6 +167,18 @@ object PipelineQueries {
         .orderBy(col("corpus_id"), col("probe_id"))
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental ingest: docs ≥ 250 are the new batch, < 250 the
+      // existing corpus — flag exact (content-hash) and near (best
+      // Jaccard ≥ 0.6) duplicates of the corpus, Δ×corpus work only
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalDedupFlags(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+          "doc_id", "text", k = 3, minJaccard = 0.6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_pack_sequences" -> ((s, dir) => {
       // training-sequence packing: deterministic corpus shuffle
       // (multiplicative hash), global token offsets via the two-level
@@ -471,6 +483,38 @@ object PipelineQueries {
            ROUND(CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
              AS dup_ratio
          FROM w JOIN cnt USING (sp) GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_incremental" ->
+      s"""WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+          old AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+          ntoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM newd),
+          otoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM old),
+          nsh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM ntoks) z),
+          osh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM otoks) z),
+          nsz AS (SELECT doc_id, COUNT(*) AS sz FROM nsh GROUP BY doc_id),
+          osz AS (SELECT doc_id, COUNT(*) AS sz FROM osh GROUP BY doc_id),
+          inter AS (
+            SELECT n.doc_id AS id_n, o.doc_id AS id_o, COUNT(*) AS inter
+            FROM nsh n JOIN osh o ON n.sh = o.sh
+            GROUP BY n.doc_id, o.doc_id),
+          scored AS (
+            SELECT id_n, id_o,
+              CAST(inter AS DOUBLE) / CAST(nsz.sz + osz.sz - inter AS DOUBLE) AS jaccard
+            FROM inter JOIN nsz ON inter.id_n = nsz.doc_id
+              JOIN osz ON inter.id_o = osz.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(nsz.sz + osz.sz - inter AS DOUBLE) >= 0.6),
+          best AS (
+            SELECT id_n, id_o, jaccard FROM
+              (SELECT id_n, id_o, jaccard,
+                 ROW_NUMBER() OVER (PARTITION BY id_n ORDER BY jaccard DESC, id_o) AS rn
+               FROM scored) r WHERE rn = 1)
+          SELECT n.doc_id,
+            CAST(CASE WHEN EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+              THEN 1 ELSE 0 END AS INT) AS is_exact_dup,
+            best.id_o AS near_dup_of, best.jaccard AS best_jaccard
+          FROM newd n LEFT JOIN best ON best.id_n = n.doc_id
+          ORDER BY n.doc_id""",
     "q_pack_sequences" ->
       """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n,
              (doc_id * 2654435761) % 4294967296 AS key FROM documents),

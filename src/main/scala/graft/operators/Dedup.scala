@@ -447,6 +447,55 @@ object Dedup {
   }
 
   /**
+   * Incremental dedup: flag a NEW ingest batch against an EXISTING corpus
+   * without re-deduping the corpus itself — the shape every production
+   * pipeline needs once the corpus is big (Δ×corpus work instead of
+   * (corpus+Δ)² on each ingest). Per new document:
+   *
+   *   - `is_exact_dup`  — its content hash already exists in the corpus
+   *     (SHA-256 equi-join: fixed-width 32-byte shuffle keys instead of
+   *     full text, the 100 TB posture; the oracle joins on text equality,
+   *     identical barring a 2⁻¹²⁸ collision);
+   *   - `near_dup_of` / `best_jaccard` — the corpus document with the
+   *     highest k-shingle Jaccard ≥ `minJaccard` (ties → lowest id), via
+   *     a CROSS inverted-index join (new-side features against old-side
+   *     features only — no self-pairs on either side), df-capped like
+   *     [[jaccardPairs]]. NULL when nothing clears the threshold.
+   *
+   * Every new doc appears exactly once (left joins); emits
+   * (id, is_exact_dup, near_dup_of, best_jaccard).
+   */
+  def incrementalDedupFlags(newDf: DataFrame, oldDf: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, minJaccard: Double = 0.8,
+      maxDocFreq: Int = 10000): DataFrame = {
+    val newIds = newDf.select(col(idCol).as("id"), col(textCol).as("text"))
+    val oldHashes = oldDf.select(sha2(col(textCol), 256).as("h")).distinct()
+    val exact = newIds
+      .join(oldHashes, sha2(col("text"), 256) === col("h"), "left")
+      .select(col("id"), col("h").isNotNull.cast("int").as("is_exact_dup"))
+    val newIdx = featureIndex(newDf, idCol, textCol, k, maxDocFreq)
+    val oldIdx = featureIndex(oldDf, idCol, textCol, k, maxDocFreq)
+    val newSizes = newIdx.groupBy(col("id")).agg(count(lit(1)).as("size_n"))
+    val oldSizes = oldIdx.groupBy(col("id")).agg(count(lit(1)).as("size_o"))
+    val inter = newIdx.select(col("id").as("id_n"), col("feat"))
+      .join(oldIdx.select(col("id").as("id_o"), col("feat")), Seq("feat"))
+      .groupBy(col("id_n"), col("id_o")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(newSizes.withColumnRenamed("id", "id_n"), "id_n")
+      .join(oldSizes.withColumnRenamed("id", "id_o"), "id_o")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_n") + col("size_o") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+    val best = scored
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id_n")).orderBy(col("jaccard").desc, col("id_o"))))
+      .filter(col("__rn") === 1)
+      .select(col("id_n").as("id"), col("id_o").as("near_dup_of"), col("jaccard").as("best_jaccard"))
+    exact.join(best, Seq("id"), "left")
+      .select(col("id"), col("is_exact_dup"), col("near_dup_of"), col("best_jaccard"))
+  }
+
+  /**
    * Duplicated-span statistics — the span-level complement of
    * document-level dedup (Lee et al., "Deduplicating Training Data Makes
    * Language Models Better", ACL'22): slide a k-token window over every

@@ -664,3 +664,39 @@ class SpanStatsSpec extends AnyFunSuite {
     assert(ids == Set(2L))
   }
 }
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "completely different content about spark query engines and parquet files"),
+    (3L, "yet another unrelated document talking about distributed systems theory")
+  ).toDF("doc_id", "text")
+
+  private val batch = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (11L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (12L, "entirely novel text with no overlap whatsoever against anything stored")
+  ).toDF("doc_id", "text")
+
+  test("flags exact and near duplicates of the corpus, one row per new doc") {
+    val got = Dedup.incrementalDedupFlags(batch, corpus, "doc_id", "text", minJaccard = 0.5)
+      .select("id", "is_exact_dup", "near_dup_of", "best_jaccard")
+      .as[(Long, Int, Option[Long], Option[Double])].collect()
+      .map { case (id, e, n, j) => id -> ((e, n, j)) }.toMap
+    assert(got.keySet == Set(10L, 11L, 12L), "every new doc appears exactly once")
+    assert(got(10L)._1 == 1 && got(10L)._2.contains(1L) && got(10L)._3.contains(1.0))
+    assert(got(11L)._1 == 0 && got(11L)._2.contains(1L) && got(11L)._3.exists(_ > 0.5))
+    assert(got(12L) == ((0, None, None)), "novel doc carries no flags")
+  }
+
+  test("near-dup match never points at another new-batch doc") {
+    // docs 10 and 11 are near-dups of EACH OTHER too; the incremental
+    // contract only reports corpus matches
+    val oldOnly = Dedup.incrementalDedupFlags(batch, corpus, "doc_id", "text", minJaccard = 0.5)
+      .select("near_dup_of").as[Option[Long]].collect().flatten.toSet
+    assert(oldOnly.subsetOf(Set(1L, 2L, 3L)))
+  }
+}
