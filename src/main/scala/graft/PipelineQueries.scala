@@ -259,6 +259,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_embed_quantize" -> ((s, dir) => {
+      // storage compression: symmetric int8 quantization (4× smaller than
+      // float32) with per-vector scale and reconstruction RMSE — per-row
+      // HOF arithmetic, no shuffle, embarrassingly parallel at any scale
+      import graft.functions.VectorFunctions._
+      rd(s, dir, "embeddings")
+        .withColumn("scale", quantScale(col("embedding")))
+        .withColumn("qvec", quantizeInt8(col("embedding"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          col("qvec"),
+          round(dequantRmse(col("embedding"), col("qvec"), col("scale")), 6).as("rmse"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_token_bpe" -> ((s, dir) => {
       // BPE-ish subword tokenization via RE2-compatible regexp (runs
       // identically under Java regex and DuckDB's RE2)
@@ -643,6 +657,22 @@ object PipelineQueries {
            FROM parts GROUP BY id_a, id_b)
          SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
          FROM comp ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""",
+    "q_embed_quantize" ->
+      """WITH b AS (
+           SELECT vec_id, embedding AS v,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, scale, v,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+               ELSE list_transform(v, x -> CAST(ROUND(CAST(x AS DOUBLE) / scale, 0) AS INT))
+             END AS qvec
+           FROM b)
+         SELECT vec_id, scale, qvec,
+           ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
+               i -> (CAST(v[i] AS DOUBLE) - qvec[i] * scale)
+                  * (CAST(v[i] AS DOUBLE) - qvec[i] * scale))) / len(v)), 6) AS rmse
+         FROM q ORDER BY vec_id""",
     "q_token_bpe" ->
       """SELECT event_id,
            CAST(len(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe,

@@ -38,6 +38,30 @@ object VectorFunctions {
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
 
   /**
+   * Symmetric int8 quantization scale: max |x| / 127 — the per-vector
+   * scalar that maps the embedding onto [-127, 127]. Quantization is the
+   * standard storage/serving compression for embedding corpora (4× smaller
+   * than float32, 8× than float64); at 100 TB it is usually the difference
+   * between an index that fits executor memory and one that doesn't.
+   */
+  def quantScale(v: Column): Column =
+    array_max(transform(asDouble(v), x => abs(x))) / lit(127.0)
+
+  /** int8-quantized values: round(x / scale) per element (0 for the
+    * all-zero vector, whose scale is 0). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0)))
+      .otherwise(transform(asDouble(v), x => round(x / scale, 0).cast("int")))
+
+  /** Root-mean-square reconstruction error of a quantized vector —
+    * the quality metric logged alongside the compression step. */
+  def dequantRmse(v: Column, q: Column, scale: Column): Column = {
+    val errSq = zip_with(asDouble(v), q, (x, qi) =>
+      (x - qi.cast("double") * scale) * (x - qi.cast("double") * scale))
+    sqrt(aggregate(errSq, lit(0.0), (s, x) => s + x) / size(v))
+  }
+
+  /**
    * Random-hyperplane LSH signature: `bits` sign-bits of projections onto
    * deterministic pseudo-random ±1 planes. Plane j's component for
    * dimension d is sign(xxhash64(j * 65537 + d)) — seedable, identical on

@@ -700,3 +700,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(oldOnly.subsetOf(Set(1L, 2L, 3L)))
   }
 }
+
+class QuantizationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("int8 round-trip: values bounded, zero vector guarded, error small") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.8f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),        // zero vector: scale 0
+      (3L, Array(127.0f, -64.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs
+      .withColumn("scale", quantScale(col("embedding")))
+      .withColumn("qvec", quantizeInt8(col("embedding"), col("scale")))
+      .withColumn("rmse", dequantRmse(col("embedding"), col("qvec"), col("scale")))
+      .select("vec_id", "scale", "qvec", "rmse")
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map { case (id, s, qv, e) => id -> ((s, qv, e)) }.toMap
+    q.values.foreach { case (_, qv, _) =>
+      assert(qv.forall(v => v >= -127 && v <= 127), "quantized values bounded") }
+    val (s1, _, e1) = q(1L)
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-12, "scale = max|x|/127")
+    assert(e1 <= s1 / 2 + 1e-12, "per-element error bounded by half a quantization step")
+    assert(q(2L) == ((0.0, Seq(0, 0, 0, 0), 0.0)), "zero vector: all-zero codes, zero error")
+    assert(q(3L)._2.head == 127 && q(3L)._2(1) == -64, "extremes map to full range")
+  }
+}
