@@ -191,17 +191,29 @@ object PipelineQueries {
 
     "q_quality_rep" -> ((s, dir) => {
       // repetition quality metrics (Gopher-style filters): duplicated
-      // bigram fraction + most-frequent-token share, per document
-      val d = rd(s, dir, "documents")
-      val bigs = shingles(tokens(col("text")), 2)
-      val base = d.select(col("doc_id"),
-        size(tokens(col("text"))).cast("int").as("n_tokens"),
-        when(size(bigs) > 0,
-            round(lit(1.0) - size(array_distinct(bigs)).cast("double")
-              / size(bigs).cast("double"), 4))
-          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
-      val top = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // bigram fraction + most-frequent-token share, per document. ONE
+      // posexplode feeds all metrics; bigrams come from a keyed lead
+      // window — the relational shingle form, measured ~10× faster than
+      // the interpreted higher-order array expressions (the HOF
+      // formulation benched 16.3 s at sf0.1; this one ~1 s). See
+      // Dedup.shingleIndex for the original measurement.
+      import org.apache.spark.sql.expressions.Window
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " +")).as(Seq("pos", "tok")))
+      val nextTok = lead(col("tok"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+      val big = toks.withColumn("bigram",
+        when(nextTok.isNotNull, concat_ws(" ", col("tok"), nextTok)))
+      val base = big.groupBy(col("doc_id")).agg(
+          count(lit(1)).cast("int").as("n_tokens"),
+          count(col("bigram")).as("n_big"),
+          countDistinct(col("bigram")).as("n_big_distinct"))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_big") > 0,
+              round(lit(1.0) - col("n_big_distinct").cast("double")
+                / col("n_big").cast("double"), 4))
+            .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      val top = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
         .groupBy(col("doc_id"))
         .agg(round(max(col("tf")).cast("double") / sum(col("tf")).cast("double"), 4)
           .as("top_tok_frac"))

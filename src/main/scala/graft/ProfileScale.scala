@@ -44,7 +44,9 @@ object ProfileScale {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_prefix",
         "q_dedup_minhash", "q_dedup_simhash", "q_embed_ann", "q_embed_ivf",
-        "q_decontam", "q_sample_stratified")
+        "q_decontam", "q_sample_stratified",
+        "q_dedup_spans", "q_dedup_incremental", "q_pack_sequences",
+        "q_quality_rep", "q_embed_quantize")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       Seq("sf0.1" -> src, "sf1" -> Sf1Dir).foreach { case (tag, dir) =>

@@ -107,6 +107,36 @@ object ParquetIO {
       .parquet(path)
   }
 
+  /**
+   * Sorted compaction: [[merge]] plus clustering. Rows are
+   * range-partitioned and sorted on `sortCols`, so each output file (and
+   * each row group inside it) covers a disjoint key range; parquet min/max
+   * footer stats then prune whole files and row groups for key-range
+   * predicates. This is the maintenance pass a large table needs
+   * periodically — it fixes the small-files problem and restores scan
+   * locality in one rewrite, and every stage is a declarative plan
+   * (range exchange + per-partition sort + sized write), so it runs
+   * unchanged on a real cluster. Output file count derives from input
+   * bytes exactly as in [[merge]].
+   */
+  def compactSorted(
+      spark: SparkSession,
+      inputPaths: Seq[String],
+      outPath: String,
+      sortCols: Seq[String],
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(sortCols.nonEmpty, "compactSorted needs at least one cluster column")
+    import org.apache.spark.sql.functions.col
+    val merged = inputPaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val totalBytes = inputBytes(spark, inputPaths)
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    val cols = sortCols.map(col)
+    write(merged.repartitionByRange(parts, cols: _*).sortWithinPartitions(cols: _*),
+      outPath, opts)
+  }
+
   /** Total on-disk bytes of the given files/directories (driver-side listing only). */
   def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -92,6 +92,36 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(rgs.nonEmpty && rgs.map(_.numRows).sum == 1500L)
   }
 
+  test("compactSorted: disjoint per-file key ranges, content preserved") {
+    val base = tmp()
+    val a = s"$base/a"; val b = s"$base/b"; val out = s"$base/out"
+    // two unsorted, interleaved-key inputs
+    spark.range(4000).selectExpr("pmod(id * 2654435761, 4096) as k", "id as v")
+      .write.parquet(a)
+    spark.range(4000, 8000).selectExpr("pmod(id * 2654435761, 4096) as k", "id as v")
+      .write.parquet(b)
+    ParquetIO.compactSorted(spark, Seq(a, b), out, Seq("k"),
+      targetFileBytes = ParquetIO.inputBytes(spark, Seq(a, b)) / 4)
+    val merged = spark.read.parquet(out)
+    assert(merged.count() == 8000)
+    // clustering evidence: each output file's k-range is disjoint from
+    // every other file's, so footer min/max stats prune whole files for
+    // range predicates (the plain merge leaves them fully overlapping)
+    val ranges = Tools.columnChunks(spark, out)
+      .filter(_.column == "k")
+      .groupBy(_.file).map { case (_, cs) =>
+        (cs.map(_.minValue.toLong).min, cs.map(_.maxValue.toLong).max)
+      }.toSeq.sortBy(_._1)
+    assert(ranges.size >= 2, "sizing must yield multiple files")
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi <= lo, "file key ranges must not overlap")
+      case _ =>
+    }
+    // content equality with the plain union
+    val expect = spark.read.parquet(a).unionByName(spark.read.parquet(b))
+    assert(merged.except(expect).isEmpty && expect.except(merged).isEmpty)
+  }
+
   test("metadata introspection (M1-M4) on driver testdata") {
     val p = s"${TestSpark.sf}/lineitem.parquet"
     val tree = Tools.schemaTree(spark, p)
