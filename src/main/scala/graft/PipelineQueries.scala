@@ -232,6 +232,18 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    "q_sample_budget" -> ((s, dir) => {
+      // token-budget mixing: cap en at 5000 and zh at 3000 TOKENS (not
+      // docs — mixture weights are token shares of the training run),
+      // other languages kept whole; report realized per-language shares
+      val docs = rd(s, dir, "documents")
+      val nTok = TextFunctions.tokenCount(col("text"))
+      val sampled = Sampling.tokenBudgetSample(docs, "doc_id", "lang", nTok,
+        Map("en" -> 5000L, "zh" -> 3000L))
+      Sampling.tokenMixtureReport(docs, sampled, "lang", nTok)
+        .orderBy(col("lang"))
+    }),
+
     // ── similarity search ───────────────────────────────────────────────
     "q_embed_topk" -> ((s, dir) => {
       Similarity.topKForId(rd(s, dir, "embeddings"), "vec_id", "embedding",
@@ -669,6 +681,25 @@ object PipelineQueries {
            FROM parts GROUP BY id_a, id_b)
          SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
          FROM comp ORDER BY cos_sim DESC, id_a, id_b LIMIT 50""",
+    "q_sample_budget" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+         tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total FROM t GROUP BY lang),
+         thr AS (SELECT lang, total,
+             CASE
+               WHEN lang = 'en' THEN CAST(FLOOR(LEAST(1.0, 5000.0 / total) * 1048576.0) AS BIGINT)
+               WHEN lang = 'zh' THEN CAST(FLOOR(LEAST(1.0, 3000.0 / total) * 1048576.0) AS BIGINT)
+               ELSE 1048576 END AS slot_max
+           FROM tot),
+         kept AS (SELECT t.doc_id, t.lang, t.n
+           FROM t JOIN thr USING (lang)
+           WHERE (t.doc_id * 2654435761) % 1048576 < thr.slot_max),
+         k AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS kept_tokens,
+             COUNT(*) AS kept_docs FROM kept GROUP BY lang)
+         SELECT thr.lang, thr.total AS total_tokens,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE) / thr.total, 4) AS token_frac
+         FROM thr LEFT JOIN k USING (lang) ORDER BY thr.lang""",
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding AS v,

@@ -34,6 +34,63 @@ object Sampling {
     df.filter(keep)
   }
 
+  /**
+   * Token-budget sampling: keep a deterministic subset of each stratum
+   * sized to a TOKEN budget rather than a row fraction — the form real
+   * LLM data mixing takes (mixture weights are token shares of the
+   * training run, not document counts). Per stratum s:
+   *
+   *   frac_s  = min(1, budget_s / total_tokens_s)
+   *   keep(d) = (id_d · 2654435761) mod 2²⁰  <  ⌊frac_s · 2²⁰⌋
+   *
+   * The multiplicative-hash slot makes the decision reproducible across
+   * engines, runs, and partitionings (same rationale as
+   * [[stratifiedSample]]), and the realized token share converges to
+   * frac_s as documents per stratum grow. Strata without a budget are
+   * kept whole.
+   *
+   * Scale posture: one per-stratum aggregate (a handful of rows),
+   * broadcast back, one codegen'd filter — no corpus shuffle.
+   */
+  def tokenBudgetSample(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCountCol: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val slots = 1048576L // 2^20 slot granularity
+    val withTok = df.withColumn("__tok", tokenCountCol.cast("long"))
+    val totals = withTok.groupBy(col(stratumCol))
+      .agg(sum(col("__tok")).as("__total"))
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, b)) =>
+        when(col(stratumCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val thresholds = totals.withColumn("__slot_max",
+      when(budgetCol.isNull, lit(slots))
+        .otherwise(floor(least(lit(1.0),
+          budgetCol.cast("double") / col("__total").cast("double")) * lit(slots.toDouble))))
+      .select(col(stratumCol), col("__slot_max"))
+    withTok.join(broadcast(thresholds), Seq(stratumCol))
+      .filter(pmod(col(idCol) * lit(2654435761L), lit(slots)) < col("__slot_max"))
+      .drop("__tok", "__slot_max")
+  }
+
+  /** Per-stratum token accounting after [[tokenBudgetSample]]: total vs
+    * kept tokens and documents, and the realized token fraction. */
+  def tokenMixtureReport(df: DataFrame, sampled: DataFrame, stratumCol: String,
+      tokenCountCol: Column): DataFrame = {
+    val total = df.groupBy(col(stratumCol)).agg(
+      sum(tokenCountCol.cast("long")).as("total_tokens"))
+    val kept = sampled.groupBy(col(stratumCol)).agg(
+      sum(tokenCountCol.cast("long")).as("kept_tokens"),
+      count(lit(1)).as("kept_docs"))
+    total.join(kept, Seq(stratumCol), "left")
+      .select(col(stratumCol),
+        col("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        round(coalesce(col("kept_tokens"), lit(0L)).cast("double")
+          / col("total_tokens").cast("double"), 4).as("token_frac"))
+  }
+
   /** Mixture report: per-stratum total vs kept counts and the realized
     * ratio — the summary a pipeline logs after the mixing step. */
   def mixtureReport(df: DataFrame, sampled: DataFrame, stratumCol: String): DataFrame = {

@@ -727,3 +727,35 @@ class QuantizationSpec extends AnyFunSuite {
     assert(q(3L)._2.head == 127 && q(3L)._2(1) == -64, "extremes map to full range")
   }
 }
+
+class TokenBudgetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  private def corpus = (0L until 400L).map { i =>
+    val lang = if (i % 4 == 0) "fr" else "en"
+    (i, lang, 10L + (i % 7))   // ~5200 en tokens, ~1300 fr tokens
+  }.toDF("doc_id", "lang", "n_tok")
+
+  test("kept token mass approximates the budget; unbudgeted strata kept whole") {
+    val sampled = Sampling.tokenBudgetSample(corpus, "doc_id", "lang",
+      col("n_tok"), Map("en" -> 1000L))
+    val rep = Sampling.tokenMixtureReport(corpus, sampled, "lang", col("n_tok"))
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, enTotal, enKept, _, _) = rep("en")
+    assert(enKept < enTotal, "en must be downsampled")
+    // slot sampling is binomial around the target; generous 2× band
+    assert(enKept > 300 && enKept < 2000, s"en kept tokens far off budget: $enKept")
+    val (_, frTotal, frKept, frDocs, frFrac) = rep("fr")
+    assert(frKept == frTotal && frDocs == 100 && frFrac == 1.0, "fr kept whole")
+  }
+
+  test("sampling decision is deterministic and independent of partitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetSample(df, "doc_id", "lang", col("n_tok"), Map("en" -> 1000L))
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(corpus) == ids(corpus.repartition(13)), "same keep set under reshuffle")
+  }
+}
