@@ -508,20 +508,23 @@ object Dedup {
    * Shape: posexplode + per-doc lead windows (one shuffle on id), an
    * occurrence count per window text (one shuffle on the window string),
    * one per-doc re-aggregate — all codegen'd, no driver state. The window
-   * STRING is the count key so the DuckDB oracle mirrors it exactly; at
-   * 100 TB substitute `xxhash64(span)` for the string (same plan, 8-byte
-   * shuffle keys, collision odds ~n²/2⁶⁴).
+   * STRING is the default count key so the DuckDB oracle mirrors it
+   * exactly; `hashSpans = true` counts on `xxhash64(span)` instead — the
+   * 100 TB posture (8-byte shuffle keys instead of ~50-byte strings,
+   * collision odds ~n²/2⁶⁴; SpanStatsSpec pins output equality).
    */
   def spanStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, hashSpans: Boolean = false): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " +")).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val leads = (1 until k).map(o => lead(col("tok"), o).over(w).as(s"t$o"))
     val spans = toks.select(col("id") +: col("tok") +: leads: _*)
       .filter(col(s"t${k - 1}").isNotNull)
-      .select(col("id"),
-        concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"t$o")): _*).as("sp"))
+      .select(col("id"), {
+        val sp = concat_ws(" ", col("tok") +: (1 until k).map(o => col(s"t$o")): _*)
+        (if (hashSpans) xxhash64(sp) else sp).as("sp")
+      })
     val dup = (count(lit(1)).over(Window.partitionBy(col("sp"))) > 1).cast("int")
     spans.select(col("id"), dup.as("is_dup"))
       .groupBy(col("id"))

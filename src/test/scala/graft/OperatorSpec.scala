@@ -657,6 +657,15 @@ class SpanStatsSpec extends AnyFunSuite {
     assert(got(3L) == ((3, 0, 0.0)), "doc 3: no shared spans")
   }
 
+  test("hashed span keys give identical stats to string keys") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val str = Dedup.spanStats(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val hashed = Dedup.spanStats(docs, "doc_id", "text", k = 8, hashSpans = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(str == hashed, "8-byte hash keys must reproduce the string-key stats")
+  }
+
   test("documents shorter than k have no windows and are absent") {
     val docs = Seq((1L, "only five tokens right here"), (2L, "a b c d e f g h i")).toDF("doc_id", "text")
     val ids = Dedup.spanStats(docs, "doc_id", "text", k = 8)
