@@ -71,6 +71,27 @@ object Streams {
       .drop("__content_key")
 
   /**
+   * Streaming ingest QUALITY GATE: stateless per-row scoring with the
+   * same `TextFunctions.qualityScore` the batch surface uses — the cheap
+   * filter a crawl pipeline applies BEFORE spending dedup state on a
+   * document. Stateless ⇒ no watermark, no store, pure map.
+   */
+  def qualityGateStream(docs: DataFrame, textCol: String,
+      minQuality: Double): DataFrame =
+    docs.filter(graft.functions.TextFunctions.qualityScore(col(textCol)) >= minQuality)
+
+  /**
+   * The composed ingest front door: quality gate → watermark-bounded
+   * content dedup — the order matters (gating first keeps rejected docs
+   * out of the dedup state store). StreamingIngestSpec pins equality
+   * with the batch formulation.
+   */
+  def ingestStream(docs: DataFrame, tsCol: String, textCol: String,
+      minQuality: Double, watermark: String = "1 hour"): DataFrame =
+    contentDedupStream(qualityGateStream(docs, textCol, minQuality),
+      tsCol, textCol, watermark)
+
+  /**
    * Incremental parquet sink via foreachBatch — the Structured Streaming
    * analogue of the reference's size-bounded buffered writer
    * (`reader-writer2.cc:74-93`): each micro-batch appends through
