@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
  *                                    `--batch-size` ≙ `parquet-scan.cc:35`)
  *  - `read-row-group <path> --row-group=R`
  *                                  ≙ single-row-group data read (`reader-writer.cc:77-90`)
+ *  - `merge <in1,in2,...> --out=<path> [--sort-by=a,b] [--target-file-bytes=N]`
+ *                                  ≙ the repo's namesake file-merge capability
+ *                                    (plain size-derived merge, or clustered
+ *                                    compaction when --sort-by is given)
  *
  * Run: `sbt "runMain graft.sources.ToolsCli <cmd> <path> [flags]"`.
  */
@@ -85,6 +89,29 @@ object ToolsCli {
         case f if f.startsWith("--row-group=") => f.stripPrefix("--row-group=").toInt
       }.getOrElse(0)
       Tools.readRowGroup(spark, path, rg).show(20, truncate = false)
+
+    // the namesake operation as a tool: <path> here is comma-separated
+    // inputs; --out is required, --sort-by turns merge into a clustered
+    // compaction (disjoint per-file key ranges), --target-file-bytes
+    // sizes the output
+    case "merge" =>
+      val inputs = path.split(",").toSeq
+      val out = flags.collectFirst {
+        case f if f.startsWith("--out=") => f.stripPrefix("--out=")
+      }.getOrElse(sys.error("merge requires --out=<path>"))
+      val target = flags.collectFirst {
+        case f if f.startsWith("--target-file-bytes=") => f.stripPrefix("--target-file-bytes=").toLong
+      }.getOrElse(512L * 1024 * 1024)
+      val sortBy = flags.collectFirst {
+        case f if f.startsWith("--sort-by=") => f.stripPrefix("--sort-by=").split(",").toSeq
+      }
+      sortBy match {
+        case Some(cols) => ParquetIO.compactSorted(spark, inputs, out, cols, target)
+        case None       => ParquetIO.merge(spark, inputs, out, target)
+      }
+      val rgs = Tools.rowGroups(spark, out)
+      println(s"merged ${inputs.size} inputs -> $out: " +
+        s"${rgs.map(_.numRows).sum} rows, ${rgs.map(_.file).distinct.size} files, ${rgs.size} row groups")
 
     case other => sys.error(s"unknown command: $other")
   }

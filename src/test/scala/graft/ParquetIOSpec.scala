@@ -310,6 +310,22 @@ class ToolsCliSpec extends AnyFunSuite {
     assert(scanOut.contains("6000 rows scanned in"))
   }
 
+  test("merge command: plain and sorted-compaction forms") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mcli").toString
+    spark.range(2000).selectExpr("pmod(id * 37, 512) as k", "id as v")
+      .write.parquet(s"$base/a")
+    spark.range(2000, 4000).selectExpr("pmod(id * 37, 512) as k", "id as v")
+      .write.parquet(s"$base/b")
+    val out1 = captureOut(graft.sources.ToolsCli.run(spark, "merge", s"$base/a,$base/b",
+      Seq(s"--out=$base/plain"), Nil))
+    assert(out1.contains("4000 rows"), s"got: $out1")
+    val out2 = captureOut(graft.sources.ToolsCli.run(spark, "merge", s"$base/a,$base/b",
+      Seq(s"--out=$base/sorted", "--sort-by=k",
+        s"--target-file-bytes=${ParquetIO.inputBytes(spark, Seq(s"$base/a", s"$base/b")) / 3}"), Nil))
+    assert(out2.contains("4000 rows"), s"got: $out2")
+    assert(spark.read.parquet(s"$base/sorted").count() == 4000)
+  }
+
   test("mergeSchema read reconciles drifted files at scan time") {
     val base = java.nio.file.Files.createTempDirectory("graft-ms").toString
     spark.range(10).selectExpr("id", "id * 2 as x").write.parquet(s"$base/d/p1")
