@@ -88,6 +88,37 @@ object ParquetIO {
   }
 
   /**
+   * Write with parquet column bloom filters (parquet-mr split-block bloom,
+   * one per row group per column). The 100 TB case: point lookups on a
+   * high-cardinality column that is NOT the sort/partition key — min/max
+   * footer stats can't prune an unsorted column (every row group spans
+   * most of the domain), but a bloom filter rejects non-member row groups
+   * at ~10 bits/distinct-value, so `WHERE id = x` reads footers + a few KB
+   * of bloom bitsets instead of the table. Spark's scan applies them
+   * automatically to pushed equality predicates (parquet-mr
+   * RowGroupFilter BLOOMFILTER level); `expectedNdv` sizes the bitset for
+   * the per-row-group distinct count — oversizing wastes footer bytes,
+   * undersizing inflates the false-positive rate toward "never prunes".
+   */
+  def writeWithBloomFilters(df: DataFrame, path: String, bloomCols: Seq[String],
+      expectedNdv: Long = 100000L, opts: WriteOptions = WriteOptions()): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloomFilters needs at least one column")
+    val base = df.write
+      .mode("overwrite")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .option("parquet.page.row.count.limit", opts.pageRowCountLimit.toString)
+    val withBloom = bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    (if (opts.maxRecordsPerFile > 0)
+       withBloom.option("maxRecordsPerFile", opts.maxRecordsPerFile.toString)
+     else withBloom)
+      .parquet(path)
+  }
+
+  /**
    * Hive-style partitioned write — at 100 TB the partition column IS the
    * primary pruning mechanism: queries filtering on it read only matching
    * directories (`PartitionFilters` in the scan, zero I/O elsewhere).

@@ -97,6 +97,46 @@ object Tools {
     }
   }
 
+  /**
+   * Bloom-filter introspection for [[ParquetIO.writeWithBloomFilters]]:
+   * per row group, does `column`'s bloom filter say `value` might be
+   * present? Returns one `(file, rowGroup, mightContain)` row per row
+   * group; `mightContain = None` when the chunk carries no bloom filter.
+   * No false negatives (a present value is always Some(true)); absent
+   * values prune wherever the bitset rejects. Footer + bloom bitset reads
+   * only — never data pages — like the rest of this tools surface.
+   * `value` may be Long, Int, Double, Float, String, or Array[Byte],
+   * matching the column's physical type.
+   */
+  def bloomMightContain(spark: SparkSession, path: String, column: String,
+      value: Any): Seq[(String, Int, Option[Boolean])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetFiles(spark, path).flatMap { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.map { case (b, i) =>
+          val chunk = b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(sys.error(s"no column '$column' in $f"))
+          val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
+          val verdict = Option(bf).map { filter =>
+            val hash = value match {
+              case v: Long        => filter.hash(v)
+              case v: Int         => filter.hash(v)
+              case v: Double      => filter.hash(v)
+              case v: Float       => filter.hash(v)
+              case v: String      => filter.hash(org.apache.parquet.io.api.Binary.fromString(v))
+              case v: Array[Byte] => filter.hash(org.apache.parquet.io.api.Binary.fromConstantByteArray(v))
+              case other => sys.error(s"unsupported bloom probe type: ${other.getClass}")
+            }
+            filter.findHash(hash)
+          }
+          (f.toString, i, verdict)
+        }
+      } finally reader.close()
+    }
+  }
+
   /** M4 (read side): file key-value (user) metadata from the footer. */
   def keyValueMetadata(spark: SparkSession, path: String): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -75,6 +75,48 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(rgs.size > 1, s"expected multiple row groups, got ${rgs.size}")
   }
 
+  test("zstd codec: footer reports ZSTD, content round-trips") {
+    val dir = tmp() + "/zstd"
+    val df = spark.range(50000).selectExpr("id", "cast(id as string) as s")
+    ParquetIO.write(df, dir, ParquetIO.WriteOptions(compression = "zstd"))
+    val chunks = Tools.columnChunks(spark, dir)
+    assert(chunks.nonEmpty && chunks.forall(_.codec == "ZSTD"))
+    assert(spark.read.parquet(dir).agg(sum("id")).head.getLong(0) == 49999L * 50000 / 2)
+  }
+
+  test("bloom filters: present values always accepted, absent value pruned somewhere") {
+    val dir = tmp() + "/bloom"
+    // high-cardinality UNSORTED key: every row group spans ~the whole
+    // domain, so min/max stats can never prune a point lookup — the
+    // bloom filter is the only pruning mechanism. Small row groups force
+    // several filters per file.
+    val df = spark.range(200000)
+      .selectExpr("pmod(id * 2654435761, 1000000) * 2 as k", "id as v")  // even keys only
+      .coalesce(2)
+    ParquetIO.writeWithBloomFilters(df, dir, Seq("k"), expectedNdv = 50000,
+      ParquetIO.WriteOptions(rowGroupBytes = 256 * 1024, pageRowCountLimit = 5000))
+    val rgs = Tools.rowGroups(spark, dir)
+    assert(rgs.size >= 4, s"want several row groups, got ${rgs.size}")
+    // every row group carries a bloom filter for k
+    val present = spark.read.parquet(dir).select("k").head.getLong(0)
+    val hits = Tools.bloomMightContain(spark, dir, "k", present)
+    assert(hits.forall(_._3.isDefined), "every chunk must carry a bloom filter")
+    // no false negatives: the row group that holds `present` must accept it
+    assert(hits.exists(_._3.contains(true)))
+    // an odd key never occurs; at ndv-sized bitsets the FPP is ~1%, so
+    // requiring at least one rejecting row group is deterministic in
+    // practice for this fixed dataset
+    val absent = Tools.bloomMightContain(spark, dir, "k", 12345L)  // odd => absent
+    assert(absent.exists(_._3.contains(false)),
+      s"absent key should be rejected by at least one row group: $absent")
+    // a column written WITHOUT bloom filters reports None
+    val none = Tools.bloomMightContain(spark, dir, "v", 0L)
+    assert(none.forall(_._3.isEmpty))
+    // and the Spark scan still answers the point lookup correctly
+    assert(spark.read.parquet(dir).filter(col("k") === present).count() >= 1)
+    assert(spark.read.parquet(dir).filter(col("k") === 12345L).count() == 0)
+  }
+
   test("merge (S13): N files -> one dataset, schema drift by name, counts preserved") {
     val base = tmp()
     val a = s"$base/a"; val b = s"$base/b"; val out = s"$base/out"
