@@ -301,6 +301,29 @@ class PartitionPruningSpec extends AnyFunSuite {
     val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(subdirs.exists(_.startsWith("l_returnflag=")))
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100 TB shape: the fact table is partitioned on the join key, the
+    // dimension filter is NOT on the partition column — static pruning
+    // can't help, but DPP turns the dim's surviving keys into a runtime
+    // PartitionFilter on the fact scan, so only matching directories are
+    // read. Customer partitioned by nation, dim = nation filtered by
+    // region: 5 of 25 nation partitions survive.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/t"
+    val cust = spark.read.parquet(s"${TestSpark.sf}/customer.parquet")
+    ParquetIO.writePartitioned(cust, dir, Seq("c_nationkey"))
+    val nation = spark.read.parquet(s"${TestSpark.sf}/nation.parquet")
+      .filter(col("n_regionkey") === 1)
+    val q = spark.read.parquet(dir)
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter on the fact scan:\n$plan")
+    val expected = cust.join(nation, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+    assert(q.collect().toSet == expected.collect().toSet)
+  }
 }
 
 class BucketingSpec extends AnyFunSuite {
