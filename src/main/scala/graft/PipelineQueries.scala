@@ -244,6 +244,38 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    "q_shuffle_shard" -> ((s, dir) => {
+      // deterministic global shuffle + shard layout: pseudo-random order,
+      // reproducible across engines/retries, one sort PER SHARD (the
+      // window partitions by shard — no global single-partition sort)
+      Sampling.shuffleShard(rd(s, dir, "documents"), "doc_id", numShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    "q_split_assign" -> ((s, dir) => {
+      // hash-based train/val/test assignment (90/5/5) with the per-split
+      // accounting a pipeline logs: doc and char volumes, language spread
+      Sampling.splitAssign(rd(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("split"))
+    }),
+
+    "q_mask_tokens" -> ((s, dir) => {
+      // reproducible MLM-style masking at 15%: the mask decision is an
+      // arithmetic slot of (doc_id, position), so the masked corpus is
+      // bit-identical in any engine — oracle-checked text reconstruction
+      val masked = TextFunctions.maskTokens(col("doc_id"), col("text"), ratePct = 15)
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws(" ", masked).as("masked_text"),
+        size(filter(masked, t => t === "[MASK]")).cast("int").as("n_masked"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── similarity search ───────────────────────────────────────────────
     "q_embed_topk" -> ((s, dir) => {
       Similarity.topKForId(rd(s, dir, "embeddings"), "vec_id", "embedding",
@@ -700,6 +732,30 @@ object PipelineQueries {
            COALESCE(k.kept_docs, 0) AS kept_docs,
            ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE) / thr.total, 4) AS token_frac
          FROM thr LEFT JOIN k USING (lang) ORDER BY thr.lang""",
+    "q_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS h FROM documents)
+         SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+         FROM h ORDER BY shard, pos""",
+    "q_split_assign" ->
+      """WITH s AS (SELECT *,
+           CASE WHEN (doc_id * 2246822519) % 100 < 90 THEN 'train'
+                WHEN (doc_id * 2246822519) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+         SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+         FROM s GROUP BY split ORDER BY split""",
+    "q_mask_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         z AS (SELECT doc_id, UNNEST(l) AS tok, UNNEST(range(1, len(l) + 1)) AS pos FROM toks)
+         SELECT doc_id,
+           COALESCE(STRING_AGG(
+             CASE WHEN (doc_id * 2654435761 + pos * 97) % 100 < 15
+               THEN '[MASK]' ELSE tok END, ' ' ORDER BY pos), '') AS masked_text,
+           CAST(SUM(CASE WHEN (doc_id * 2654435761 + pos * 97) % 100 < 15
+             THEN 1 ELSE 0 END) AS INT) AS n_masked
+         FROM z GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding AS v,

@@ -149,4 +149,24 @@ object TextFunctions {
       (t, pos) => pos.cast("long") * (lit(131L) * length(t) + ascii(t)))
     pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
   }
+
+  /**
+   * Deterministic token masking for reproducible MLM-style corpora: token
+   * at (1-based) position p of document d is replaced by `[MASK]` iff
+   * (d·2654435761 + p·97) mod 100 < ratePct. An arithmetic slot, not an
+   * RNG, for the same reason as [[graft.operators.Sampling]]: masked
+   * corpora must be identical across engines, retries, and partitionings,
+   * and the decision must be recomputable by the oracle.
+   *
+   * Returns the masked token ARRAY (callers `concat_ws` back to text and
+   * count masks with a codegen'd `filter`). Per-row single-level HOF over
+   * a few dozen tokens — no per-document re-evaluation blowup (the
+   * interpreted-HOF trap needs nesting or cross-row fan-out).
+   */
+  def maskTokens(docId: Column, text: Column, ratePct: Int): Column = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct must be in [0, 100]")
+    transform(tokens(text), (t, i) =>
+      when(pmod(docId.cast("long") * lit(2654435761L) + (i + 1).cast("long") * lit(97L),
+        lit(100L)) < lit(ratePct.toLong), lit("[MASK]")).otherwise(t))
+  }
 }

@@ -91,6 +91,54 @@ object Sampling {
           / col("total_tokens").cast("double"), 4).as("token_frac"))
   }
 
+  /**
+   * Deterministic global corpus shuffle + shard layout — the step between
+   * "dataset is clean" and "training reads it": order must be
+   * pseudo-random (no source/topic runs), reproducible (a re-run after a
+   * failed job must yield byte-identical shards), and the layout must be
+   * N independent shards a data loader can stream.
+   *
+   * h = (id·2654435761) mod 1e9+7 is the shuffle key, shard = h mod
+   * numShards, pos = rank of h within the shard. The window partitions BY
+   * SHARD — there is no global sort; each shard sorts independently, so
+   * the plan is one hash shuffle + numShards parallel sorts. At 100 TB,
+   * size numShards so a shard fits a task (thousands of shards), exactly
+   * how training shards are laid out anyway; the write form of this plan
+   * is `repartition(col("shard"))` + `sortWithinPartitions("h")` +
+   * a partitioned write, which streams each shard file in shuffled order
+   * without materializing positions at all.
+   */
+  def shuffleShard(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L), lit(1000000007L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__h")
+  }
+
+  /**
+   * Hash-based train/validation/test assignment: bucket = (id·2246822519)
+   * mod 100, split by cumulative percent thresholds. The decision is a
+   * pure function of the id — adding documents never moves an existing
+   * document across splits (the property that keeps eval sets stable as a
+   * corpus grows), and a different multiplier than [[shuffleShard]]'s
+   * decorrelates split membership from shard placement. One codegen'd
+   * projection; no shuffle.
+   */
+  def splitAssign(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percents must be non-negative and sum to at most 100")
+    val bucket = pmod(col(idCol).cast("long") * lit(2246822519L), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Mixture report: per-stratum total vs kept counts and the realized
     * ratio — the summary a pipeline logs after the mixing step. */
   def mixtureReport(df: DataFrame, sampled: DataFrame, stratumCol: String): DataFrame = {

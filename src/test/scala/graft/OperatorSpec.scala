@@ -768,3 +768,68 @@ class TokenBudgetSpec extends AnyFunSuite {
     assert(ids(corpus) == ids(corpus.repartition(13)), "same keep set under reshuffle")
   }
 }
+
+class ShardSplitMaskSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("shuffleShard: dense per-shard positions, shuffled order, deterministic") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val out = Sampling.shuffleShard(docs, "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.length == docs.count())
+    // every document lands in exactly one shard; positions are dense 1..n
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"shard $sh positions not dense")
+    }
+    // the order WITHIN a shard is pseudo-random, not insertion order: ids
+    // read in pos order must not come out ascending for every shard
+    val monotoneShards = out.groupBy(_._2).values.count { rows =>
+      val ids = rows.sortBy(_._3).map(_._1).toSeq
+      ids == ids.sorted
+    }
+    assert(monotoneShards < 8, "shuffle produced insertion order in every shard")
+    // reproducible: a re-run (different partitioning) yields identical rows
+    val again = Sampling.shuffleShard(docs.repartition(13), "doc_id", numShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
+  test("splitAssign: 90/5/5 proportions, assignment stable as the corpus grows") {
+    val docs = spark.range(0, 4000).toDF("doc_id")
+    val full = Sampling.splitAssign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val n = full.size.toDouble
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.03, s"train frac ${frac("train")}")
+    assert(math.abs(frac("val") - 0.05) < 0.03, s"val frac ${frac("val")}")
+    assert(math.abs(frac("test") - 0.05) < 0.03, s"test frac ${frac("test")}")
+    // growing the corpus must never move an existing doc across splits
+    val prefix = Sampling.splitAssign(spark.range(0, 1000).toDF("doc_id"), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect()
+    prefix.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved to ${full(id)}") }
+  }
+
+  test("maskTokens: ~15% masked, unmasked tokens unchanged, length preserved") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val t = tokens(col("text"))
+    val m = maskTokens(col("doc_id"), col("text"), 15)
+    val rows = docs.select(
+      size(t).as("nt"), size(m).as("nm"),
+      size(filter(m, x => x === "[MASK]")).as("masked"),
+      // every position is either untouched or the mask token
+      size(filter(zip_with(t, m, (a, b) => a === b || b === "[MASK]"), ok => !ok)).as("bad"))
+      .as[(Int, Int, Int, Int)].collect()
+    assert(rows.forall { case (nt, nm, _, bad) => nt == nm && bad == 0 })
+    val totalTok = rows.map(_._1.toLong).sum
+    val totalMasked = rows.map(_._3.toLong).sum
+    val rate = totalMasked.toDouble / totalTok
+    assert(rate > 0.10 && rate < 0.20, s"global mask rate $rate far from 0.15")
+    // deterministic: same (doc_id, pos) slots on every evaluation
+    val again = docs.select(size(filter(m, x => x === "[MASK]")).as("masked"))
+      .as[Int].collect().map(_.toLong).sum
+    assert(again == totalMasked)
+  }
+}
