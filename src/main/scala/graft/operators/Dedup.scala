@@ -136,20 +136,28 @@ object Dedup {
     // separate aggregate-and-join pass.
     val idx = Materialize.viaParquet(
       featureIndexWithDf(df, idCol, textCol, k, maxDocFreq), "ppjoin_idx")
-    val ordW = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("feat"))
-    // sz shares ordW's partition+order (with an explicit full frame) so
-    // both window functions evaluate in ONE Window operator over one sort.
     // ceil/floor bounds subtract an epsilon so an exactly-integral t·sz is
     // not pushed up by one ulp of fl(t)·sz (round-3 advisory): Lemma 1's
     // prefix length must round the TRUE product, and 1e-9 is far below the
     // spacing of representable t·sz for any realistic sz
-    val fullFrame = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def ceilT(c: org.apache.spark.sql.Column) = ceil(lit(minJaccard) * c - lit(1e-9))
-    val prefix = idx
-      .withColumn("sz", count(lit(1)).over(fullFrame))
-      .withColumn("rn", row_number().over(ordW))
-      .filter(col("rn") <= col("sz") - ceilT(col("sz")) + 1)
-      .select(col("id"), col("feat"), col("sz"))
+    // rarest-first prefix as ONE hash aggregate: per-doc features sort in
+    // memory (sort_array over (dfreq, feat) structs — same global order
+    // the former row_number window used) and `slice` keeps the Lemma-1
+    // prefix. Measured vs the two-window form at sf0.1: 1.05 s vs 1.34 s
+    // warm — a hash agg plus tiny per-group array sorts beats a full
+    // partition sort, and per-doc arrays are bounded (docs, not corpus).
+    // The prefix is then SPILLED: both self-join sides read the same
+    // files; left inline, each side would recompute the aggregate
+    // (measured whole-op 4.2 s vs 3.4 s staged).
+    val prefix = Materialize.viaParquet(
+      idx.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("dfreq"), col("feat")))).as("fs"),
+          count(lit(1)).as("sz"))
+        .select(col("id"), col("sz"),
+          explode(slice(col("fs"), lit(1),
+            (col("sz") - ceilT(col("sz")) + 1).cast("int"))).as("s"))
+        .select(col("id"), col("s.feat").as("feat"), col("sz")), "ppjoin_prefix")
     // cands is consumed twice (candIds + the verification join) and is the
     // output of the quadratic stage — spill it so that stage runs once
     val cands = Materialize.viaParquet(
