@@ -318,13 +318,15 @@ object PipelineQueries {
     "q_embed_quantize" -> ((s, dir) => {
       // storage compression: symmetric int8 quantization (4× smaller than
       // float32) with per-vector scale and reconstruction RMSE — per-row
-      // HOF arithmetic, no shuffle, embarrassingly parallel at any scale
+      // HOF arithmetic, no shuffle, embarrassingly parallel at any scale.
+      // The int8 vector is emitted as a joined string (not array<int>):
+      // the driver's pandas-based compare cannot hash/sort array cells.
       import graft.functions.VectorFunctions._
       rd(s, dir, "embeddings")
         .withColumn("scale", quantScale(col("embedding")))
         .withColumn("qvec", quantizeInt8(col("embedding"), col("scale")))
         .select(col("vec_id"), col("scale"),
-          col("qvec"),
+          array_join(col("qvec").cast("array<string>"), ",").as("qvec_str"),
           round(dequantRmse(col("embedding"), col("qvec"), col("scale")), 6).as("rmse"))
         .orderBy(col("vec_id"))
     }),
@@ -767,7 +769,7 @@ object PipelineQueries {
                ELSE list_transform(v, x -> CAST(ROUND(CAST(x AS DOUBLE) / scale, 0) AS INT))
              END AS qvec
            FROM b)
-         SELECT vec_id, scale, qvec,
+         SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_str,
            ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
                i -> (CAST(v[i] AS DOUBLE) - qvec[i] * scale)
                   * (CAST(v[i] AS DOUBLE) - qvec[i] * scale))) / len(v)), 6) AS rmse
