@@ -314,11 +314,17 @@ object Dedup {
     // symmetric edge list with one aggregate — no join, and one fewer
     // loop round. The single init action materializes BOTH persists
     // (labels' lineage runs through edges, populating its storage).
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
+    def tick[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (dbg) System.err.println(f"[cc-debug] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
     var gen = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"), least(col("src"), col("__mn")).as("cluster"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    gen.count()
+    tick("init")(gen.count())
     var labels = gen
     var i = 0
     var converged = false
@@ -335,7 +341,7 @@ object Dedup {
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = nextGen.filter(col("__chg")).count() == 0
+      converged = tick(s"round ${i + 1}")(nextGen.filter(col("__chg")).count() == 0)
       gen.unpersist(blocking = false)
       gen = nextGen
       labels = nextGen.select(col("id"), col("cluster"))
