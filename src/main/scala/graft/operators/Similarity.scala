@@ -102,8 +102,9 @@ object Similarity {
    * broadcast nested-loop: each vector's sketch is assigned a block
    * b = hash(id) mod `numBlocks`, the (bx ≤ by) block-pair relation is
    * broadcast (numBlocks² rows, trivial), and the sketch table shuffles
-   * to (bx, by) tasks — (n/m)² comparisons per task, m(m+1)/2 even
-   * tasks, O(n·m) shuffled sketch rows, and NO executor ever holds the
+   * to (bx, by) tasks — (n/m)² comparisons per task, m(m+1)/2 tasks
+   * (same-block tasks cost ~2× a cross-block task; see
+   * [[blockPairRows]]), O(n·m) shuffled sketch rows, and NO executor ever holds the
    * whole table (the BNLJ formulation broadcasts it, an OOM at 100 TB;
    * numBlocks derives from input size so a block stays task-sized as n
    * grows — see [[resolveBlocks]]). The quadratic
