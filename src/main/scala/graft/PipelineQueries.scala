@@ -394,6 +394,22 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup (Abbas et al. 2023, public): exact
+      // cosine ≥ 0.45 near-dup pairs mined through the sketch-prefiltered
+      // block-matrix join (recall 1.0 at this threshold — the q_embed_ann
+      // operating point), then the SAME connected-components loop the
+      // text path uses → (vector, cluster, keep-one) decisions. Only
+      // vectors in ≥1 pair appear — singletons need no dedup decision.
+      val emb = rd(s, dir, "embeddings")
+      val pairs = Similarity.annPairs(emb, "vec_id", "embedding", minCos = 0.45)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterPairs(pairs)
+        .select(col("id").as("vec_id"), col("cluster"),
+          (col("id") === col("cluster")).cast("int").as("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ── multimodal plumbing ─────────────────────────────────────────────
     "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.attachMedia(rd(s, dir, "documents"))
@@ -899,6 +915,32 @@ object PipelineQueries {
          SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
          FROM comp WHERE ROUND(dot / (na * nb), 4) >= 0.45
          ORDER BY cos_sim DESC, id_a, id_b LIMIT 100""",
+    // exact cosine pairs at the same 0.45 threshold, then recursive
+    // min-label reachability — the embedding-space twin of the
+    // q_dedup_clusters oracle
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b),
+         good AS (
+           SELECT id_a, id_b FROM comp
+           WHERE ROUND(dot / (na * nb), 4) >= 0.45),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach AS (
+           SELECT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id AS vec_id, MIN(lbl) AS cluster,
+           CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
+         FROM reach GROUP BY id ORDER BY vec_id""",
     // IVF at nProbe = k: partition completeness ⇒ exact brute-force top-20
     "q_embed_ivf" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),

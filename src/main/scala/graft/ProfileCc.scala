@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 /** One-off profiler for the connected-components loop feeding
   * q_dedup_clusters: phase timings on sf0.1 to locate where its bench
-  * seconds go (upstream Jaccard pairs vs CC rounds vs materialize). */
+  * seconds go (upstream Jaccard pairs vs CC rounds vs materialize), and
+  * inline-index vs spilled-index pair generation. */
 object ProfileCc {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -20,11 +21,20 @@ object ProfileCc {
     // warm the corpus
     docs.count()
     for (it <- 1 to 2) {
-      val pairs = t(s"it$it jaccardPairs>=0.6") {
-        val p = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
-        val c = p.count(); System.err.println(s"[cc] pairs=$c"); p
+      t(s"it$it inline: pairs+cc") {
+        val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text")
+          .filter(col("jaccard") >= 0.6)
+        val out = graft.operators.Dedup.clusterPairs(pairs)
+        System.err.println(s"[cc] labels=${out.count()}")
       }
-      t(s"it$it clusterPairs total") {
+      t(s"it$it spilled: pairs+cc") {
+        val idx = t(s"it$it   spill idx") {
+          graft.operators.Materialize.viaParquet(
+            graft.operators.Dedup.featureIndex(docs, "doc_id", "text", 3, 10000),
+            "cc_idx")
+        }
+        val pairs = graft.operators.Dedup.jaccardPairsFromIndex(idx)
+          .filter(col("jaccard") >= 0.6)
         val out = graft.operators.Dedup.clusterPairs(pairs)
         System.err.println(s"[cc] labels=${out.count()}")
       }

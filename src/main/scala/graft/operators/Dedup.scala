@@ -65,7 +65,7 @@ object Dedup {
 
   /** (id, feature) inverted index over distinct k-gram shingles, with a
     * document-frequency cap on features (skew guard). */
-  private def featureIndex(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def featureIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int, maxDocFreq: Int): DataFrame =
     featureIndexWithDf(df, idCol, textCol, k, maxDocFreq).drop("dfreq")
 
@@ -94,7 +94,13 @@ object Dedup {
     // 6× FASTER than the round-2 cache (13.2 → 2.2 s warm) — codegen'd
     // shingle windows recompute cheaper than eager full-index
     // materialization into executor storage, which also leaked
-    val idx = featureIndex(df, idCol, textCol, k, maxDocFreq)
+    jaccardPairsFromIndex(featureIndex(df, idCol, textCol, k, maxDocFreq))
+  }
+
+  /** [[jaccardPairs]] over a prebuilt (id, feat) index — callers that can
+    * spill the index once (parquet, not executor cache) pay ONE shingle
+    * subtree computation instead of three (sizes + both join sides). */
+  private[graft] def jaccardPairsFromIndex(idx: DataFrame): DataFrame = {
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val a = idx.select(col("id").as("id_a"), col("feat"))
     val b = idx.select(col("id").as("id_b"), col("feat"))
@@ -451,6 +457,10 @@ object Dedup {
       .withColumn("bk2", explode(simHashBands(sig2, bands)))
       .select(col("id"), col("sig"), col("band"), col("bucket"),
         col("bk2.band").as("band2"), col("bk2.bucket").as("bucket2"))
+    // NOT spilled before the self-join: both sides share one shuffle via
+    // exchange reuse (measured round 8: spilling moved 2.03 s → 1.90 s
+    // the wrong way — the extra write costs more than the reused
+    // exchange saves, unlike the PPJoin prefix whose subtree is deeper)
     val keyed = cold.unionByName(hot)
     keyed.as("x").join(keyed.as("y"), Seq("band", "bucket", "band2", "bucket2"))
       .filter(col("x.id") < col("y.id"))

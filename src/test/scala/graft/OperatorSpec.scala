@@ -833,3 +833,29 @@ class ShardSplitMaskSpec extends AnyFunSuite {
     assert(again == totalMasked)
   }
 }
+
+class SemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("semantic dedup clusters: sketch-prefiltered path == exact-pair path") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    def clusters(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Dedup.clusterPairs(pairs.select(col("id_a"), col("id_b")))
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).cast("int").as("keep"))
+        .as[(Long, Long, Int)].collect().toSet
+    val viaAnn = clusters(
+      Similarity.annPairs(emb, "vec_id", "embedding", minCos = 0.45))
+    val viaExact = clusters(
+      Similarity.exactCosinePairs(emb, "vec_id", "embedding", minCos = 0.45))
+    assert(viaAnn.nonEmpty, "corpus should contain at least one semantic near-dup pair")
+    assert(viaAnn == viaExact)
+    // keep-one policy: exactly one kept member per cluster, the min id
+    val byCluster = viaAnn.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.count(_._3 == 1) == 1)
+      assert(members.map(_._1).min == c)
+    }
+  }
+}
