@@ -304,52 +304,66 @@ object Dedup {
    */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // persist + count materializes each generation exactly once — the
-    // expensive upstream (e.g. exact Jaccard) never recomputes per round —
-    // and every handle is freed as its generation is superseded, so a
-    // shared SparkContext (concurrent queries, parallel suites) never has
-    // foreign RDDs swept up (round-2 advisory: registry diffing raced).
-    // MEMORY_AND_DISK persists are also lineage-recoverable on executor
-    // loss, which localCheckpoint data is not.
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // init fuses the FIRST propagation round into label creation: each
-    // node's starting label is min(self, neighbors), computable from the
-    // symmetric edge list with one aggregate — no join, and one fewer
-    // loop round. The single init action materializes BOTH persists
-    // (labels' lineage runs through edges, populating its storage).
+    // every generation is a parquet spill, NOT a persist: a persisted
+    // Dataset keeps its full logical plan, and this loop references
+    // `labels` twice per round, so plan size doubles each iteration —
+    // measured round 8 at the 10× rehearsal, the convergence count's
+    // AQE plan-string rebuild OOMed an 8 GB driver (exponential lineage,
+    // the classic Spark iterative-algorithm failure; GraphFrames CC
+    // checkpoints every few rounds for exactly this reason). The spill
+    // truncates lineage to a parquet scan every round — plan stays O(1)
+    // in rounds — and the label tables are tiny (two longs per node in
+    // ≥1 pair), so the write is cheap at any scale. File-backed rounds
+    // also survive executor loss and need no unpersist hygiene.
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     def tick[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (dbg) System.err.println(f"[cc-debug] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
       r
     }
-    var gen = edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("src").as("id"), least(col("src"), col("__mn")).as("cluster"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    tick("init")(gen.count())
-    var labels = gen
+    // the expensive upstream (e.g. exact Jaccard) executes exactly once —
+    // into the edge spill; every loop round re-reads the files
+    val edges = tick("edges")(Materialize.viaParquet(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(), "cc_edges"))
+    // init fuses the FIRST propagation round into label creation: each
+    // node's starting label is min(self, neighbors), computable from the
+    // symmetric edge list with one aggregate — no join, one fewer round
+    var labels = tick("init")(Materialize.viaParquet(
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("src").as("id"), least(col("src"), col("__mn")).as("cluster")),
+      "cc_gen"))
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
-      // the convergence flag rides the propagation row (nmin vs current
-      // label), so ONE action per round both materializes the new
-      // generation's persist and decides convergence — no extra join
-      // against the previous generation
-      val nextGen = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster")).as("__chg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = tick(s"round ${i + 1}")(nextGen.filter(col("__chg")).count() == 0)
-      gen.unpersist(blocking = false)
-      gen = nextGen
+      val prop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__prev"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("__c1"))
+      // pointer jump (Shiloach-Vishkin style label shortcutting): follow
+      // the propagated label one more hop through the previous
+      // generation's table — cluster := labels(cluster). Reach doubles
+      // per round, so convergence is O(log diameter) instead of
+      // O(diameter); without it, the round-8 10× rehearsal's
+      // similarity-chain components (diameter > 20) never converged.
+      // A label is always a node id of the same component, so the
+      // lookup join is total where it matters; labels only decrease
+      // (coalesce covers ids whose label is already a root).
+      // the convergence flag rides the propagation row (new vs previous
+      // label): the spill write materializes the generation, and the
+      // convergence decision is a trivial scan of the written files
+      val nextGen = tick(s"round ${i + 1}")(Materialize.viaParquet(
+        prop.join(labels.select(col("id").as("__jid"), col("cluster").as("__c2")),
+            col("__c1") === col("__jid"), "left")
+          .select(col("id"),
+            least(col("__c1"), coalesce(col("__c2"), col("__c1"))).as("cluster"),
+            (least(col("__c1"), coalesce(col("__c2"), col("__c1"))) < col("__prev")).as("__chg")),
+        "cc_gen"))
+      converged = nextGen.filter(col("__chg")).limit(1).count() == 0
       labels = nextGen.select(col("id"), col("cluster"))
       i += 1
     }
@@ -359,12 +373,7 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterPairs: min-label propagation did not converge in $maxIters rounds " +
           "— raise maxIters (component diameter exceeds it)")
-    // hand back a file-backed result and free ALL loop storage: operator
-    // scratch must not outlive the operator in a long-running session
-    val out = Materialize.viaParquet(labels, "cc_labels")
-    gen.unpersist(blocking = false)
-    edges.unpersist(blocking = false)
-    out
+    labels
   }
 
   /**

@@ -506,6 +506,17 @@ class ClusterPairsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("pointer jumping: a 120-node path converges well inside maxIters") {
+    // plain min-label propagation needs O(diameter) rounds — 120 here,
+    // past the default maxIters of 20; the label-shortcut round doubles
+    // reach per iteration, so this must converge (round-8 10× rehearsal
+    // hit exactly this on similarity-chain components)
+    val pairs = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.clusterPairs(pairs).as[(Long, Long)].collect()
+    assert(got.length == 120)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("keep-one dedup policy over jaccard clusters on crafted dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
