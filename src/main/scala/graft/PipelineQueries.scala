@@ -60,6 +60,52 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_vocab" -> ((s, dir) => {
+      // vocabulary build — the counting pass a BPE/unigram tokenizer
+      // trainer starts from: corpus term frequency + document frequency,
+      // ranked. One explode feeding one hash aggregate (partial agg
+      // combines map-side, so the shuffle carries |vocab| rows, not
+      // |tokens|); the top-k is TakeOrderedAndProject, no global sort.
+      rd(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("term"))
+        .limit(100)
+    }),
+
+    "q_tfidf" -> ((s, dir) => {
+      // tf-idf topicality: which terms characterize each document against
+      // the corpus — the classic relevance/quality signal. Term-in-doc
+      // counts and document frequencies are two hash aggregates over the
+      // same exploded scan; idf joins back BROADCAST (the vocabulary is
+      // tiny next to the corpus at any scale), per-doc top-3 via window
+      // rank with a total tie order (score desc, term) so ranks oracle.
+      import org.apache.spark.sql.expressions.Window
+      val docs = rd(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"), round(col("score"), 4).as("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    "q_chunk_docs" -> ((s, dir) => {
+      // context-length chunking: 32-token windows advancing by 24 (8-token
+      // overlap) — see Packing.chunkSpans for the chunk-count arithmetic
+      // and the map-only scale argument; the only shuffle here is the
+      // presentation sort
+      Packing.chunkSpans(
+          rd(s, dir, "documents").select(col("doc_id"), size(tokens(col("text"))).as("nt")),
+          "doc_id", col("nt"), size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // ── dedup ───────────────────────────────────────────────────────────
     "q_dedup_exact" -> ((s, dir) => {
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -358,6 +404,20 @@ object PipelineQueries {
         queryId = 0L, kTop = 20, nProbe = 16)
     }),
 
+    "q_embed_ivf_pairs" -> ((s, dir) => {
+      // the bucketed pair-mining path for clustered corpora: every vector
+      // multi-assigned to its 2 nearest coarse cells, candidates are
+      // co-resident pairs (Σ_cell freq² ≪ n²), exact codegen cosine
+      // re-rank. The coarse quantizer's cell structure is engine-specific
+      // (LSH-seeded Lloyd), so this entry is rows-only checked by the
+      // driver: its pair SEMANTICS (exact cosine at a threshold) are
+      // oracle-covered by q_embed_pairs/q_embed_ann, and its recall claim
+      // by IvfPairsSpec's planted-cluster corpus.
+      Similarity.ivfPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 16, iters = 2, nAssign = 2, minCos = 0.30)
+        .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+    }),
+
     "q_doc_logprob" -> ((s, dir) => {
       // corpus-likelihood quality: unigram LM over the whole corpus, doc
       // score = Σ -ln p(token) / n — the relational form of perplexity
@@ -552,6 +612,39 @@ object PipelineQueries {
          SELECT doc_id, lang_guess,
            CAST(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END AS INT) AS is_match
          FROM g ORDER BY doc_id""",
+    "q_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+         SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         FROM toks GROUP BY term ORDER BY tf DESC, term LIMIT 100""",
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term) AS INT) AS rnk
+           FROM scored)
+         SELECT doc_id, rnk, term, ROUND(score, 4) AS score
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_chunk_docs" ->
+      """WITH d AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             UNNEST(range(0, 1 + GREATEST(0, CAST(CEIL((n_tokens - 32) / 24.0) AS BIGINT)))) AS chunk_id
+           FROM d)
+         SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 24 AS INT) AS t_start,
+           CAST(LEAST(chunk_id * 24 + 32, n_tokens) AS INT) AS t_end
+         FROM c ORDER BY doc_id, chunk_id""",
     "q_dedup_exact" ->
       """WITH u AS (
            SELECT doc_id, text FROM documents

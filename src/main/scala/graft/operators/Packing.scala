@@ -92,4 +92,32 @@ object Packing {
         (expr(s"(cum - 1) div $seqLen") - expr(s"start_tok div $seqLen") + lit(1L))
           .as("n_seqs"))
   }
+
+  /**
+   * Context-length chunking — the inverse of packing: split each document
+   * into fixed `size`-token windows advancing by `stride` (overlap =
+   * size − stride), the preprocessing step that feeds an embedding model
+   * or fixed-context trainer. Emits (id, chunk_id, t_start, t_end) with
+   * t_end exclusive.
+   *
+   * Chunk count is `1 + max(0, ceil((n − size) / stride))`: every chunk
+   * past the first must ADD tokens — the naive `ceil(n / stride)` emits a
+   * final chunk that is pure overlap whenever n mod stride lands in
+   * (0, size − stride]. Boundaries are per-row arithmetic (sequence +
+   * explode, a map-side Generate): no shuffle, so at 100 TB this
+   * parallelizes with the scan it reads from.
+   */
+  def chunkSpans(df: DataFrame, idCol: String, nTokensCol: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    df.select(col(idCol), nTokensCol.cast("long").as("n_tokens"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            ceil((col("n_tokens") - size).cast("double") / stride).cast("long")))))
+      .select(col(idCol), col("chunk_id").cast("int").as("chunk_id"),
+        (col("chunk_id") * stride).cast("int").as("t_start"),
+        least(col("chunk_id") * stride + size, col("n_tokens")).cast("int").as("t_end"))
+  }
 }

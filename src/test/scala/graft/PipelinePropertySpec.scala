@@ -68,4 +68,29 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(got == expect, s"trial $trial: spark=${got.toSeq.sorted} expected=${expect.toSeq.sorted}")
     }
   }
+
+  test("chunkSpans == brute-force sliding window across size/stride regimes") {
+    val gen = Gen.listOfN(150, Gen.chooseNum(1, 200))
+    (1 to 3).foreach { trial =>
+      val ns = gen(Gen.Parameters.default, Seed(11000L + trial)).get
+      val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "nt")
+      // overlap, tiling (stride == size), and stride ≪ size regimes
+      Seq((32, 24), (16, 16), (50, 7)).foreach { case (size, stride) =>
+        val got = Packing.chunkSpans(df, "id", col("nt"), size, stride)
+          .select("id", "chunk_id", "t_start", "t_end").as[(Long, Int, Int, Int)]
+          .collect().groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)).toMap
+        ns.zipWithIndex.foreach { case (n, i) =>
+          // brute force: chunk 0 always; another while the previous window
+          // ends short of the document (i.e. the next chunk adds tokens)
+          val starts = scala.collection.mutable.ArrayBuffer(0)
+          while (starts.last + size < n) starts += starts.last + stride
+          val expect = starts.toSeq.zipWithIndex.map { case (st, c) =>
+            (i.toLong, c, st, math.min(st + size, n))
+          }
+          assert(got(i.toLong) == expect,
+            s"trial $trial size=$size stride=$stride n=$n: ${got(i.toLong)} vs $expect")
+        }
+      }
+    }
+  }
 }

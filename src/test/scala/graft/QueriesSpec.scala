@@ -89,7 +89,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
     "q_embed_topk_multi" -> Seq("BroadcastNestedLoopJoin"), // 5-row broadcast query set
     "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector
-    "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast corpus total
+    "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast corpus total
+    "q_tfidf" -> Seq("BroadcastNestedLoopJoin"))       // 1-row broadcast doc count
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
   // enumerate pairs with the block-matrix self-join (no full-table
   // broadcast) — a BNLJ reappearing there must fail this audit
