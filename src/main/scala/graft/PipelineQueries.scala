@@ -322,6 +322,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrubbing pass: the synthetic corpus carries no contact
+      // strings, so each doc first gets a deterministic injected email +
+      // phone derived from doc_id — the redactor must then find exactly
+      // those (plus anything the raw text happens to match). Pure per-row
+      // codegen'd regex, no shuffle, linear at any scale; the full
+      // redacted text is oracle-checked, not just the counts.
+      val txt = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        piiCount(txt, TextFunctions.EmailPattern).as("n_emails"),
+        piiCount(txt, TextFunctions.PhonePattern).as("n_phones"),
+        redactPii(txt).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── similarity search ───────────────────────────────────────────────
     "q_embed_topk" -> ((s, dir) => {
       Similarity.topKForId(rd(s, dir, "embeddings"), "vec_id", "embedding",
@@ -468,6 +487,18 @@ object PipelineQueries {
         .select(col("id").as("vec_id"), col("cluster"),
           (col("id") === col("cluster")).cast("int").as("keep"))
         .orderBy(col("vec_id"))
+    }),
+
+    "q_knn_classify" -> ((s, dir) => {
+      // kNN majority-vote label propagation (auto-labeling / quality
+      // classification): exact top-5 neighbors by cosine through the
+      // block-matrix pair join, integer-deterministic vote tie-break —
+      // see Similarity.knnClassify for the scale argument. The scale
+      // path swaps the exact pair stage for ivfPairs/annPairs candidates
+      // feeding the SAME vote aggregate.
+      Similarity.knnClassify(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          "label", k = 5)
+        .orderBy(col("id"))
     }),
 
     // ── multimodal plumbing ─────────────────────────────────────────────
@@ -867,6 +898,53 @@ object PipelineQueries {
            CAST(SUM(CASE WHEN (doc_id * 2654435761 + pos * 97) % 100 < 15
              THEN 1 ELSE 0 END) AS INT) AS n_masked
          FROM z GROUP BY doc_id ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS txt
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '\b[0-9]{3}-[0-9]{4}\b')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
+    "q_knn_classify" ->
+      """WITH parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b),
+         pairs AS (SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim FROM comp),
+         sym AS (
+           SELECT id_a AS id, id_b AS nbr, cos_sim FROM pairs
+           UNION ALL SELECT id_b AS id, id_a AS nbr, cos_sim FROM pairs),
+         topk AS (
+           SELECT id, nbr, cos_sim FROM (
+             SELECT id, nbr, cos_sim,
+               row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rnk
+             FROM sym) WHERE rnk <= 5),
+         votes AS (
+           SELECT t.id, e.label AS nbr_label, COUNT(*) AS n_votes,
+             SUM(CAST(ROUND(t.cos_sim * 10000, 0) AS BIGINT)) AS score_i
+           FROM topk t JOIN embeddings e ON t.nbr = e.vec_id
+           GROUP BY t.id, e.label),
+         pred AS (
+           SELECT id, nbr_label, n_votes FROM (
+             SELECT id, nbr_label, n_votes,
+               row_number() OVER (
+                 PARTITION BY id ORDER BY n_votes DESC, score_i DESC, nbr_label) AS vr
+             FROM votes) WHERE vr = 1)
+         SELECT e.vec_id AS id, e.label, p.nbr_label AS pred_label,
+           CAST(p.n_votes AS INT) AS n_votes,
+           CASE WHEN e.label = p.nbr_label THEN 1 ELSE 0 END AS is_correct
+         FROM embeddings e JOIN pred p ON e.vec_id = p.id ORDER BY id""",
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding AS v,

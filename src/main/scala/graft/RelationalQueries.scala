@@ -502,6 +502,31 @@ object RelationalQueries {
         .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
         .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    // ── batch mirror of streaming/StatefulSessions (§2.10) ──────────────
+    "q_events_sessionize" -> ((s, dir) => {
+      // batch sessionization with a 30-min inactivity gap: lag marks
+      // session starts, a running sum numbers them, one rollup per
+      // session. All three window steps share ONE (user_id) partitioning
+      // and ordering, so the plan carries a single Exchange + sort; the
+      // rollup aggregates on the same keys. Seconds are floor-truncated
+      // (unix_timestamp ≡ DuckDB date_diff from epoch) so gap decisions
+      // are engine-identical.
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val flagged = ev.withColumn("is_new",
+        when(lag(col("sec"), 1).over(w).isNull ||
+          col("sec") - lag(col("sec"), 1).over(w) > 1800L, 1L).otherwise(0L))
+      flagged.withColumn("session_idx", sum(col("is_new")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          min(col("sec")).as("start_sec"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"),
+          dsum(col("value")).as("total_value"))
+        .orderBy(col("user_id"), col("session_idx"))
     }))
 
   /** exact decimal revenue term used by several oracles */
@@ -745,5 +770,23 @@ object RelationalQueries {
     "q_events_hourly" ->
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""")
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_events_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             date_diff('second', TIMESTAMP '1970-01-01', CAST(ts AS TIMESTAMP)) AS sec
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
+               THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+             AS session_idx
+           FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(COUNT(*) AS INT) AS n_events,
+           MIN(sec) AS start_sec, MAX(sec) - MIN(sec) AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")
 }

@@ -169,4 +169,24 @@ object TextFunctions {
       when(pmod(docId.cast("long") * lit(2654435761L) + (i + 1).cast("long") * lit(97L),
         lit(100L)) < lit(ratePct.toLong), lit("[MASK]")).otherwise(t))
   }
+
+  /**
+   * PII scrubbing patterns — deliberately restricted to regex constructs
+   * with identical semantics in Java regex (Spark codegen) and RE2
+   * (DuckDB oracle): character classes, bounded repetition, `\b`. No
+   * lookaround, no backreferences.
+   */
+  val EmailPattern = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Redact emails then phone numbers — per-row codegen'd regex, no
+    * shuffle; the replacement order is part of the contract (an email's
+    * digits can never re-match as a phone once collapsed to the tag). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Match count for a PII pattern on the ORIGINAL text (audit metric). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("int")
 }

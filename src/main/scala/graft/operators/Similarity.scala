@@ -345,4 +345,46 @@ object Similarity {
     emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(groupCol), col("pos"))
       .agg(avg(col("v").cast("double")).as("mean_v"))
+
+  /**
+   * kNN majority-vote label propagation — the auto-labeling /
+   * quality-classifier step of a training-data pipeline: each vector is
+   * assigned the majority label of its `k` nearest neighbors by cosine.
+   * Exact baseline built on the same block-matrix pair enumeration as
+   * [[exactCosinePairs]] (no full-table broadcast); the scale path for
+   * the neighbor search is [[ivfPairs]]/[[annPairs]] feeding the same
+   * vote aggregate. Every ordering is total — neighbors rank by
+   * (cos desc, neighbor id), votes by (count desc, mean cos desc, label)
+   * — so the prediction is deterministic and oracle-expressible.
+   *
+   * Plan shape: one quadratic block join (O(n·m) shuffle), one window
+   * per vector id (top-k cut), one hash aggregate (votes), one 1-row
+   * window cut. No step holds more than a block or a vector's k rows.
+   * The vote tie-break sums the 4-dp cosine SCALED TO AN EXACT LONG
+   * (×10⁴, round) — an integer, so cross-engine float-summation order
+   * can never flip a rank the way a mean-of-doubles could.
+   */
+  def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 5): DataFrame = {
+    val pairs = exactCosinePairs(emb, idCol, vecCol)
+    // each unordered pair contributes a neighbor row in BOTH directions
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))
+    val wNbr = Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nbr"))
+    val topk = sym.withColumn("rnk", row_number().over(wNbr)).filter(col("rnk") <= k)
+    val labels = emb.select(col(idCol).as("nbr"), col(labelCol).as("nbr_label"))
+    val votes = topk.join(labels, "nbr")
+      .groupBy(col("id"), col("nbr_label"))
+      .agg(count(lit(1)).as("n_votes"),
+        sum(round(col("cos_sim") * 10000).cast("long")).as("score_i"))
+    val wVote = Window.partitionBy(col("id"))
+      .orderBy(col("n_votes").desc, col("score_i").desc, col("nbr_label"))
+    val pred = votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .select(col("id"), col("nbr_label").as("pred_label"),
+        col("n_votes").cast("int").as("n_votes"))
+    emb.select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(pred, "id")
+      .select(col("id"), col("label"), col("pred_label"), col("n_votes"),
+        (col("label") === col("pred_label")).cast("int").as("is_correct"))
+  }
 }

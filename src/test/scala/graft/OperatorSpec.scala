@@ -870,3 +870,77 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+class KnnClassifySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted clusters: kNN vote recovers the cluster label, incl. a mislabeled point") {
+    // two tight clusters along orthogonal axes plus small per-point jitter;
+    // vector 99 sits IN cluster 0 but carries label 1 — its 5 nearest
+    // neighbors are all true cluster-0 points, so the vote must flip it
+    val rows = (0 until 20).map { i =>
+      val cluster = i % 2
+      val base = if (cluster == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      base(2 + cluster) = 0.01f * (i / 2)  // jitter breaks cosine ties
+      (i.toLong, base.toSeq, cluster)
+    } :+ (99L, Seq(1f, 0f, 0.001f, 0f), 1)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = Similarity.knnClassify(emb, "vec_id", "embedding", "label", k = 5)
+      .select(col("id"), col("pred_label"), col("is_correct"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.size == 21, "every vector gets a prediction")
+    assert(out(99L) == ((0, 0)), "mislabeled point corrected by its true cluster")
+    // all genuine cluster members keep their label
+    (0 until 20).foreach { i =>
+      assert(out(i.toLong) == ((i % 2, 1)), s"vector $i misclassified")
+    }
+  }
+}
+
+class PiiRedactSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.functions.TextFunctions
+
+  test("redaction replaces every planted email/phone and counts them") {
+    val docs = Seq(
+      (1L, "reach me at alice.w@example.org or 555-1234 thanks"),
+      (2L, "no contact info here at all"),
+      (3L, "two mails a@b.com c.d@e.net and 123-4567 999-0000")).toDF("id", "text")
+    val out = docs.select(col("id"),
+        TextFunctions.piiCount(col("text"), TextFunctions.EmailPattern).as("ne"),
+        TextFunctions.piiCount(col("text"), TextFunctions.PhonePattern).as("np"),
+        TextFunctions.redactPii(col("text")).as("red"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == "no contact info here at all")
+    assert(out(3L)._2 == 2 && out(3L)._3 == 2)
+    assert(out(3L)._4 == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("30-min gap splits sessions; rollup counts and durations are exact") {
+    // user 1: three events 10 min apart (one session), then one 2 h later;
+    // user 2: a single event. ts is epoch-NANOS (the events table format —
+    // see RelationalQueries.events)
+    val base = 1704067200L * 1000000000L  // 2024-01-01T00:00:00Z
+    def ts(min: Int) = base + min * 60L * 1000000000L
+    val ev = Seq(
+      (1L, 10L, ts(0), 1.0), (1L, 11L, ts(10), 2.0), (1L, 12L, ts(20), 3.0),
+      (1L, 13L, ts(140), 4.0), (2L, 20L, ts(5), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.queries("q_events_sessionize")(spark, dir)
+      .select(col("user_id"), col("session_idx"), col("n_events"), col("duration_sec"))
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3, 1200L), (1L, 2L, 1, 0L), (2L, 1L, 1, 0L)))
+  }
+}
