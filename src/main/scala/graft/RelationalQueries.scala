@@ -527,6 +527,50 @@ object RelationalQueries {
           (max(col("sec")) - min(col("sec"))).as("duration_sec"),
           dsum(col("value")).as("total_value"))
         .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    "q_events_funnel" -> ((s, dir) => {
+      // ordered funnel signup → view → purchase: per user, the earliest
+      // signup, the earliest view STRICTLY AFTER it, the earliest purchase
+      // after that. Three per-user hash aggregates chained by equi-joins on
+      // user_id — every stage shrinks the key set, nothing is quadratic,
+      // and the whole chain shuffles on the one natural key (AQE can
+      // co-locate the later stages). Timestamps compare at exact
+      // epoch-micros (long), never float.
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_signup"))
+      val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+        .filter(col("t") > col("t_signup"))
+        .groupBy(col("user_id"), col("t_signup")).agg(min(col("t")).as("t_view"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t_view")), "user_id")
+        .filter(col("t") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("t")).as("t_purchase"))
+      s1.join(s2.select(col("user_id"), col("t_view")), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_signup"), col("t_view"), col("t_purchase"),
+          (lit(1) + col("t_view").isNotNull.cast("int") +
+            col("t_purchase").isNotNull.cast("int")).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q_events_transitions" -> ((s, dir) => {
+      // event-sequence transition matrix: (event_type → next event_type)
+      // counts per user timeline — one window on the same (user_id)
+      // partitioning as the sessionizer, one hash aggregate over at most
+      // |types|² keys. The aggregate's tiny key space makes the shuffle
+      // after the window negligible at any scale.
+      val ev = rd(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("t"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
     }))
 
   /** exact decimal revenue term used by several oracles */
@@ -788,5 +832,34 @@ object RelationalQueries {
            CAST(COUNT(*) AS INT) AS n_events,
            MIN(sec) AS start_sec, MAX(sec) - MIN(sec) AS duration_sec,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")
+         FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+    "q_events_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+         s1 AS (
+           SELECT user_id, MIN(t) AS t_signup FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, MIN(e.t) AS t_view FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view' AND e.t > s1.t_signup GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, MIN(e.t) AS t_purchase FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s2.t_view GROUP BY e.user_id)
+         SELECT s1.user_id, s1.t_signup, s2.t_view, s3.t_purchase,
+           1 + CASE WHEN s2.t_view IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN s3.t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+           LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
+    "q_events_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id
+           FROM events),
+         n AS (
+           SELECT event_type, lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY t, event_id) AS next_type
+           FROM e)
+         SELECT event_type, next_type, COUNT(*) AS n FROM n
+         WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type ORDER BY event_type, next_type""")
 }

@@ -943,4 +943,23 @@ class SessionizeSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long)].collect().toSet
     assert(out == Set((1L, 1L, 3, 1200L), (1L, 2L, 1, 0L), (2L, 1L, 1, 0L)))
   }
+
+  test("funnel requires strict signup < view < purchase ordering per user") {
+    val base = 1704067200L * 1000000000L
+    def ts(min: Int) = base + min * 60L * 1000000000L
+    // user 1 completes the funnel; user 2's view precedes signup (stage 1);
+    // user 3's purchase precedes its view (stage 2); user 4 never signs up
+    val ev = Seq(
+      (1L, 1L, ts(0), "signup"), (1L, 2L, ts(5), "view"), (1L, 3L, ts(9), "purchase"),
+      (2L, 4L, ts(0), "view"), (2L, 5L, ts(5), "signup"),
+      (3L, 6L, ts(0), "signup"), (3L, 7L, ts(4), "purchase"), (3L, 8L, ts(8), "view"),
+      (4L, 9L, ts(2), "view"), (4L, 10L, ts(3), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.queries("q_events_funnel")(spark, dir)
+      .select(col("user_id"), col("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2))
+  }
 }
