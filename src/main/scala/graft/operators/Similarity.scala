@@ -323,8 +323,13 @@ object Similarity {
       .agg(sum(col("x") * col("c")).as("dotc"), sum(col("c") * col("c")).as("cc"))
       .withColumn("dist", col("cc") - lit(2.0) * col("dotc"))
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
-    val multiAssign = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nAssign).select(col("id"), col("cell"))
+    // spilled: the candidate self-join consumes this TWICE — inline, the
+    // whole score/window subtree would execute once per join side (the
+    // same double-compute the PPJoin prefix spill eliminates)
+    val multiAssign = Materialize.viaParquet(
+      scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nAssign).select(col("id"), col("cell")),
+      "ivf_multiassign")
     val cands = multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -366,7 +371,10 @@ object Similarity {
    */
   def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 5): DataFrame = {
-    val pairs = exactCosinePairs(emb, idCol, vecCol)
+    // spilled: the symmetric union reads the pair relation TWICE — inline,
+    // the quadratic block join would execute once per union branch
+    val pairs = Materialize.viaParquet(
+      exactCosinePairs(emb, idCol, vecCol), "knn_pairs")
     // each unordered pair contributes a neighbor row in BOTH directions
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))
