@@ -431,9 +431,11 @@ object PipelineQueries {
       // (LSH-seeded Lloyd), so this entry is rows-only checked by the
       // driver: its pair SEMANTICS (exact cosine at a threshold) are
       // oracle-covered by q_embed_pairs/q_embed_ann, and its recall claim
-      // by IvfPairsSpec's planted-cluster corpus.
+      // by IvfPairsSpec's planted-cluster corpus. Cell count derives from
+      // corpus size (k=0) so occupancy — and with it Σ freq² — stays flat
+      // as n grows (the 10× rehearsal measured fixed k=16 at 11× wall).
       Similarity.ivfPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          k = 16, iters = 2, nAssign = 2, minCos = 0.30)
+          iters = 2, nAssign = 2, minCos = 0.30)
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
 

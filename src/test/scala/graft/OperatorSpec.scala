@@ -896,6 +896,15 @@ class KnnClassifySpec extends AnyFunSuite {
     (0 until 20).foreach { i =>
       assert(out(i.toLong) == ((i % 2, 1)), s"vector $i misclassified")
     }
+    // the scale path: ivfPairs-mined candidates feeding the same vote
+    // pipeline must reproduce the exact predictions when cluster structure
+    // puts each vector's true top-k in its cells (here it does)
+    val viaIvf = Similarity.knnClassify(emb, "vec_id", "embedding", "label", k = 5,
+        candidates = Some(Similarity.ivfPairs(emb, "vec_id", "embedding",
+          k = 4, iters = 2, nAssign = 2)))
+      .select(col("id"), col("pred_label"), col("is_correct"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaIvf == out, "candidate-mined kNN diverges from exact kNN")
   }
 }
 

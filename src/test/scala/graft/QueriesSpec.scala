@@ -88,7 +88,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_cross" -> Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
     "q_embed_topk_multi" -> Seq("BroadcastNestedLoopJoin"), // 5-row broadcast query set
-    "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector
+    "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector + k-row centroid arrays
+    "q_embed_ivf_pairs" -> Seq("BroadcastNestedLoopJoin"), // k-row broadcast centroid arrays (k ≤ 4096)
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast corpus total
     "q_tfidf" -> Seq("BroadcastNestedLoopJoin"))       // 1-row broadcast doc count
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
