@@ -491,6 +491,48 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_dedup_hybrid" -> ((s, dir) => {
+      // multi-signal dedup — what production pipelines actually run: exact
+      // text duplicates AND semantic near-dups (cos ≥ 0.45, the recall-1.0
+      // sketch operating point) feed ONE connected-components pass, so a
+      // cluster closes over both signals (doc A = copy of B, B ≈ C ⇒
+      // {A,B,C} one cluster, one keep). The corpus is doubled under
+      // shifted ids (the q_dedup_exact fixture pattern) so the text
+      // branch is non-empty at every SF; copies share their original's
+      // embedding id space implicitly via the text edge.
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
+      val textPairs = Dedup.exactDedupFlags(doubled, "doc_id", "text")
+        .filter(col("is_dup") === 1)
+        .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
+      val semPairs = Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          minCos = 0.45)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusterPairs(textPairs.unionByName(semPairs))
+        .select(col("id"), col("cluster"),
+          (col("id") === col("cluster")).cast("int").as("keep"))
+        .orderBy(col("id"))
+    }),
+
+    "q_quality_filter" -> ((s, dir) => {
+      // stratum-relative quality gate: keep each language's top half by
+      // quality score. The threshold must be PER-STRATUM — a global cut
+      // lets high-resource languages crowd out the rest (the data-mixing
+      // failure mode stratified sampling exists to prevent). Exact
+      // integer arithmetic (2·rank ≤ n) decides the cut; one window
+      // partitioning serves both the rank and the stratum count.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      val wAll = Window.partitionBy(col("lang"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rk") * 2 <= col("n"))
+        .select(col("doc_id"), col("lang"), col("quality"), col("rk").cast("int").as("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_knn_classify" -> ((s, dir) => {
       // kNN majority-vote label propagation (auto-labeling / quality
       // classification): exact top-5 neighbors by cosine through the
@@ -912,6 +954,59 @@ object PipelineQueries {
            regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "q_dedup_hybrid" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 100000, text FROM documents),
+         tg AS (SELECT text, MIN(doc_id) AS mn FROM d GROUP BY text HAVING COUNT(*) > 1),
+         tp AS (
+           SELECT tg.mn AS id_a, d.doc_id AS id_b
+           FROM d JOIN tg ON d.text = tg.text AND d.doc_id > tg.mn),
+         parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b),
+         sp AS (
+           SELECT id_a, id_b FROM comp
+           WHERE ROUND(dot / (na * nb), 4) >= 0.45),
+         good AS (SELECT id_a, id_b FROM tp UNION SELECT id_a, id_b FROM sp),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                   UNION SELECT id_b, id_a FROM good),
+         reach AS (
+           SELECT src AS id, src AS lbl FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         SELECT id, MIN(lbl) AS cluster,
+           CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
+         FROM reach GROUP BY id ORDER BY id""",
+    "q_quality_filter" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+         m AS (SELECT doc_id, lang,
+             len(l) AS n,
+             len(list_distinct(l)) AS u,
+             len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS st
+           FROM t),
+         q AS (
+           SELECT doc_id, lang,
+             ROUND(
+               (CASE WHEN n BETWEEN 20 AND 80 THEN 0.4 WHEN n BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+                + (CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.4)
+               - (CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.2,
+               6) AS quality
+           FROM m),
+         r AS (
+           SELECT doc_id, lang, quality,
+             row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM q)
+         SELECT doc_id, lang, quality, CAST(rk AS INT) AS rk
+         FROM r WHERE rk * 2 <= n ORDER BY doc_id""",
     "q_knn_classify" ->
       """WITH parts AS (
            SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -908,6 +908,33 @@ class KnnClassifySpec extends AnyFunSuite {
   }
 }
 
+class HybridDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("text edges and semantic edges close into single components") {
+    // docs 1 and 4 share text; vectors 2 and 3 are semantic near-dups; the
+    // corpus doubling (+100000) adds a text edge from every doc to its
+    // copy — so {1,4,+copies} and {2,3,+copies} must each close into ONE
+    // cluster spanning both signals
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta"), (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0.9f, 0.1f, 0f), 0),
+      (4L, Seq(0f, 0f, 0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = PipelineQueries.queries("q_dedup_hybrid")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, 1), (4L, 1L, 0), (100001L, 1L, 0), (100004L, 1L, 0),
+      (2L, 2L, 1), (3L, 2L, 0), (100002L, 2L, 0), (100003L, 2L, 0)))
+  }
+}
+
 class PiiRedactSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
