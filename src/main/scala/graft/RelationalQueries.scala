@@ -292,6 +292,22 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // forward as-of: each purchase matched to the EARLIEST signup at or
+      // after it — the same single-shuffle union-sort as q_asof_join read
+      // through the mirrored window frame (AsOfJoin direction="forward")
+      val e = rd(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asof(purchases, signups,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightId = "event_id", rightCols = Nil, direction = "forward")
+        .select(col("event_id"), col("user_id"), col("asof_event_id").as("next_signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── windows (§2.5) ──────────────────────────────────────────────────
     "q_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -717,6 +733,19 @@ object RelationalQueries {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
            FROM u)
          SELECT event_id, user_id, signup_id FROM m WHERE side = 1 ORDER BY event_id""",
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+         u AS (
+           SELECT event_id, user_id, uts, 1 AS side, NULL AS sid FROM e WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, uts, 0 AS side, event_id AS sid FROM e WHERE event_type = 'signup'),
+         m AS (
+           SELECT event_id, user_id, side,
+             FIRST_VALUE(sid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side DESC, sid NULLS FIRST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_id
+           FROM u)
+         SELECT event_id, user_id, next_signup_id FROM m WHERE side = 1 ORDER BY event_id""",
     "q_window_topk" ->
       """SELECT user_id, rn, event_id, value FROM (
            SELECT user_id, event_id, value,

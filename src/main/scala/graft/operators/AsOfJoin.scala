@@ -19,17 +19,33 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /**
-   * For each left row: the payload of the right row with the greatest
-   * `rightTs <= leftTs` and equal `on` keys (ties on ts broken by the
-   * greatest `rightId`). Right payload columns come back null-filled when
-   * no earlier right row exists.
+   * For each left row: the payload of the matching right row under the
+   * chosen `direction` and equal `on` keys. Right payload columns come
+   * back null-filled when no matching right row exists.
+   *
+   *  - `backward` (default): greatest `rightTs <= leftTs`; ties on ts
+   *    broken by the greatest `rightId` (the last seen).
+   *  - `forward`: smallest `rightTs >= leftTs`; ties by smallest id.
+   *  - `nearest`: whichever of the two is closer in time; exact ties
+   *    prefer backward (pandas `merge_asof` convention).
+   *
+   * All three directions cost the SAME single shuffle on the key: the
+   * union–sort runs once, `forward` reads a mirrored window frame
+   * ([current, unbounded following] with left-before-right tie order)
+   * over the same partitioning, and `nearest` evaluates both frames and
+   * selects per row — Catalyst plans one Exchange with (at most) two
+   * sorts, never a second shuffle.
    *
    * @param rightCols right columns to carry (must include none of left's)
    */
   def asof(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTs: String, rightTs: String, rightId: String,
-      rightCols: Seq[String]): DataFrame = {
-    val carried = (rightId +: rightCols).distinct
+      rightCols: Seq[String], direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction: $direction")
+    // nearest needs the matched ts on both sides to compare distances
+    val carriedOut = (rightId +: rightCols).distinct
+    val carried = (carriedOut ++ (if (direction == "nearest") Seq(rightTs) else Nil)).distinct
     val leftCols = left.columns.toSeq
 
     val l = carried.foldLeft(
@@ -46,14 +62,39 @@ object AsOfJoin {
     )((d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
 
     val u = l.unionByName(r.select(l.columns.map(col): _*))
-    // right rows sort before left at equal ts (side 0 < 1) → `<=` as-of;
-    // among right rows at equal ts the greatest rightId wins (last seen).
-    val w = Window.partitionBy(on.map(col): _*)
+    // backward: right rows sort before left at equal ts (side 0 < 1) →
+    // `<=` as-of; among right rows at equal ts the greatest rightId wins
+    // (last seen under asc id order).
+    val wB = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col(s"__r_$rightId").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picked = carried.foldLeft(u)((d, c) =>
-      d.withColumn(s"__p_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w)))
+    // forward: same asc ts order read FORWARD — left rows sort before
+    // right at equal ts (side desc) so an equal-ts right row lands in the
+    // following frame (`>=`); first non-null under asc id = smallest id.
+    val wF = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").desc, col(s"__r_$rightId").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val picked = direction match {
+      case "backward" =>
+        carried.foldLeft(u)((d, c) =>
+          d.withColumn(s"__p_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wB)))
+      case "forward" =>
+        carried.foldLeft(u)((d, c) =>
+          d.withColumn(s"__p_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wF)))
+      case "nearest" =>
+        val both = carried.foldLeft(u)((d, c) => d
+          .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wB))
+          .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wF)))
+        val bts = col(s"__b_$rightTs")
+        val fts = col(s"__f_$rightTs")
+        // backward wins exact distance ties; a missing side loses
+        val useB = fts.isNull ||
+          (bts.isNotNull && (col("__ts") - bts) <= (fts - col("__ts")))
+        carried.foldLeft(both)((d, c) =>
+          d.withColumn(s"__p_$c", when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+    }
     picked.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ carried.map(c => col(s"__p_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++ carriedOut.map(c => col(s"__p_$c").as(s"asof_$c")): _*)
   }
 }

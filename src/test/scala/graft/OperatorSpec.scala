@@ -25,6 +25,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(101L).isEmpty)        // nothing at or before ts 10
     assert(got(102L).isEmpty)        // right exists only later
     assert(got(103L).isEmpty)        // key has no right rows at all
+
+    val fwd = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", "event_id", Nil,
+        direction = "forward")
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(fwd(100L).contains(2L))   // >= semantics + tie -> smallest id
+    assert(fwd(101L).contains(1L))   // earliest signup after ts 10 is ts 20
+    assert(fwd(102L).contains(4L))   // the later-only signup now matches
+    assert(fwd(103L).isEmpty)
+
+    val near = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", "event_id", Nil,
+        direction = "nearest")
+      .select("event_id", "asof_event_id").as[(Long, Option[Long])].collect().toMap
+    assert(near(100L).contains(3L))  // exact-distance tie prefers backward
+    assert(near(101L).contains(1L))  // only a forward match exists
+    assert(near(102L).contains(4L))
+    assert(near(103L).isEmpty)
   }
 }
 
