@@ -491,6 +491,28 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_embed_pq" -> ((s, dir) => {
+      // product quantization: 64 float32 dims → 8 codebook codes (32×
+      // compression vs int8's 4×), per-vector reconstruction RMSE
+      // reported alongside. Codebooks are engine-specific (Lloyd), so
+      // rows-only at the driver gate; PqSpec pins exact-reconstruction on
+      // planted two-point subspaces, code ranges, and determinism.
+      val emb = rd(s, dir, "embeddings")
+      val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val codeStr = codes.groupBy(col("id"))
+        .agg(sort_array(collect_list(struct(col("sub"), col("cell")))).as("sc"))
+        .select(col("id"),
+          concat_ws(",", transform(col("sc"),
+            e => e.getField("cell").cast("string"))).as("pq_code"))
+      val rmse = Similarity.pqReconstructionRmse(emb, "vec_id", "embedding",
+        codes, book, m = 8)
+      codeStr.join(rmse, "id")
+        .select(col("id").as("vec_id"), col("pq_code"),
+          round(col("rmse"), 4).as("rmse"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_dedup_hybrid" -> ((s, dir) => {
       // multi-signal dedup — what production pipelines actually run: exact
       // text duplicates AND semantic near-dups (cos ≥ 0.45, the recall-1.0

@@ -572,6 +572,28 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    "q_events_retention" -> ((s, dir) => {
+      // cohort retention: users grouped by the week of their first event,
+      // counted distinct in each later activity week. Two hash aggregates
+      // (first-seen per user, distinct user-weeks) joined on user_id, then
+      // a tiny-keyed rollup — no window, no quadratic step; at scale the
+      // user_id aggregates shuffle once each and the final rollup's key
+      // space is |cohorts|·|offsets|. Week offsets divide exactly: both
+      // stamps are week-truncated, so the difference is a whole number of
+      // 604800-second weeks.
+      val ev = rd(s, dir, "events").select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+      act.join(firsts, "user_id")
+        .withColumn("week_offset",
+          ((unix_timestamp(col("w")) - unix_timestamp(col("cohort_week"))) / 604800L)
+            .cast("int"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
     "q_events_transitions" -> ((s, dir) => {
       // event-sequence transition matrix: (event_type → next event_type)
       // counts per user timeline — one window on the same (user_id)
@@ -880,6 +902,16 @@ object RelationalQueries {
          FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
            LEFT JOIN s3 ON s1.user_id = s3.user_id
          ORDER BY s1.user_id""",
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS uts FROM events),
+         f AS (SELECT user_id, date_trunc('week', MIN(uts)) AS cohort_week
+               FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', uts) AS w FROM e)
+         SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.w) AS INT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_events_transitions" ->
       """WITH e AS (
            SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_id

@@ -389,6 +389,92 @@ object Similarity {
       .agg(avg(col("v").cast("double")).as("mean_v"))
 
   /**
+   * Product quantization (Jégou et al., TPAMI 2011 — public): the d-dim
+   * vector splits into `m` subspaces of d/m dims, each with its own
+   * k-entry codebook trained by the SAME broadcast-centroid-array Lloyd
+   * as [[ivfIndex]], vectorized across subspaces — every stage keys on
+   * (sub, cell), so all m codebooks train in one pipeline with no
+   * per-subspace driver loop. A vector encodes as m small codes:
+   * d·4 bytes → m·1 bytes at k ≤ 256 (32× here vs int8's 4×).
+   *
+   * Returns (codes (id, sub, cell), codebook (sub, cell, cvec, cc)) —
+   * both parquet-spilled index artifacts, like [[ivfIndex]]'s.
+   */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val subs = emb.select(col(idCol).as("id"), posexplode(
+      array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "svec")))
+    // deterministic data-dependent seeds, like ivfIndex's LSH buckets
+    var codes = subs.select(col("id"), col("sub"),
+      pmod(xxhash64(col("svec")), lit(k)).cast("int").as("cell"))
+    for (_ <- 0 until iters) {
+      val cents = subs
+        .select(col("id"), col("sub"), posexplode(col("svec")).as(Seq("dpos", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .join(codes, Seq("id", "sub"))
+        .groupBy(col("sub"), col("cell"), col("dpos")).agg(avg(col("x")).as("c"))
+      codes = nearestSubCell(subs, subCentroidArrays(cents), spark)
+    }
+    val codesM = Materialize.viaParquet(codes, "pq_codes")
+    val book = Materialize.viaParquet(
+      subCentroidArrays(subs
+        .select(col("id"), col("sub"), posexplode(col("svec")).as(Seq("dpos", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .join(codesM, Seq("id", "sub"))
+        .groupBy(col("sub"), col("cell"), col("dpos")).agg(avg(col("x")).as("c"))),
+      "pq_book")
+    (codesM, book)
+  }
+
+  /** Per-vector reconstruction RMSE of a PQ encoding: decode = the
+    * centroid of each subspace's code, error accumulated with one
+    * `zip_with` per (vector, subspace) row — no per-dimension explosion. */
+  def pqReconstructionRmse(emb: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, book: DataFrame, m: Int): DataFrame = {
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val subDim = dim / m
+    val subs = emb.select(col(idCol).as("id"), posexplode(
+      array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "svec")))
+    subs.join(codes, Seq("id", "sub"))
+      .join(broadcast(book), Seq("sub", "cell"))
+      .select(col("id"),
+        aggregate(zip_with(col("svec"), col("cvec"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, e) => acc + e).as("sqe"))
+      .groupBy(col("id"))
+      .agg(sqrt(sum(col("sqe")) / lit(dim.toDouble)).as("rmse"))
+  }
+
+  /** (sub, cell, d, c) relational centroids → (sub, cell, cvec, cc) array
+    * rows; m·k rows, broadcastable. The subspace-keyed twin of
+    * [[centroidArrays]]. */
+  private def subCentroidArrays(cents: DataFrame): DataFrame =
+    cents.groupBy(col("sub"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("dpos"), col("c")))).as("dc"))
+      .select(col("sub"), col("cell"),
+        transform(col("dc"), e => e.getField("c").cast("float")).as("cvec"),
+        aggregate(col("dc"), lit(0.0),
+          (acc, e) => acc + e.getField("c") * e.getField("c")).as("cc"))
+
+  /** Nearest cell per (vector, subspace): the equi-join on `sub` fans each
+    * subvector out to its k candidate cells only; min(struct) combines
+    * map-side, one surviving row per (id, sub). */
+  private def nearestSubCell(subs: DataFrame, centArr: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    subs.join(broadcast(centArr), "sub")
+      .select(col("id"), col("sub"), col("cell"),
+        (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("svec"), col("cvec")))
+          .as("dist"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cell").as("cell"))
+
+  /**
    * kNN majority-vote label propagation — the auto-labeling /
    * quality-classifier step of a training-data pipeline: each vector is
    * assigned the majority label of its `k` nearest neighbors by cosine.

@@ -924,6 +924,38 @@ class KnnClassifySpec extends AnyFunSuite {
   }
 }
 
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted two-point subspaces reconstruct exactly; codes bounded and deterministic") {
+    // every subspace slice takes one of TWO exact values per vector, so a
+    // k≥2 Lloyd codebook must land centroids ON those values → RMSE ~ 0
+    val m = 4; val subDim = 2
+    val u = Seq(1f, 2f); val w = Seq(-3f, 0.5f)
+    val rows = (0 until 24).map { i =>
+      val vec = (0 until m).flatMap(s => if (((i >> s) & 1) == 0) u else w)
+      (i.toLong, vec)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+      m = m, k = 4, iters = 3)
+    val c = codes.as[(Long, Int, Int)].collect()
+    assert(c.length == 24 * m, "one code per (vector, subspace)")
+    assert(c.forall { case (_, sub, cell) => sub >= 0 && sub < m && cell >= 0 && cell < 4 })
+    val rmse = Similarity.pqReconstructionRmse(emb, "vec_id", "embedding",
+        codes, book, m)
+      .as[(Long, Double)].collect().toMap
+    assert(rmse.size == 24)
+    assert(rmse.values.forall(_ < 1e-6), s"max rmse ${rmse.values.max}")
+    // determinism: hash seeds + exact means ⇒ identical re-run
+    val (codes2, _) = Similarity.pqEncode(emb, "vec_id", "embedding",
+      m = m, k = 4, iters = 3)
+    assert(codes2.as[(Long, Int, Int)].collect().toSet == c.toSet)
+  }
+}
+
 class HybridDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
