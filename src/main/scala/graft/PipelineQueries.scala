@@ -513,6 +513,19 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_embed_pq_topk" -> ((s, dir) => {
+      // the PQ search mode: top-20 nearest to vector 0 by asymmetric
+      // distance — m·k lookup table broadcast, corpus scored from its
+      // 8-byte codes alone (the floats are never scanned). Rows-only:
+      // distances come through the engine-specific codebook; PqSpec pins
+      // ADC == exact ranking where reconstruction is exact.
+      val emb = rd(s, dir, "embeddings")
+      val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      Similarity.pqTopK(emb, "vec_id", "embedding", codes, book, m = 8,
+        queryId = 0L, kTop = 20)
+    }),
+
     "q_dedup_hybrid" -> ((s, dir) => {
       // multi-signal dedup — what production pipelines actually run: exact
       // text duplicates AND semantic near-dups (cos ≥ 0.45, the recall-1.0

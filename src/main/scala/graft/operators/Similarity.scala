@@ -450,6 +450,41 @@ object Similarity {
       .agg(sqrt(sum(col("sqe")) / lit(dim.toDouble)).as("rmse"))
   }
 
+  /**
+   * ADC (asymmetric distance) top-k over a PQ-encoded corpus: the query
+   * stays float, each (sub, cell) gets a precomputed partial squared
+   * distance ‖q_s − c_{s,cell}‖² in an m·k lookup table (broadcast), and
+   * a corpus vector's approximate distance is the SUM of its m code
+   * lookups — an equi-join on (sub, cell) plus one hash aggregate whose
+   * partial side combines a vector's m rows map-side. The corpus FLOATS
+   * are never read: search touches only the m-byte codes, which is what
+   * makes PQ a storage win at 100 TB. Exact on corpora the codebook
+   * reconstructs exactly (PqSpec); approximate otherwise — re-rank the
+   * top candidates with [[topKForId]] over the float column when exact
+   * order matters.
+   */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, book: DataFrame, m: Int,
+      queryId: Long, kTop: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val subDim = dim / m
+    val qsubs = emb.filter(col(idCol) === queryId).select(posexplode(
+      array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "qsvec")))
+    val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
+    val qtab = book.join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("cell"),
+        (col("cc") - lit(2.0) * gd(col("qsvec"), col("cvec")) +
+          gd(col("qsvec"), col("qsvec"))).as("pdist"))
+    codes.filter(col("id") =!= queryId)
+      .join(broadcast(qtab), Seq("sub", "cell"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("pdist")), 4).as("approx_dist"))
+      .orderBy(col("approx_dist"), col("id"))
+      .limit(kTop)
+  }
+
   /** (sub, cell, d, c) relational centroids → (sub, cell, cvec, cc) array
     * rows; m·k rows, broadcastable. The subspace-keyed twin of
     * [[centroidArrays]]. */

@@ -953,6 +953,21 @@ class PqSpec extends AnyFunSuite {
     val (codes2, _) = Similarity.pqEncode(emb, "vec_id", "embedding",
       m = m, k = 4, iters = 3)
     assert(codes2.as[(Long, Int, Int)].collect().toSet == c.toSet)
+
+    // ADC search: with exact reconstruction, code-only distances equal
+    // true distances, so PQ top-k must match the brute-force ranking
+    val adc = Similarity.pqTopK(emb, "vec_id", "embedding", codes, book,
+        m, queryId = 0L, kTop = 5)
+      .as[(Long, Double)].collect()
+    val q = rows.head._2
+    val exact = rows.tail.map { case (id, v) =>
+      (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble)
+    }.sortBy(p => (p._2, p._1)).take(5)
+    assert(adc.map(_._1).toSeq == exact.map(_._1).toSeq,
+      s"ADC ranking ${adc.toSeq} != exact ${exact.toSeq}")
+    adc.zip(exact).foreach { case ((_, ad), (_, ed)) =>
+      assert(math.abs(ad - ed) < 1e-3, s"ADC distance $ad != exact $ed")
+    }
   }
 }
 
