@@ -403,7 +403,12 @@ object Similarity {
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // one tiny driver job to learn dimensionality — index build is
+    // already a multi-job operation, and a loud error beats a cryptic
+    // head() failure on an empty corpus
+    val firstRow = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstRow.nonEmpty, "pqEncode: empty embedding corpus")
+    val dim = firstRow(0).getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val subs = emb.select(col(idCol).as("id"), posexplode(
