@@ -491,6 +491,26 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // the pipeline capstone, contracted under the ORACLE gate: each
+      // stage is oracled individually elsewhere; this entry pins their
+      // COMPOSITION. Doubled corpus (dup fixture) → exact-dedup keep-one
+      // (sha-keyed window) → quality threshold → per-language mixture
+      // report with an order-independent decimal quality sum. Two keyed
+      // shuffles end to end (dedup window, report aggregate).
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
+      Dedup.exactDedupFlags(doubled, "doc_id", "text")
+        .filter(col("is_dup") === 0)
+        .withColumn("quality", qualityScore(col("text")))
+        .filter(col("quality") >= 0.3)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+          sum(col("quality").cast("decimal(18,6)")).cast("double").as("sum_quality"))
+        .orderBy(col("lang"))
+    }),
+
     "q_embed_pq" -> ((s, dir) => {
       // product quantization: 64 float32 dims → 8 codebook codes (32×
       // compression vs int8's 4×), per-vector reconstruction RMSE
@@ -989,6 +1009,32 @@ object PipelineQueries {
            regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "q_pipeline_e2e" ->
+      """WITH d AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL SELECT doc_id + 100000, lang, text FROM documents),
+         k AS (SELECT doc_id, lang, text,
+             MIN(doc_id) OVER (PARTITION BY text) AS keep_id FROM d),
+         t AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+               FROM k WHERE doc_id = keep_id),
+         m AS (SELECT doc_id, lang,
+             len(l) AS n,
+             len(list_distinct(l)) AS u,
+             len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS st
+           FROM t),
+         q AS (
+           SELECT doc_id, lang, n,
+             ROUND(
+               (CASE WHEN n BETWEEN 20 AND 80 THEN 0.4 WHEN n BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+                + (CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.4)
+               - (CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.2,
+               6) AS quality
+           FROM m)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+         FROM q WHERE quality >= 0.3
+         GROUP BY lang ORDER BY lang""",
     "q_dedup_hybrid" ->
       """WITH RECURSIVE d AS (
            SELECT doc_id, text FROM documents
