@@ -491,6 +491,34 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_token_pmi" -> ((s, dir) => {
+      // collocation mining: pointwise mutual information of adjacent token
+      // pairs, ln((c12/N2) / ((c1/N1)(c2/N1))) — the corpus-statistics
+      // signal behind phrase detection. Three hash aggregates (unigrams,
+      // bigrams, two tiny totals) + two vocabulary-keyed joins; map-side
+      // partial aggregation keeps the shuffles vocabulary-sized, and the
+      // min-count cut (c12 ≥ 5) makes the ranked output stable.
+      val docs = rd(s, dir, "documents")
+      val t = tokens(col("text"))
+      val toks = docs.select(explode(t).as("w"))
+      val bis = docs.select(explode(transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n1 = toks.agg(count(lit(1)).cast("double").as("n1"))
+      val n2 = bis.agg(count(lit(1)).cast("double").as("n2"))
+      bis.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12") / col("n2")) /
+            ((col("c1") / col("n1")) * (col("c2") / col("n1")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     "q_pipeline_e2e" -> ((s, dir) => {
       // the pipeline capstone, contracted under the ORACLE gate: each
       // stage is oracled individually elsewhere; this entry pins their
@@ -1009,6 +1037,22 @@ object PipelineQueries {
            regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "q_token_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+         toks AS (SELECT UNNEST(l) AS w FROM t),
+         bis AS (SELECT UNNEST(list_transform(range(1, len(l)),
+             i -> struct_pack(w1 := l[i], w2 := l[i+1]))) AS b FROM t),
+         bi AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bis),
+         uni AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+         n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1 FROM toks),
+         n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n2 FROM bi),
+         cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2 HAVING COUNT(*) >= 5)
+         SELECT cb.w1, cb.w2, cb.c12,
+           ROUND(LN((cb.c12 / n2.n2) / ((u1.c / n1.n1) * (u2.c / n1.n1))), 4) AS pmi
+         FROM cb
+         JOIN uni u1 ON cb.w1 = u1.w
+         JOIN uni u2 ON cb.w2 = u2.w, n1, n2
+         ORDER BY pmi DESC, cb.w1, cb.w2 LIMIT 50""",
     "q_pipeline_e2e" ->
       """WITH d AS (
            SELECT doc_id, lang, text FROM documents
