@@ -491,6 +491,30 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_embed_outliers" -> ((s, dir) => {
+      // embedding-space curation: rank vectors by cosine distance to their
+      // OWN label centroid — mislabeled or corrupted embeddings surface at
+      // the top. Centroids are the q_embed_centroids aggregate ROUNDED to
+      // 6dp so the score is engine-exact; the cosine runs relationally on
+      // the (label, pos)-keyed join — n·d narrow rows, one shuffle, then
+      // TakeOrderedAndProject for the top-20 report.
+      val emb = rd(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "label", "embedding")
+        .select(col("label"), col("pos"), round(col("mean_v"), 6).as("c"))
+      emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("x", col("x").cast("double"))
+        .join(cents, Seq("label", "pos"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("x") * col("c")).as("dot"),
+          sqrt(sum(col("x") * col("x"))).as("nx"),
+          sqrt(sum(col("c") * col("c"))).as("nc"))
+        .select(col("vec_id"), col("label"),
+          round(lit(1.0) - col("dot") / (col("nx") * col("nc")), 4).as("dist"))
+        .orderBy(col("dist").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     "q_token_pmi" -> ((s, dir) => {
       // collocation mining: pointwise mutual information of adjacent token
       // pairs, ln((c12/N2) / ((c1/N1)(c2/N1))) — the corpus-statistics
@@ -1041,6 +1065,23 @@ object PipelineQueries {
            regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "q_embed_outliers" ->
+      """WITH p AS (
+           SELECT vec_id, label, UNNEST(embedding) AS x,
+             UNNEST(range(0, len(embedding))) AS pos
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS c
+           FROM p GROUP BY label, pos),
+         j AS (
+           SELECT p.vec_id, p.label,
+             SUM(CAST(p.x AS DOUBLE) * cent.c) AS dot,
+             SQRT(SUM(CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE))) AS nx,
+             SQRT(SUM(cent.c * cent.c)) AS nc
+           FROM p JOIN cent ON p.label = cent.label AND p.pos = cent.pos
+           GROUP BY p.vec_id, p.label)
+         SELECT vec_id, label, ROUND(1.0 - dot / (nx * nc), 4) AS dist
+         FROM j ORDER BY dist DESC, vec_id LIMIT 20""",
     "q_token_pmi" ->
       """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
          toks AS (SELECT UNNEST(l) AS w FROM t),
