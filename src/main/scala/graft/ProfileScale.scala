@@ -64,7 +64,7 @@ object ProfileScale {
         "q_events_sessionize", "q_events_funnel", "q_events_transitions",
         "q_dedup_hybrid", "q_quality_filter", "q_events_retention",
         "q_asof_forward", "q_embed_pq", "q_embed_pq_topk",
-        "q_token_pmi", "q_pipeline_e2e")
+        "q_token_pmi", "q_pipeline_e2e", "q_embed_outliers")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       Seq("sf0.1" -> src, "sf1" -> Sf1Dir).foreach { case (tag, dir) =>
