@@ -491,6 +491,27 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_source_mix" -> ((s, dir) => {
+      // corpus provenance report — the "where does my training data come
+      // from" table every pipeline logs: per (source, lang) doc counts,
+      // token volume, token share of the whole corpus, and an
+      // order-independent decimal quality sum. One hash aggregate over a
+      // tiny key space + a 1-row broadcast total.
+      val d = rd(s, dir, "documents").select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        qualityScore(col("text")).as("q"))
+      val total = d.agg(sum(col("nt")).cast("double").as("tot"))
+      d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("total_tokens"),
+          sum(col("q").cast("decimal(18,6)")).cast("double").as("sum_quality"))
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+          round(col("total_tokens") / col("tot"), 6).as("token_share"),
+          col("sum_quality"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     "q_embed_outliers" -> ((s, dir) => {
       // embedding-space curation: rank vectors by cosine distance to their
       // OWN label centroid — mislabeled or corrupted embeddings surface at
@@ -1065,6 +1086,27 @@ object PipelineQueries {
            regexp_replace(regexp_replace(txt, '[a-z0-9._]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
              '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
          FROM p ORDER BY doc_id""",
+    "q_source_mix" ->
+      """WITH t AS (SELECT source, lang, string_split(text, ' ') AS l FROM documents),
+         m AS (SELECT source, lang,
+             CAST(len(l) AS BIGINT) AS nt,
+             len(l) AS n, len(list_distinct(l)) AS u,
+             len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS st
+           FROM t),
+         q AS (SELECT source, lang, nt,
+             ROUND(
+               (CASE WHEN n BETWEEN 20 AND 80 THEN 0.4 WHEN n BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+                + (CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.4)
+               - (CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.2,
+               6) AS quality
+           FROM m),
+         tot AS (SELECT CAST(SUM(nt) AS DOUBLE) AS tot FROM q)
+         SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(SUM(nt) / tot.tot, 6) AS token_share,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+         FROM q, tot
+         GROUP BY source, lang, tot.tot ORDER BY source, lang""",
     "q_embed_outliers" ->
       """WITH p AS (
            SELECT vec_id, label, UNNEST(embedding) AS x,

@@ -92,7 +92,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_embed_ivf_pairs" -> Seq("BroadcastNestedLoopJoin"), // k-row broadcast centroid arrays (k ≤ 4096)
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast corpus total
     "q_tfidf" -> Seq("BroadcastNestedLoopJoin"),       // 1-row broadcast doc count
-    "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"))   // two 1-row broadcast totals (N1, N2)
+    "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
+    "q_source_mix" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast corpus token total
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
   // enumerate pairs with the block-matrix self-join (no full-table
   // broadcast) — a BNLJ reappearing there must fail this audit
