@@ -84,7 +84,18 @@ object Bench {
     }.mkString("{", ",", "}")
     System.err.println(s"""[bench] spread $spread""")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}""")
+    // the stdout line is captured with a 2000-char TAIL limit: with 100
+    // queries the inline per-query map pushed the line past the limit and
+    // decapitated the JSON two rounds running (r7/r8 parsed:null). Keep
+    // stdout to ONE SHORT line (total only — always parseable) and route
+    // the full per-query medians to a sidecar file + stderr.
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"sf":"$sfDir"}"""
+    System.err.println(s"[bench] full $full")
+    val sidecar = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "/root/repo/BENCH_QUERIES.json"))
+    try java.nio.file.Files.write(sidecar, (full + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException => System.err.println(s"[bench] sidecar write failed: $e") }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.distinct.size} queries FAILED: ${failures.reverse.distinct.mkString(", ")}")

@@ -549,7 +549,14 @@ object PipelineQueries {
       // at 5.8 s vs 1.3 s)
       val docsL = rd(s, dir, "documents").select(tokens(col("text")).as("l"))
       val toks = docsL.select(explode(col("l")).as("w"))
-      val bis = docsL.select(explode(transform(sequence(lit(1), size(col("l")) - 1),
+      // one-token docs must be excluded BEFORE the index sequence:
+      // sequence(1, 0) DESCENDS to [1,0] and element_at(l, 0) throws,
+      // while DuckDB's range(1, len(l)) is simply empty — the same
+      // degenerate-input trap TextFunctions.shingles guards. A doc with
+      // < 2 tokens has no bigrams in either engine, so the filter is
+      // semantics-preserving.
+      val bis = docsL.filter(size(col("l")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("l")) - 1),
         i => struct(element_at(col("l"), i).as("w1"),
           element_at(col("l"), i + 1).as("w2")))).as("b"))
         .select(col("b.w1"), col("b.w2"))
@@ -595,7 +602,7 @@ object PipelineQueries {
       // rows-only at the driver gate; PqSpec pins exact-reconstruction on
       // planted two-point subspaces, code ranges, and determinism.
       val emb = rd(s, dir, "embeddings")
-      val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+      val (codes, book, dim) = Similarity.pqEncode(emb, "vec_id", "embedding",
         m = 8, k = 16, iters = 2)
       val codeStr = codes.groupBy(col("id"))
         .agg(sort_array(collect_list(struct(col("sub"), col("cell")))).as("sc"))
@@ -603,7 +610,7 @@ object PipelineQueries {
           concat_ws(",", transform(col("sc"),
             e => e.getField("cell").cast("string"))).as("pq_code"))
       val rmse = Similarity.pqReconstructionRmse(emb, "vec_id", "embedding",
-        codes, book, m = 8)
+        codes, book, m = 8, dim = dim)
       codeStr.join(rmse, "id")
         .select(col("id").as("vec_id"), col("pq_code"),
           round(col("rmse"), 4).as("rmse"))
@@ -617,9 +624,9 @@ object PipelineQueries {
       // distances come through the engine-specific codebook; PqSpec pins
       // ADC == exact ranking where reconstruction is exact.
       val emb = rd(s, dir, "embeddings")
-      val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+      val (codes, book, dim) = Similarity.pqEncode(emb, "vec_id", "embedding",
         m = 8, k = 16, iters = 2)
-      Similarity.pqTopK(emb, "vec_id", "embedding", codes, book, m = 8,
+      Similarity.pqTopK(emb, "vec_id", "embedding", codes, book, m = 8, dim = dim,
         queryId = 0L, kTop = 20)
     }),
 
@@ -632,6 +639,16 @@ object PipelineQueries {
       // shifted ids (the q_dedup_exact fixture pattern) so the text
       // branch is non-empty at every SF; copies share their original's
       // embedding id space implicitly via the text edge.
+      //
+      // ORACLE OPERATING POINT (corpus-dependent, like q_embed_ann): the
+      // DuckDB oracle enumerates exact cosine pairs, while this side mines
+      // them through the 512-bit sketch cut (minEstCos=0.25). Equality
+      // holds because the cut was MEASURED recall-1.0 at the 0.45 exact
+      // threshold on this corpus at both SFs (min qualifying est-cos 0.33
+      // — a 3.4σ margin, ProfileOracleSix); on a different corpus,
+      // re-measure the margin or swap semPairs to
+      // Similarity.exactCosinePairs (same output, quadratic full-width
+      // compare instead of the 64 B/row sketch stage).
       val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
       val textPairs = Dedup.exactDedupFlags(doubled, "doc_id", "text")

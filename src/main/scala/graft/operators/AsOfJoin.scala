@@ -61,7 +61,15 @@ object AsOfJoin {
         .drop(rightTs)
     )((d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
 
+    // the matched right ROW travels as one struct, picked once per left
+    // row — per-column first/last(ignoreNulls) would fill a null right
+    // payload column from a DIFFERENT right row than asof_<rightId>
+    // (row tearing). The struct is null on left rows (so ignoreNulls
+    // skips them) but NON-null on every right row even when payload
+    // fields are null, which is exactly the atomic-pick semantics.
     val u = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__r_all", when(col("__side") === 0,
+        struct(carried.map(c => col(s"__r_$c").as(c)): _*)).otherwise(lit(null)))
     // backward: right rows sort before left at equal ts (side 0 < 1) →
     // `<=` as-of; among right rows at equal ts the greatest rightId wins
     // (last seen under asc id order).
@@ -77,24 +85,22 @@ object AsOfJoin {
 
     val picked = direction match {
       case "backward" =>
-        carried.foldLeft(u)((d, c) =>
-          d.withColumn(s"__p_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wB)))
+        u.withColumn("__p_all", last(col("__r_all"), ignoreNulls = true).over(wB))
       case "forward" =>
-        carried.foldLeft(u)((d, c) =>
-          d.withColumn(s"__p_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wF)))
+        u.withColumn("__p_all", first(col("__r_all"), ignoreNulls = true).over(wF))
       case "nearest" =>
-        val both = carried.foldLeft(u)((d, c) => d
-          .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wB))
-          .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(wF)))
-        val bts = col(s"__b_$rightTs")
-        val fts = col(s"__f_$rightTs")
+        val both = u
+          .withColumn("__b_all", last(col("__r_all"), ignoreNulls = true).over(wB))
+          .withColumn("__f_all", first(col("__r_all"), ignoreNulls = true).over(wF))
+        val bts = col("__b_all").getField(rightTs)
+        val fts = col("__f_all").getField(rightTs)
         // backward wins exact distance ties; a missing side loses
         val useB = fts.isNull ||
           (bts.isNotNull && (col("__ts") - bts) <= (fts - col("__ts")))
-        carried.foldLeft(both)((d, c) =>
-          d.withColumn(s"__p_$c", when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c"))))
+        both.withColumn("__p_all", when(useB, col("__b_all")).otherwise(col("__f_all")))
     }
     picked.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ carriedOut.map(c => col(s"__p_$c").as(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        carriedOut.map(c => col("__p_all").getField(c).as(s"asof_$c")): _*)
   }
 }

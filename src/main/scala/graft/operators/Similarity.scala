@@ -397,11 +397,14 @@ object Similarity {
    * per-subspace driver loop. A vector encodes as m small codes:
    * d·4 bytes → m·1 bytes at k ≤ 256 (32× here vs int8's 4×).
    *
-   * Returns (codes (id, sub, cell), codebook (sub, cell, cvec, cc)) —
-   * both parquet-spilled index artifacts, like [[ivfIndex]]'s.
+   * Returns (codes (id, sub, cell), codebook (sub, cell, cvec, cc), dim)
+   * — the tables are parquet-spilled index artifacts like [[ivfIndex]]'s,
+   * and the measured dimensionality rides along so downstream helpers
+   * ([[pqReconstructionRmse]], [[pqTopK]]) never re-run a driver job to
+   * learn it.
    */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+      m: Int = 8, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame, Int) = {
     val spark = emb.sparkSession
     // one tiny driver job to learn dimensionality — index build is
     // already a multi-job operation, and a loud error beats a cryptic
@@ -433,15 +436,15 @@ object Similarity {
         .join(codesM, Seq("id", "sub"))
         .groupBy(col("sub"), col("cell"), col("dpos")).agg(avg(col("x")).as("c"))),
       "pq_book")
-    (codesM, book)
+    (codesM, book, dim)
   }
 
   /** Per-vector reconstruction RMSE of a PQ encoding: decode = the
     * centroid of each subspace's code, error accumulated with one
-    * `zip_with` per (vector, subspace) row — no per-dimension explosion. */
+    * `zip_with` per (vector, subspace) row — no per-dimension explosion.
+    * `dim` comes from [[pqEncode]] — no driver job here. */
   def pqReconstructionRmse(emb: DataFrame, idCol: String, vecCol: String,
-      codes: DataFrame, book: DataFrame, m: Int): DataFrame = {
-    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+      codes: DataFrame, book: DataFrame, m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
     val subs = emb.select(col(idCol).as("id"), posexplode(
       array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
@@ -469,10 +472,9 @@ object Similarity {
    * order matters.
    */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
-      codes: DataFrame, book: DataFrame, m: Int,
+      codes: DataFrame, book: DataFrame, m: Int, dim: Int,
       queryId: Long, kTop: Int): DataFrame = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     val subDim = dim / m
     val qsubs = emb.filter(col(idCol) === queryId).select(posexplode(
       array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))

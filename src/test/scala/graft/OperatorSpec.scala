@@ -939,25 +939,26 @@ class PqSpec extends AnyFunSuite {
     }
     val emb = rows.toDF("vec_id", "embedding")
       .withColumn("embedding", col("embedding").cast("array<float>"))
-    val (codes, book) = Similarity.pqEncode(emb, "vec_id", "embedding",
+    val (codes, book, dim) = Similarity.pqEncode(emb, "vec_id", "embedding",
       m = m, k = 4, iters = 3)
+    assert(dim == m * subDim)
     val c = codes.as[(Long, Int, Int)].collect()
     assert(c.length == 24 * m, "one code per (vector, subspace)")
     assert(c.forall { case (_, sub, cell) => sub >= 0 && sub < m && cell >= 0 && cell < 4 })
     val rmse = Similarity.pqReconstructionRmse(emb, "vec_id", "embedding",
-        codes, book, m)
+        codes, book, m, dim)
       .as[(Long, Double)].collect().toMap
     assert(rmse.size == 24)
     assert(rmse.values.forall(_ < 1e-6), s"max rmse ${rmse.values.max}")
     // determinism: hash seeds + exact means ⇒ identical re-run
-    val (codes2, _) = Similarity.pqEncode(emb, "vec_id", "embedding",
+    val (codes2, _, _) = Similarity.pqEncode(emb, "vec_id", "embedding",
       m = m, k = 4, iters = 3)
     assert(codes2.as[(Long, Int, Int)].collect().toSet == c.toSet)
 
     // ADC search: with exact reconstruction, code-only distances equal
     // true distances, so PQ top-k must match the brute-force ranking
     val adc = Similarity.pqTopK(emb, "vec_id", "embedding", codes, book,
-        m, queryId = 0L, kTop = 5)
+        m, dim, queryId = 0L, kTop = 5)
       .as[(Long, Double)].collect()
     val q = rows.head._2
     val exact = rows.tail.map { case (id, v) =>
