@@ -520,6 +520,19 @@ object RelationalQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    "q_stream_windowed" -> ((s, dir) => {
+      // §2.10 driver-gate presence for the streaming surface: this runs
+      // the EXACT transform Streams.windowedCounts builds for readStream
+      // (watermark + tumbling window + order-independent decimal sum) —
+      // the same unbounded-DataFrame code executes here in batch mode
+      // (EliminateEventTimeWatermark drops the no-op watermark node).
+      // StreamsSpec pins readStream==batch equality of the transform;
+      // this entry pins its SEMANTICS to the DuckDB oracle, so the
+      // streaming row is gated end-to-end instead of spec-only.
+      graft.streaming.Streams.windowedCounts(rd(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ── batch mirror of streaming/StatefulSessions (§2.10) ──────────────
     "q_events_sessionize" -> ((s, dir) => {
       // batch sessionization with a 30-min inactivity gap: lag marks
@@ -866,6 +879,10 @@ object RelationalQueries {
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_stream_windowed" ->
+      """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q_events_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, value,

@@ -335,37 +335,55 @@ object Dedup {
         .agg(min(col("dst")).as("__mn"))
         .select(col("src").as("id"), least(col("src"), col("__mn")).as("cluster")),
       "cc_gen"))
+    // one propagation round: every node adopts min(self, neighbor labels),
+    // then pointer-jumps (Shiloach-Vishkin style label shortcutting):
+    // follow the propagated label one more hop through the generation's
+    // table — cluster := labels(cluster). Reach doubles per round, so
+    // convergence is O(log diameter) instead of O(diameter); without it,
+    // the round-8 10× rehearsal's similarity-chain components
+    // (diameter > 20) never converged. A label is always a node id of the
+    // same component, so the lookup join is total where it matters;
+    // labels only decrease (coalesce covers ids already at a root). The
+    // __chg flag rides the row: new label < previous label.
+    def propagateAndJump(cur: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(cur.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
+      val prop = cur.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("cluster").as("__prev"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("__c1"))
+      prop.join(cur.select(col("id").as("__jid"), col("cluster").as("__c2")),
+          col("__c1") === col("__jid"), "left")
+        .select(col("id"),
+          least(col("__c1"), coalesce(col("__c2"), col("__c1"))).as("cluster"),
+          (least(col("__c1"), coalesce(col("__c2"), col("__c1"))) < col("__prev")).as("__chg"))
+    }
+    // TWO rounds per spill cycle (GraphFrames checkpoints its CC loop at
+    // an interval for the same reason): the label tables are tiny next to
+    // the corpus, so a round's cost is dominated by fixed job overhead —
+    // spill write + convergence scan — not compute. Batching halves both
+    // while lineage stays bounded at two rounds' joins (the unspilled
+    // round's subtree re-executes ~3× inside the cycle action — cheap for
+    // label-sized data; the round-8 every-round spill measured 2.2× wall
+    // at sf0.1 pure overhead). Convergence = the LAST round of the cycle
+    // changed nothing, which is exactly the fixed-point test regardless
+    // of what earlier rounds in the cycle did.
+    val spillEvery = 2
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("cluster")).as("nmin"))
-      val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("cluster").as("__prev"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("__c1"))
-      // pointer jump (Shiloach-Vishkin style label shortcutting): follow
-      // the propagated label one more hop through the previous
-      // generation's table — cluster := labels(cluster). Reach doubles
-      // per round, so convergence is O(log diameter) instead of
-      // O(diameter); without it, the round-8 10× rehearsal's
-      // similarity-chain components (diameter > 20) never converged.
-      // A label is always a node id of the same component, so the
-      // lookup join is total where it matters; labels only decrease
-      // (coalesce covers ids whose label is already a root).
-      // the convergence flag rides the propagation row (new vs previous
-      // label): the spill write materializes the generation, and the
-      // convergence decision is a trivial scan of the written files
-      val nextGen = tick(s"round ${i + 1}")(Materialize.viaParquet(
-        prop.join(labels.select(col("id").as("__jid"), col("cluster").as("__c2")),
-            col("__c1") === col("__jid"), "left")
-          .select(col("id"),
-            least(col("__c1"), coalesce(col("__c2"), col("__c1"))).as("cluster"),
-            (least(col("__c1"), coalesce(col("__c2"), col("__c1"))) < col("__prev")).as("__chg")),
-        "cc_gen"))
+      val roundsThisCycle = math.min(spillEvery, maxIters - i)
+      var cur = labels
+      var withChg: DataFrame = cur
+      for (_ <- 0 until roundsThisCycle) {
+        withChg = propagateAndJump(cur)
+        cur = withChg.select(col("id"), col("cluster"))
+      }
+      val nextGen = tick(s"rounds ${i + 1}..${i + roundsThisCycle}")(
+        Materialize.viaParquet(withChg, "cc_gen"))
       converged = nextGen.filter(col("__chg")).limit(1).count() == 0
       labels = nextGen.select(col("id"), col("cluster"))
-      i += 1
+      i += roundsThisCycle
     }
     // a component whose diameter exceeds maxIters would return WRONG
     // labels; that must fail loudly, never silently (round-3 advisory)

@@ -492,6 +492,58 @@ object Similarity {
       .limit(kTop)
   }
 
+  /**
+   * ADC consistency check against the exact top-k (the oracle-able form
+   * of PQ search): emits the EXACT cosine top-k (membership, order and
+   * score all engine-independent) and, per row, a flag asserting the
+   * triangle-inequality invariant every correct ADC implementation must
+   * satisfy: the ADC distance is EXACTLY ‖q − ĉ(v)‖² (ĉ = the codebook
+   * reconstruction, subspaces concatenate orthogonally), hence
+   * |√adc − ‖q−v‖| ≤ ‖v − ĉ(v)‖ by the triangle inequality — a theorem,
+   * not a measured operating point, so the flag is corpus-independent
+   * and DuckDB-oracle-able as a constant-1 column. A wrong lookup join,
+   * sign error or subspace misalignment breaks it. ADC *ranking* quality
+   * (top-k from codes alone) stays pinned by PqSpec, where
+   * reconstruction is exact and ADC order must equal brute force.
+   *
+   * Cost shape: the ADC side is the same broadcast m·k lookup + map-side
+   * combined sum as [[pqTopK]] (codes only, floats never shuffled); the
+   * exact side is the same single broadcast-query scan as [[topKForId]].
+   */
+  def pqAdcCheck(emb: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, book: DataFrame, m: Int, dim: Int,
+      queryId: Long, kTop: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val subDim = dim / m
+    val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
+    val qsubs = emb.filter(col(idCol) === queryId).select(posexplode(
+      array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+      .as(Seq("sub", "qsvec")))
+    val qtab = book.join(broadcast(qsubs), "sub")
+      .select(col("sub"), col("cell"),
+        (col("cc") - lit(2.0) * gd(col("qsvec"), col("cvec")) +
+          gd(col("qsvec"), col("qsvec"))).as("pdist"))
+    val adc = codes.filter(col("id") =!= queryId)
+      .join(broadcast(qtab), Seq("sub", "cell"))
+      .groupBy(col("id")).agg(sum(col("pdist")).as("adc_dist"))
+    val errn = pqReconstructionRmse(emb, idCol, vecCol, codes, book, m, dim)
+      .select(col("id"), (col("rmse") * math.sqrt(dim.toDouble)).as("err_norm"))
+    val qv = emb.filter(col(idCol) === queryId).select(col(vecCol).as("__qvec"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol).as("id"),
+        round(GraftExtensions.graftCosine(spark, col(vecCol), col("__qvec")), 4).as("cos_sim"),
+        sqrt(greatest(lit(0.0),
+          gd(col(vecCol), col(vecCol)) + gd(col("__qvec"), col("__qvec"))
+            - lit(2.0) * gd(col(vecCol), col("__qvec")))).as("dist"))
+      .join(adc, "id").join(errn, "id")
+      .select(col("id"), col("cos_sim"),
+        (abs(sqrt(greatest(col("adc_dist"), lit(0.0))) - col("dist"))
+          <= col("err_norm") + lit(1e-5)).cast("int").as("adc_ok"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(kTop)
+  }
+
   /** (sub, cell, d, c) relational centroids → (sub, cell, cvec, cc) array
     * rows; m·k rows, broadcastable. The subspace-keyed twin of
     * [[centroidArrays]]. */
@@ -547,9 +599,10 @@ object Similarity {
       labelCol: String, k: Int = 5,
       candidates: Option[DataFrame] = None): DataFrame = {
     // spilled: the symmetric union reads the pair relation TWICE — inline,
-    // the quadratic block join would execute once per union branch
-    val pairs = candidates.getOrElse(Materialize.viaParquet(
-      exactCosinePairs(emb, idCol, vecCol), "knn_pairs"))
+    // the pair miner (exact block join OR a candidate generator's sketch
+    // pipeline) would execute once per union branch
+    val pairs = Materialize.viaParquet(
+      candidates.getOrElse(exactCosinePairs(emb, idCol, vecCol)), "knn_pairs")
     // each unordered pair contributes a neighbor row in BOTH directions
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
       .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))

@@ -969,6 +969,14 @@ class PqSpec extends AnyFunSuite {
     adc.zip(exact).foreach { case ((_, ad), (_, ed)) =>
       assert(math.abs(ad - ed) < 1e-3, s"ADC distance $ad != exact $ed")
     }
+
+    // consistency-check form: the triangle-inequality flag must hold on
+    // every row (it is a theorem for a correct ADC — see pqAdcCheck)
+    val chk = Similarity.pqAdcCheck(emb, "vec_id", "embedding", codes, book,
+        m, dim, queryId = 0L, kTop = 10)
+      .as[(Long, Double, Int)].collect()
+    assert(chk.length == 10)
+    assert(chk.forall(_._3 == 1), s"adc_ok must be all-1: ${chk.toSeq}")
   }
 }
 

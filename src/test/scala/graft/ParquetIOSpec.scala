@@ -117,6 +117,40 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter(col("k") === 12345L).count() == 0)
   }
 
+  test("DecimalType round-trip: FLBA physical for p>18, INT64 for p<=18, values exact") {
+    // SURVEY §1 type table: FIXED_LEN_BYTE_ARRAY ⇄ DecimalType(p,s). The
+    // standard (non-legacy) writer packs p<=18 into INT64 and p>18 into
+    // FLBA — cover both physical encodings plus nulls (def levels) in one
+    // write→read cycle, footer-asserted.
+    val dir = tmp() + "/dec"
+    val decSchema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("d18", DecimalType(18, 2), nullable = false),
+      StructField("d38", DecimalType(38, 10), nullable = true)))
+    val rows = (0 until 200).map { i =>
+      Row(i, new java.math.BigDecimal(s"$i.25"),
+        if (i % 7 == 0) null
+        else new java.math.BigDecimal(s"${i}23456789012345678.0123456789"))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), decSchema)
+    ParquetIO.write(df, dir)
+    // footer: physical types per the §1 mapping
+    val phys = Tools.columnChunks(spark, dir).groupBy(_.column)
+      .map { case (c, cs) => c -> cs.map(_.physicalType).distinct }
+    assert(phys("d18") == Seq("INT64"), s"d18 physical ${phys("d18")}")
+    assert(phys("d38") == Seq("FIXED_LEN_BYTE_ARRAY"), s"d38 physical ${phys("d38")}")
+    // logical type survives: schema-on-read reports the same DecimalType
+    val back = spark.read.parquet(dir)
+    assert(back.schema("d18").dataType == DecimalType(18, 2))
+    assert(back.schema("d38").dataType == DecimalType(38, 10))
+    val got = back.orderBy("id").collect()
+    (got zip rows).foreach { case (g, w) =>
+      assert(g.getDecimal(1).compareTo(w.getDecimal(1)) == 0)
+      assert(g.isNullAt(2) == (w.get(2) == null))
+      if (!g.isNullAt(2)) assert(g.getDecimal(2).compareTo(w.getDecimal(2)) == 0)
+    }
+  }
+
   test("merge (S13): N files -> one dataset, schema drift by name, counts preserved") {
     val base = tmp()
     val a = s"$base/a"; val b = s"$base/b"; val out = s"$base/out"

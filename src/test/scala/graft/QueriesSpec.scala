@@ -89,6 +89,7 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_embed_topk" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast query side
     "q_embed_topk_multi" -> Seq("BroadcastNestedLoopJoin"), // 5-row broadcast query set
     "q_embed_ivf" -> Seq("BroadcastNestedLoopJoin"),   // 1-row broadcast query vector + k-row centroid arrays
+    "q_embed_pq_topk" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast query vector (pqAdcCheck exact side)
     "q_embed_ivf_pairs" -> Seq("BroadcastNestedLoopJoin"), // k-row broadcast centroid arrays (k ≤ 4096)
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast corpus total
     "q_tfidf" -> Seq("BroadcastNestedLoopJoin"),       // 1-row broadcast doc count
