@@ -441,11 +441,12 @@ object PipelineQueries {
       // (sf0.1) exact pairs at 0.45 — isotropic data defeats any space
       // partition, the documented reason annPairs exists. Per-cell
       // recall on CLUSTERED corpora stays pinned by IvfPairsSpec.
-      val emb = rd(s, dir, "embeddings")
-      Similarity.ivfPairs(emb, "vec_id", "embedding",
+      // (round-9 follow-up: candidates union at the CANDIDATE level and
+      // share one exact-verify pass — Similarity.multiIndexPairs — and
+      // the quantizer trains centroids only, skipping the index build's
+      // final assignment pass that pair mining never reads)
+      Similarity.multiIndexPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
           iters = 2, nAssign = 2, minCos = 0.45)
-        .unionByName(Similarity.annPairs(emb, "vec_id", "embedding", minCos = 0.45))
-        .distinct()
         .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
     }),
 

@@ -115,7 +115,13 @@ object Similarity {
    */
   def annPairs(emb: DataFrame, idCol: String, vecCol: String,
       bits: Int = 512, minEstCos: Double = 0.25, minCos: Double = 0.0,
-      seed: Long = 42L, numBlocks: Int = 0): DataFrame = {
+      seed: Long = 42L, numBlocks: Int = 0): DataFrame =
+    verifyPairs(emb, idCol, vecCol,
+      sketchCandidates(emb, idCol, vecCol, bits, minEstCos, seed, numBlocks), minCos)
+
+  /** The sketch-stage candidate relation (id_a, id_b) of [[annPairs]]. */
+  private def sketchCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, minEstCos: Double, seed: Long, numBlocks: Int): DataFrame = {
     val spark = emb.sparkSession
     val words = bits / 64
     // the sketch table is SPILLED before the block-pair replication: left
@@ -133,11 +139,20 @@ object Similarity {
     val hamming = (0 until words).map(w =>
         bit_count(element_at(col("xp"), w + 1).bitwiseXOR(element_at(col("yp"), w + 1))))
       .reduce(_ + _)
-    val cands = blockPairRows(sigs, resolveBlocks(emb, numBlocks))
+    blockPairRows(sigs, resolveBlocks(emb, numBlocks))
       .withColumn("est_cos", cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble)))
       .filter(col("est_cos") >= minEstCos)
       .select(least(col("xid"), col("yid")).as("id_a"),
         greatest(col("xid"), col("yid")).as("id_b"))
+  }
+
+  /** Shared exact-verification stage: join the candidate relation
+    * (id_a, id_b) back to the vectors once per side, score with the
+    * codegen cosine (4 dp), keep pairs clearing `minCos`. Linear in the
+    * candidate count — every pair miner funnels through this one pass. */
+  private def verifyPairs(emb: DataFrame, idCol: String, vecCol: String,
+      cands: DataFrame, minCos: Double): DataFrame = {
+    val spark = emb.sparkSession
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
     cands
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
@@ -346,11 +361,21 @@ object Similarity {
    * iterations the index build already runs.
    */
   def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 0, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame = {
+      k: Int = 0, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame =
+    verifyPairs(emb, idCol, vecCol,
+      ivfCandidates(emb, idCol, vecCol, k, iters, nAssign), minCos)
+
+  /** The co-residence candidate relation (id_a, id_b) of [[ivfPairs]]:
+    * train the coarse quantizer (centroids only — pair mining never reads
+    * a single-assignment table, so the full [[ivfIndex]] build's final
+    * assignment pass + spill would be wasted work), multi-assign every
+    * vector to its `nAssign` nearest cells, pair up cell cohabitants. */
+  private def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nAssign: Int): DataFrame = {
     val spark = emb.sparkSession
     val kEff = if (k > 0) k
       else math.min(4096L, math.max(16L, emb.count() / 125L)).toInt
-    val (_, centroids) = ivfIndex(emb, idCol, vecCol, kEff, iters)
+    val centroids = trainCentroids(emb, idCol, vecCol, kEff, iters)
     // multi-assign scores against the broadcast centroid arrays (same
     // O(n·k) shape as ivfIndex's assignment; the window keeps top-nAssign
     // rather than top-1, so the rank cut shuffles n·k narrow rows)
@@ -367,17 +392,55 @@ object Similarity {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= nAssign).select(col("id"), col("cell")),
       "ivf_multiassign")
-    val cands = multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
+    multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  /**
+   * Multi-index pair mining: candidates from the IVF coarse quantizer
+   * (structural pruning — wins on clustered corpora) UNION the wide-sketch
+   * estimate cut (statistical pruning — the only thing that works on
+   * isotropic corpora), funneled through ONE exact-verification pass.
+   * With the sketch cut at a measured recall-1.0 operating point the
+   * verified output equals the exact pair set at `minCos` by
+   * construction, whatever the quantizer did — the pair-shaped analogue
+   * of q_embed_ivf's nProbe = k completeness trick.
+   */
+  def multiIndexPairs(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 0, iters: Int = 2, nAssign: Int = 2,
+      bits: Int = 512, minEstCos: Double = 0.25, minCos: Double = 0.0): DataFrame =
+    verifyPairs(emb, idCol, vecCol,
+      ivfCandidates(emb, idCol, vecCol, k, iters, nAssign)
+        .unionByName(sketchCandidates(emb, idCol, vecCol, bits, minEstCos, 42L, 0))
+        .distinct(),
+      minCos)
+
+  /**
+   * Lloyd training to a centroid table only — the shared quantizer core:
+   * LSH-seeded cells, then `iters` rounds of (means, reassign) with the
+   * LAST reassignment elided because only the means are returned (the
+   * caller scores against centroids; a final top-1 assignment table is
+   * [[ivfIndex]]'s job). Every stage is one hash-aggregate or one
+   * broadcast-scored cut; the result is parquet-spilled because centroid
+   * consumers traverse it repeatedly.
+   */
+  private def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val parts = emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double"))
     val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    cands
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("cos_sim",
-        round(GraftExtensions.graftCosine(spark, col("vec_a"), col("vec_b")), 4))
-      .filter(col("cos_sim") >= minCos)
-      .select("id_a", "id_b", "cos_sim")
+    var assign = lshSignatures(emb, idCol, vecCol, bits = 16)
+      .select(col("id"), pmod(col("sig"), lit(k)).cast("int").as("cell"))
+    var cents: DataFrame = null
+    for (i <- 0 until math.max(1, iters)) {
+      cents = parts.join(assign, "id")
+        .groupBy(col("cell"), col("d")).agg(avg(col("x")).as("c"))
+      if (i < iters - 1)
+        assign = nearestCell(vecs, centroidArrays(cents), spark)
+    }
+    Materialize.viaParquet(cents, "ivf_cents")
   }
 
   /** Per-group vector mean (centroids) — posexplode + groupBy, the
