@@ -148,6 +148,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // canonical selection policy: within each near-dup cluster keep the
+      // HIGHEST-quality member (tie → lowest doc_id), not the lowest id —
+      // the decision production dedup actually ships (the cleanest copy
+      // survives, boilerplate-laden variants drop). Same cluster relation
+      // as q_dedup_clusters; the policy is one cluster-keyed window over
+      // the cluster members only (cluster tables are vanishingly small
+      // next to the corpus — the window's partition is the cluster, so
+      // skew is bounded by the largest dup group) plus a doc-keyed join
+      // to the 6dp-rounded quality score q_quality already oracles.
+      import org.apache.spark.sql.expressions.Window
+      val docs = rd(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
+      val clusters = Dedup.clusterPairs(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val quality = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+        .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_dedup_prefix" -> ((s, dir) => {
       // the 100 TB-shape thresholded path: PPJoin prefix filtering cuts
       // the inverted join to rarest-first prefixes (~(1−t) of each doc)
@@ -286,6 +310,23 @@ object PipelineQueries {
       val nTok = TextFunctions.tokenCount(col("text"))
       val sampled = Sampling.tokenBudgetSample(docs, "doc_id", "lang", nTok,
         Map("en" -> 5000L, "zh" -> 3000L))
+      Sampling.tokenMixtureReport(docs, sampled, "lang", nTok)
+        .orderBy(col("lang"))
+    }),
+
+    "q_sample_temperature" -> ((s, dir) => {
+      // temperature mixture reweighting (alpha = 0.3, the multilingual-LM
+      // setting of Conneau et al. 2020): per-language sampling shares
+      // p_l ∝ total_tokens_l^0.3 flatten the natural size distribution,
+      // so low-resource languages upsample relative to their raw share.
+      // A 10k-token global budget splits along p_l; keep decisions are
+      // Sampling.temperatureSample's integer-ppm hash slots, so the
+      // realized mixture is engine-exact. Report = the same per-language
+      // accounting q_sample_budget logs.
+      val docs = rd(s, dir, "documents")
+      val nTok = TextFunctions.tokenCount(col("text"))
+      val sampled = Sampling.temperatureSample(docs, "doc_id", "lang", nTok,
+        alpha = 0.3, budgetTokens = 10000L)
       Sampling.tokenMixtureReport(docs, sampled, "lang", nTok)
         .orderBy(col("lang"))
     }),
@@ -493,6 +534,13 @@ object PipelineQueries {
       // operating point), then the SAME connected-components loop the
       // text path uses → (vector, cluster, keep-one) decisions. Only
       // vectors in ≥1 pair appear — singletons need no dedup decision.
+      // ORACLE CAVEAT (corpus-dependent, by design): the DuckDB oracle
+      // enumerates exact cosine pairs, so gate equality holds because the
+      // 512-bit/0.25 sketch cut was MEASURED to drop no true cos ≥ 0.45
+      // pair on this corpus (ProfileOracleSix: dropped_by_sketch=0 at
+      // both SFs). On a different corpus re-measure that margin or
+      // substitute Similarity.exactCosinePairs — the knnClassify
+      // exact/ann split applied to pair mining.
       val emb = rd(s, dir, "embeddings")
       val pairs = Similarity.annPairs(emb, "vec_id", "embedding", minCos = 0.45)
         .select(col("id_a"), col("id_b"))
@@ -1092,6 +1140,45 @@ object PipelineQueries {
           SELECT id AS doc_id, MIN(lbl) AS cluster,
             CAST(CASE WHEN id = MIN(lbl) THEN 1 ELSE 0 END AS INT) AS keep
           FROM reach GROUP BY id ORDER BY doc_id""",
+    // same cluster CTE as q_dedup_clusters; the keep policy swaps min-id
+    // for the q_quality expression (hash-proven 6dp-exact cross-engine)
+    // ranked per cluster with a doc_id tie-break
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          good AS (
+            SELECT id_a, id_b FROM pairs
+            JOIN sizes sa ON pairs.id_a = sa.doc_id
+            JOIN sizes sb ON pairs.id_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.6),
+          edges AS (SELECT id_a AS src, id_b AS dst FROM good
+                    UNION SELECT id_b, id_a FROM good),
+          reach AS (
+            SELECT src AS id, src AS lbl FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+          cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+          q AS (SELECT doc_id,
+              ROUND(
+                (CASE WHEN len(l) BETWEEN 20 AND 80 THEN 0.4
+                      WHEN len(l) BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+                 + (CASE WHEN len(l) > 0 THEN CAST(len(list_distinct(l)) AS DOUBLE) / len(l) ELSE 0.0 END) * 0.4)
+                - (CASE WHEN len(l) > 0 THEN CAST(len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS DOUBLE) / len(l) ELSE 0.0 END) * 0.2,
+                6) AS quality
+            FROM toks),
+          r AS (SELECT cl.doc_id, cl.cluster, q.quality,
+              ROW_NUMBER() OVER (PARTITION BY cl.cluster
+                ORDER BY q.quality DESC, cl.doc_id) AS rn
+            FROM cl JOIN q ON cl.doc_id = q.doc_id)
+          SELECT doc_id, cluster, quality,
+            CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM r ORDER BY doc_id""",
     // The oracle indexes BYTES, exactly like the Spark-side decode stub:
     // byte i of the UTF-8 encoding is read out of the hex dump
     // (`('0x' || substring(hex(encode(text)), 2i+1, 2))::INT`), so the
@@ -1148,6 +1235,26 @@ object PipelineQueries {
          kept AS (SELECT t.doc_id, t.lang, t.n
            FROM t JOIN thr USING (lang)
            WHERE (t.doc_id * 2654435761) % 1048576 < thr.slot_max),
+         k AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS kept_tokens,
+             COUNT(*) AS kept_docs FROM kept GROUP BY lang)
+         SELECT thr.lang, thr.total AS total_tokens,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.kept_docs, 0) AS kept_docs,
+           ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE) / thr.total, 4) AS token_frac
+         FROM thr LEFT JOIN k USING (lang) ORDER BY thr.lang""",
+    // POWER is the one libm-derived double in the chain; it reaches the
+    // keep set only through the half-up round to an INTEGER ppm
+    // threshold, so a cross-engine ulp cannot move the sample
+    "q_sample_temperature" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+         tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total FROM t GROUP BY lang),
+         z AS (SELECT SUM(POWER(total, 0.3)) AS z FROM tot),
+         thr AS (SELECT lang, total,
+             CAST(ROUND(LEAST(1.0, POWER(total, 0.3) / z.z * 10000.0 / total) * 1000000.0, 0) AS BIGINT) AS ppm
+           FROM tot, z),
+         kept AS (SELECT t.doc_id, t.lang, t.n
+           FROM t JOIN thr USING (lang)
+           WHERE (t.doc_id * 2654435761) % 1000000 < thr.ppm),
          k AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS kept_tokens,
              COUNT(*) AS kept_docs FROM kept GROUP BY lang)
          SELECT thr.lang, thr.total AS total_tokens,

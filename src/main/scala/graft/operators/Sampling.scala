@@ -73,6 +73,48 @@ object Sampling {
       .drop("__tok", "__slot_max")
   }
 
+  /**
+   * Temperature-based mixture reweighting (the multilingual-LM sampling
+   * scheme of Conneau et al. 2020, public): stratum sampling shares
+   * p_s ∝ n_s^alpha flatten the corpus' natural size distribution —
+   * alpha = 1 reproduces it, alpha → 0 approaches uniform — so
+   * low-resource strata are upsampled relative to their raw share. A
+   * global token budget B is split b_s = p_s·B and realized through the
+   * same deterministic multiplicative-hash slot as [[tokenBudgetSample]]:
+   *
+   *   frac_s  = min(1, b_s / n_s)
+   *   keep(d) = (id_d · 2654435761) mod 10⁶  <  round(frac_s · 10⁶)
+   *
+   * The threshold is an INTEGER parts-per-million value: the one
+   * `pow`-derived double crosses engines only through a half-up round at
+   * ppm granularity, so an ulp of libm difference cannot move the keep
+   * set (the boundary would have to land within 1e-10 of a .5 ppm).
+   *
+   * Scale posture: two aggregates over the stratum table (a handful of
+   * rows) + a 1-row normalization cross join, thresholds broadcast back,
+   * one codegen'd filter — the corpus itself never shuffles.
+   */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      tokenCountCol: Column, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val ppmScale = 1000000L
+    val withTok = df.withColumn("__tok", tokenCountCol.cast("long"))
+    val totals = withTok.groupBy(col(stratumCol))
+      .agg(sum(col("__tok")).as("__total"))
+    val z = totals.agg(
+      sum(pow(col("__total").cast("double"), lit(alpha))).as("__z"))
+    val thresholds = totals.crossJoin(broadcast(z))
+      .withColumn("__frac", least(lit(1.0),
+        pow(col("__total").cast("double"), lit(alpha)) / col("__z")
+          * lit(budgetTokens.toDouble) / col("__total").cast("double")))
+      .select(col(stratumCol),
+        round(col("__frac") * lit(ppmScale.toDouble), 0).cast("long").as("__ppm"))
+    withTok.join(broadcast(thresholds), Seq(stratumCol))
+      .filter(pmod(col(idCol).cast("long") * lit(2654435761L), lit(ppmScale)) < col("__ppm"))
+      .drop("__tok", "__ppm")
+  }
+
   /** Per-stratum token accounting after [[tokenBudgetSample]]: total vs
     * kept tokens and documents, and the realized token fraction. */
   def tokenMixtureReport(df: DataFrame, sampled: DataFrame, stratumCol: String,

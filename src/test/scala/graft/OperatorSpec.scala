@@ -796,6 +796,84 @@ class TokenBudgetSpec extends AnyFunSuite {
   }
 }
 
+class TemperatureSampleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  // token mass skewed 8000 / 1500 / 300 across three strata
+  private def corpus = (
+    (0L until 500L).map(i => (i, "en", 16L)) ++
+    (1000L until 1150L).map(i => (i, "fr", 10L)) ++
+    (2000L until 2060L).map(i => (i, "yo", 5L))
+  ).toDF("doc_id", "lang", "n_tok")
+
+  test("alpha < 1 flattens the mixture: keep fraction rises as the stratum shrinks") {
+    val sampled = Sampling.temperatureSample(corpus, "doc_id", "lang",
+      col("n_tok"), alpha = 0.3, budgetTokens = 2000L)
+    val rep = Sampling.tokenMixtureReport(corpus, sampled, "lang", col("n_tok"))
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // targets at alpha 0.3: en ~0.13, fr ~0.41, yo capped at 1.0 — the
+    // realized fractions are binomial around the ppm targets, but their
+    // ORDER is the property temperature sampling exists to produce
+    assert(rep("en")._5 < rep("fr")._5 && rep("fr")._5 < rep("yo")._5,
+      s"expected monotone boost toward small strata, got $rep")
+    assert(rep("yo")._5 == 1.0, "a stratum whose alpha-share exceeds its mass is kept whole")
+    val kept = rep.values.map(_._3).sum
+    assert(kept > 1000 && kept < 4000, s"kept token mass far off the 2000 budget: $kept")
+  }
+
+  test("alpha = 1 reproduces the natural mixture: uniform keep fraction") {
+    val sampled = Sampling.temperatureSample(corpus, "doc_id", "lang",
+      col("n_tok"), alpha = 1.0, budgetTokens = 2000L)
+    val rep = Sampling.tokenMixtureReport(corpus, sampled, "lang", col("n_tok"))
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // p_s = n_s / N for every stratum ⇒ frac_s = B/N ≈ 0.204 everywhere
+    rep.values.foreach { case (lang, _, _, _, frac) =>
+      assert(math.abs(frac - 2000.0 / 9800.0) < 0.1,
+        s"$lang realized frac $frac far from the uniform 0.204 target") }
+  }
+
+  test("sampling decision is deterministic and independent of partitioning") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.temperatureSample(df, "doc_id", "lang", col("n_tok"),
+        alpha = 0.3, budgetTokens = 2000L).select("doc_id").as[Long].collect().toSet
+    assert(ids(corpus) == ids(corpus.repartition(13)), "same keep set under reshuffle")
+  }
+}
+
+class KeepBestDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Dedup
+  import graft.functions.TextFunctions.qualityScore
+
+  test("keep-best policy keeps the highest-quality cluster member, not the min id") {
+    // doc 1 (the MIN id) carries trailing stopword padding: same shingle
+    // core as doc 2 (Jaccard ≈ 0.86 ≥ 0.6 ⇒ one cluster) but lower
+    // quality (longer, poorer type-token ratio, stopword penalty)
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, core + " the the the the the the"),
+      (2L, core),
+      (9L, (100 to 160).map(i => s"other$i").mkString(" "))  // unrelated singleton
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
+    val clusters = Dedup.clusterPairs(pairs).select(col("id").as("doc_id"), col("cluster"))
+    val quality = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("quality").desc, col("doc_id"))
+    val out = clusters.join(quality, "doc_id")
+      .withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select("doc_id", "cluster", "keep").as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "only paired docs appear; singletons need no decision")
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L, "one cluster labeled by its min id")
+    assert(out(2L)._3 == 1, "the higher-quality member is kept")
+    assert(out(1L)._3 == 0, "the min-id member is NOT kept when its quality is lower")
+  }
+}
+
 class ShardSplitMaskSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
