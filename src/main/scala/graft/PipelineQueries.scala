@@ -163,10 +163,13 @@ object PipelineQueries {
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text").filter(col("jaccard") >= 0.6)
       val clusters = Dedup.clusterPairs(pairs)
         .select(col("id").as("doc_id"), col("cluster"))
-      val quality = docs.select(col("doc_id"), qualityScore(col("text")).as("quality"))
       val w = Window.partitionBy(col("cluster"))
         .orderBy(col("quality").desc, col("doc_id"))
-      clusters.join(quality, "doc_id")
+      // join FIRST, score after: quality is then computed for cluster
+      // members only, not the whole corpus (the cluster table is the
+      // small side — AQE broadcasts it here, SMJ at scale)
+      clusters.join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("quality", qualityScore(col("text")))
         .withColumn("keep", (row_number().over(w) === 1).cast("int"))
         .select(col("doc_id"), col("cluster"), col("quality"), col("keep"))
         .orderBy(col("doc_id"))
