@@ -95,6 +95,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      // BM25 retrieval (k1=1.2, b=0.75) against a fixed term set — see
+      // operators/Retrieval for the formula and the hit-pruned scale
+      // shape; top-20 lands as TakeOrderedAndProject
+      graft.operators.Retrieval.bm25(rd(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "filter", "vector"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_terms"), col("score"))
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       // context-length chunking: 32-token windows advancing by 24 (8-token
       // overlap) — see Packing.chunkSpans for the chunk-count arithmetic
@@ -129,6 +140,27 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), col("inter"), col("size_a"), col("size_b"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
         .limit(50)
+    }),
+
+    "q_dedup_containment" -> ((s, dir) => {
+      // directed near-containment: |A∩B| / |A| ≥ 0.8 — the quote /
+      // boilerplate-wrapper signal symmetric Jaccard misses (a small doc
+      // embedded in a large one keeps J = inter/union low while the
+      // sub-doc is ~fully contained). Same inverted-index pair join as
+      // q_dedup_jaccard; each unordered pair fans out to its qualifying
+      // directions in a pure projection, so the extra cost over the
+      // jaccard pass is zero shuffles. Within-corpus complement of
+      // q_decontam (which is the cross-corpus broadcast-probe form).
+      val pairs = Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text")
+      val fwd = pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
+        col("inter"), col("size_a").as("size_sub"), col("size_b").as("size_sup"))
+      val rev = pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
+        col("inter"), col("size_b").as("size_sub"), col("size_a").as("size_sup"))
+      fwd.unionByName(rev)
+        .withColumn("containment",
+          col("inter").cast("double") / col("size_sub").cast("double"))
+        .filter(col("containment") >= 0.8)
+        .orderBy(col("id_sub"), col("id_sup"))
     }),
 
     "q_dedup_clusters" -> ((s, dir) => {
@@ -857,6 +889,35 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_sketch_merge" -> ((s, dir) => {
+      // mergeable distinct-count sketches — the 100 TB pattern behind
+      // pre-aggregated sketch tables: per-stratum HLL partials are stored
+      // once and ANY rollup (here: all strata) is answered by sketch
+      // UNION, never by rescanning raw data. Engine-specific digests stay
+      // internal (the repo's sketch convention): the oracle hash-checks
+      // the exact companions plus tolerance flags (lgK=14 ⇒ rsd ≈ 0.81%,
+      // flags at the 3σ ≈ 2.5% envelope — and the UNIONED estimate must
+      // land within the same envelope of the exact corpus-wide distinct,
+      // which no per-stratum recount can produce without a rescan).
+      val ev = rd(s, dir, "events")
+      val perType = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+      val merged = perType.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est_total"))
+      val exactTotal = ev.agg(countDistinct(col("user_id")).as("exact_total"))
+      perType
+        .withColumn("est_users", expr("hll_sketch_estimate(sk)"))
+        .crossJoin(broadcast(merged)).crossJoin(broadcast(exactTotal))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("est_users") - col("exact_users")).cast("double")
+            / col("exact_users").cast("double") <= 0.025).cast("int").as("within_tol"),
+          col("exact_total"),
+          (abs(col("est_total") - col("exact_total")).cast("double")
+            / col("exact_total").cast("double") <= 0.025).cast("int").as("merge_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // exact halves of the sketch pair, split out so they oracle-check
     "q_exact_p50" -> ((s, dir) => {
       rd(s, dir, "lineitem")
@@ -997,6 +1058,29 @@ object PipelineQueries {
            FROM scored)
          SELECT doc_id, rnk, term, ROUND(score, 4) AS score
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // same operation order as the Spark side everywhere a double is
+    // built (idf*tf*2.2 / (tf + 1.2*(0.25 + 0.75*dl/avgdl))) so the
+    // pre-round doubles are bit-identical; the 6dp decimal sum then
+    // makes the per-doc score order-independent
+    "q_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM d),
+         stats AS (SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         hits AS (SELECT doc_id, dl, UNNEST(l) AS term FROM dl),
+         fh AS (SELECT * FROM hits
+                WHERE term IN ('spark', 'join', 'filter', 'vector')),
+         tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM fh GROUP BY 1, 2, 3),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM fh GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+             CAST(ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS DECIMAL(18,6)) AS c
+           FROM tf JOIN df USING (term) CROSS JOIN stats)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(c) AS DOUBLE) AS score
+         FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
     "q_chunk_docs" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
@@ -1104,6 +1188,28 @@ object PipelineQueries {
           FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
           ORDER BY jaccard DESC, id_a, id_b LIMIT 50""",
+    "q_dedup_containment" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+          j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+              CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
+            FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+              JOIN sizes sb ON inter.id_b = sb.doc_id),
+          dir AS (
+            SELECT id_a AS id_sub, id_b AS id_sup, inter,
+              size_a AS size_sub, size_b AS size_sup FROM j
+            UNION ALL
+            SELECT id_b, id_a, inter, size_b, size_a FROM j)
+          SELECT id_sub, id_sup, inter, size_sub, size_sup,
+            CAST(inter AS DOUBLE) / CAST(size_sub AS DOUBLE) AS containment
+          FROM dir WHERE CAST(inter AS DOUBLE) / CAST(size_sub AS DOUBLE) >= 0.8
+          ORDER BY id_sub, id_sup""",
     "q_dedup_prefix" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
           sh AS (SELECT DISTINCT doc_id, sh FROM
@@ -1670,6 +1776,14 @@ object PipelineQueries {
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(1 AS INT) AS within_tol
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_sketch_merge" ->
+      """WITH t AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+             FROM events GROUP BY event_type),
+           tot AS (SELECT COUNT(DISTINCT user_id) AS exact_total FROM events)
+         SELECT event_type, CAST(exact_users AS BIGINT) AS exact_users,
+           CAST(1 AS INT) AS within_tol,
+           CAST(exact_total AS BIGINT) AS exact_total, CAST(1 AS INT) AS merge_ok
+         FROM t CROSS JOIN tot ORDER BY event_type""",
     "q_exact_p50" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

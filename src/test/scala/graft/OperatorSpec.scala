@@ -1149,3 +1149,83 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3, 2L -> 1, 3L -> 2))
   }
 }
+
+class Bm25Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  test("bm25 matches the hand formula and orders by tf, length, and rarity") {
+    // N=5, dl = 10,10,2,10,3, avgdl = 7; 'spark' df=3, 'join' df=1
+    val docs = Seq(
+      (1L, "spark " + Seq.fill(9)("x").mkString(" ")),          // tf=1, dl=10
+      (2L, "spark spark " + Seq.fill(8)("x").mkString(" ")),    // tf=2, dl=10
+      (3L, "spark y"),                                          // tf=1, dl=2
+      (4L, "join " + Seq.fill(9)("x").mkString(" ")),           // rare term
+      (5L, "z z z")                                             // no hits
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("spark", "join"))
+      .select(col("doc_id"), col("n_terms"), col("score"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "only hit docs are scored")
+    def ref(tf: Int, dl: Int, dfq: Int): Double = {
+      val idf = math.log(1.0 + (5 - dfq + 0.5) / (dfq + 0.5))
+      val c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 7.0))
+      math.rint(c * 1e6) / 1e6
+    }
+    assert(math.abs(out(1L)._3 - ref(1, 10, 3)) < 1e-9, s"got ${out(1L)._3}, want ${ref(1, 10, 3)}")
+    assert(out(2L)._3 > out(1L)._3, "higher tf scores higher")
+    assert(out(3L)._3 > out(1L)._3, "shorter doc scores higher at equal tf (length norm)")
+    assert(out(4L)._3 > out(1L)._3, "rarer term outscores common term (idf)")
+    assert(out.values.forall(_._2 == 1L), "each doc matched exactly one distinct term")
+  }
+}
+
+class ContainmentDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Dedup
+
+  test("directed containment flags a wrapped sub-document that Jaccard misses") {
+    // doc 1's text is a strict prefix of doc 2's: every 3-shingle of doc 1
+    // appears in doc 2 => containment(1 in 2) = 1.0, while Jaccard =
+    // 38/98 < 0.6 stays under the near-dup threshold
+    val core = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val extra = (100 to 159).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, core + " " + extra),
+      (9L, (200 to 260).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text")
+    val row = pairs.filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select(col("inter"), col("size_a"), col("size_b"), col("jaccard"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(row.length == 1)
+    val (inter, szA, _, jac) = row(0)
+    assert(inter == szA, "every shingle of the sub-doc is contained")
+    assert(jac < 0.6, s"symmetric Jaccard stays under the near-dup cut (got $jac)")
+    assert(inter.toDouble / szA >= 0.8, "directed containment flags the pair")
+  }
+}
+
+class SketchMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HLL sketch union estimates the DISTINCT union, not the sum of partials") {
+    // users 1–100 in type A, 51–150 in B: union = 150, naive sum = 200.
+    // A merge that double-counts the 50-user overlap fails the bound.
+    val rows = (1 to 100).map(u => ("A", u.toLong)) ++ (51 to 150).map(u => ("B", u.toLong))
+    val df = rows.toDF("event_type", "user_id")
+    val perType = df.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val est = perType.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("e"))
+      .as[Long].collect()(0)
+    assert(math.abs(est - 150L) <= 4, s"union estimate $est should be ~150, never ~200")
+    val perEst = perType.withColumn("e", expr("hll_sketch_estimate(sk)"))
+      .select(col("event_type"), col("e")).as[(String, Long)].collect().toMap
+    assert(math.abs(perEst("A") - 100L) <= 3 && math.abs(perEst("B") - 100L) <= 3)
+  }
+}

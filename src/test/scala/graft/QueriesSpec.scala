@@ -93,6 +93,9 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_embed_ivf_pairs" -> Seq("BroadcastNestedLoopJoin"), // k-row broadcast centroid arrays (k ≤ 4096)
     "q_doc_logprob" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast corpus total
     "q_tfidf" -> Seq("BroadcastNestedLoopJoin"),       // 1-row broadcast doc count
+    "q_bm25" -> Seq("BroadcastNestedLoopJoin"),        // 1-row broadcast (n_docs, avgdl)
+    "q_sample_temperature" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast Z normalizer
+    "q_sketch_merge" -> Seq("BroadcastNestedLoopJoin"), // two 1-row broadcasts (merged est, exact total)
     "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
     "q_source_mix" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast corpus token total
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
