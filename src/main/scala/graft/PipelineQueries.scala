@@ -151,12 +151,19 @@ object PipelineQueries {
       // directions in a pure projection, so the extra cost over the
       // jaccard pass is zero shuffles. Within-corpus complement of
       // q_decontam (which is the cross-corpus broadcast-probe form).
-      val pairs = Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text")
-      val fwd = pairs.select(col("id_a").as("id_sub"), col("id_b").as("id_sup"),
-        col("inter"), col("size_a").as("size_sub"), col("size_b").as("size_sup"))
-      val rev = pairs.select(col("id_b").as("id_sub"), col("id_a").as("id_sup"),
-        col("inter"), col("size_b").as("size_sub"), col("size_a").as("size_sup"))
-      fwd.unionByName(rev)
+      // directions fan out by exploding a 2-struct array, NOT a union of
+      // two selects: a union would recompute the entire quadratic pair
+      // join once per branch (verified in the plan), the explode is one
+      // Generate over a single pair subtree
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text")
+        .select(explode(array(
+          struct(col("id_a").as("id_sub"), col("id_b").as("id_sup"), col("inter"),
+            col("size_a").as("size_sub"), col("size_b").as("size_sup")),
+          struct(col("id_b").as("id_sub"), col("id_a").as("id_sup"), col("inter"),
+            col("size_b").as("size_sub"), col("size_a").as("size_sup")))).as("d"))
+        .select(col("d.id_sub").as("id_sub"), col("d.id_sup").as("id_sup"),
+          col("d.inter").as("inter"), col("d.size_sub").as("size_sub"),
+          col("d.size_sup").as("size_sup"))
         .withColumn("containment",
           col("inter").cast("double") / col("size_sub").cast("double"))
         .filter(col("containment") >= 0.8)
