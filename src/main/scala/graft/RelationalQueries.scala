@@ -308,6 +308,24 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest as-of: each purchase matched to the closest signup in
+      // EITHER direction, exact ties preferring backward (pandas
+      // merge_asof convention) — both frames read over the ONE union-sort
+      // shuffle (AsOfJoin direction="nearest")
+      val e = rd(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asof(purchases, signups,
+          on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+          rightId = "event_id", rightCols = Nil, direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id").as("nearest_signup_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ── windows (§2.5) ──────────────────────────────────────────────────
     "q_window_topk" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
@@ -781,6 +799,35 @@ object RelationalQueries {
                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_signup_id
            FROM u)
          SELECT event_id, user_id, next_signup_id FROM m WHERE side = 1 ORDER BY event_id""",
+    // both window picks share one ordering per direction, so b_id/b_ts
+    // (resp. f_id/f_ts) come from the SAME matched row — no tearing;
+    // the CASE mirrors AsOfJoin's backward-wins-ties distance rule
+    "q_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events),
+         u AS (
+           SELECT event_id, user_id, uts, 1 AS side, NULL AS sid, NULL AS sts FROM e WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id, user_id, uts, 0 AS side, event_id AS sid, uts AS sts FROM e WHERE event_type = 'signup'),
+         m AS (
+           SELECT event_id, user_id, side, uts,
+             LAST_VALUE(sid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side, sid NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id,
+             LAST_VALUE(sts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side, sid NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts,
+             FIRST_VALUE(sid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side DESC, sid NULLS FIRST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+             FIRST_VALUE(sts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY uts, side DESC, sid NULLS FIRST
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+           FROM u)
+         SELECT event_id, user_id,
+           CASE WHEN f_ts IS NULL THEN b_id
+                WHEN b_ts IS NOT NULL AND (uts - b_ts) <= (f_ts - uts) THEN b_id
+                ELSE f_id END AS nearest_signup_id
+         FROM m WHERE side = 1 ORDER BY event_id""",
     "q_window_topk" ->
       """SELECT user_id, rn, event_id, value FROM (
            SELECT user_id, event_id, value,
