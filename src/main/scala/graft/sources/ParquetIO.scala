@@ -168,6 +168,65 @@ object ParquetIO {
       outPath, opts)
   }
 
+  /**
+   * Z-order compaction: [[compactSorted]] for MULTI-dimensional pruning.
+   * A single-key sort makes footer stats tight on that key and useless on
+   * every other; interleaving the bits of 2–3 keys onto one space-filling
+   * curve (Morton order) bounds each output file to a small hyper-rectangle,
+   * so min/max stats prune scans filtered on ANY z dimension — the standard
+   * layout maintenance for a 100 TB fact table queried on several keys.
+   *
+   * Buckets are equal-width over each column's [min, max] (one tiny agg +
+   * broadcast; rank-based buckets would need a per-column global sort).
+   * The interleave itself is a fold of shift/and/or arithmetic — fully
+   * codegen'd, no UDF — and the final layout pass is the same declarative
+   * range-exchange + in-partition sort + sized write as [[compactSorted]].
+   */
+  def compactZOrder(
+      spark: SparkSession,
+      inputPaths: Seq[String],
+      outPath: String,
+      zCols: Seq[String],
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 3,
+      "z-ordering earns its keep on 2-3 keys; one key wants compactSorted")
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax, broadcast,
+      shiftleft, shiftright, greatest, least, floor}
+    val merged = inputPaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val n = zCols.size
+    val bitsPerCol = 30 / n
+    val nb = 1L << bitsPerCol
+    // one row of (min_i, max_i) per z column, broadcast into the scan
+    val aggCols = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(fmin(col(c).cast("long")).as(s"__mn$i"), fmax(col(c).cast("long")).as(s"__mx$i"))
+    }
+    val bounds = merged.agg(aggCols.head, aggCols.tail: _*)
+    val withB = merged.crossJoin(broadcast(bounds))
+    // equal-width bucket in [0, nb) — the scaled fraction runs in double
+    // (a long multiply could overflow on wide key ranges; bucket
+    // BOUNDARIES tolerate double rounding) — then Morton interleave:
+    // bit b of column i lands at position b*n + i
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      val span = greatest((col(s"__mx$i") - col(s"__mn$i")).cast("double") + lit(1.0), lit(1.0))
+      least(lit(nb - 1),
+        floor((col(c).cast("long") - col(s"__mn$i")).cast("double") / span * lit(nb.toDouble)))
+        .cast("long")
+    }
+    val z = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, b) =>
+      buckets.zipWithIndex.foldLeft(acc) { case (a, (bk, i)) =>
+        a.bitwiseOR(shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i))
+      }
+    }
+    val totalBytes = inputBytes(spark, inputPaths)
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    val zd = withB.withColumn("__z", z).drop(
+      (0 until n).flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+    write(zd.repartitionByRange(parts, col("__z")).sortWithinPartitions(col("__z"))
+      .drop("__z"), outPath, opts)
+  }
+
   /** Total on-disk bytes of the given files/directories (driver-side listing only). */
   def inputBytes(spark: SparkSession, paths: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -198,6 +198,38 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(merged.except(expect).isEmpty && expect.except(merged).isEmpty)
   }
 
+  test("compactZOrder: per-file footer stats stay tight on BOTH keys") {
+    val base = tmp()
+    val in = s"$base/in"; val outZ = s"$base/z"; val outX = s"$base/x"
+    // two independent uniform keys — a single-key sort can only serve one
+    spark.range(65536).selectExpr(
+        "id", "pmod(id * 2654435761, 65536) as x", "pmod(id * 40503 + 7, 65536) as y")
+      .write.parquet(in)
+    val target = ParquetIO.inputBytes(spark, Seq(in)) / 16
+    ParquetIO.compactZOrder(spark, Seq(in), outZ, Seq("x", "y"), targetFileBytes = target)
+    ParquetIO.compactSorted(spark, Seq(in), outX, Seq("x"), targetFileBytes = target)
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = Tools.columnChunks(spark, dir).filter(_.column == c)
+        .groupBy(_.file).map { case (_, cs) =>
+          cs.map(_.maxValue.toLong).max - cs.map(_.minValue.toLong).min + 1
+        }.toSeq
+      assert(spans.size >= 4, s"sizing must yield several files, got ${spans.size}")
+      spans.sum.toDouble / spans.size / 65536.0
+    }
+    // z-order: BOTH dims bounded per file (a z-range is a small
+    // hyper-rectangle); x-sort: x tight but y spans ~the full domain
+    assert(avgSpan(outZ, "x") < 0.5 && avgSpan(outZ, "y") < 0.5,
+      "z-ordered files must bound both key spans")
+    assert(avgSpan(outX, "x") < 0.2, "single-key sort keeps its own key tight")
+    assert(avgSpan(outX, "y") > 0.8, "single-key sort leaves the other key unbounded")
+    // content parity
+    val merged = spark.read.parquet(outZ)
+    assert(merged.count() == 65536)
+    assert(merged.agg(sum(col("x")), sum(col("y"))).collect()(0) ==
+      spark.read.parquet(in).agg(sum(col("x")), sum(col("y"))).collect()(0))
+    assert(merged.columns.sorted.toSeq == Seq("id", "x", "y"), "__z scratch column dropped")
+  }
+
   test("metadata introspection (M1-M4) on driver testdata") {
     val p = s"${TestSpark.sf}/lineitem.parquet"
     val tree = Tools.schemaTree(spark, p)
