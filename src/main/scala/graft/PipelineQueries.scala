@@ -106,6 +106,17 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_terms"), col("score"))
     }),
 
+    "q_bm25_multi" -> ((s, dir) => {
+      // the batched retrieval form a pipeline actually runs: N named
+      // queries in ONE corpus pass — contributions build over the union
+      // of query terms, a broadcast (query, term) map fans them out,
+      // per-query top-5 via window rank on the decimal-exact score
+      graft.operators.Retrieval.bm25Multi(rd(s, dir, "documents"), "doc_id", "text",
+          Seq("q_spark" -> Seq("spark", "join"),
+            "q_data" -> Seq("filter", "vector", "data")), kTop = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       // context-length chunking: 32-token windows advancing by 24 (8-token
       // overlap) — see Packing.chunkSpans for the chunk-count arithmetic
@@ -1088,6 +1099,36 @@ object PipelineQueries {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
            CAST(SUM(c) AS DOUBLE) AS score
          FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+    "q_bm25_multi" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM d),
+         stats AS (SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         hits AS (SELECT doc_id, dl, UNNEST(l) AS term FROM dl),
+         fh AS (SELECT * FROM hits
+                WHERE term IN ('spark', 'join', 'filter', 'vector', 'data')),
+         tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM fh GROUP BY 1, 2, 3),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM fh GROUP BY 1),
+         c AS (SELECT tf.doc_id, tf.term,
+             CAST(ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS DECIMAL(18,6)) AS c
+           FROM tf JOIN df USING (term) CROSS JOIN stats),
+         qmap(query_id, term) AS (VALUES
+           ('q_spark', 'spark'), ('q_spark', 'join'),
+           ('q_data', 'filter'), ('q_data', 'vector'), ('q_data', 'data')),
+         scored AS (
+           SELECT q.query_id, c.doc_id, CAST(SUM(c.c) AS DOUBLE) AS score
+           FROM c JOIN qmap q ON c.term = q.term
+           GROUP BY q.query_id, c.doc_id),
+         ranked AS (
+           SELECT query_id, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS INT) AS rank
+           FROM scored)
+         SELECT query_id, rank, doc_id, score FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_chunk_docs" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),

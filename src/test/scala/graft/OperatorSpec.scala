@@ -1179,6 +1179,30 @@ class Bm25Spec extends AnyFunSuite {
     assert(out(4L)._3 > out(1L)._3, "rarer term outscores common term (idf)")
     assert(out.values.forall(_._2 == 1L), "each doc matched exactly one distinct term")
   }
+
+  test("bm25Multi equals per-query bm25 run separately") {
+    val docs = Seq(
+      (1L, "spark spark x x join y"),
+      (2L, "join join join x x x x"),
+      (3L, "filter spark x"),
+      (4L, "y y y y")
+    ).toDF("doc_id", "text")
+    val qs = Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("filter"))
+    val multi = Retrieval.bm25Multi(docs, "doc_id", "text", qs, kTop = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .as[(String, Int, Long, Double)].collect().toSet
+    // the union-term df/idf must equal what each single-query run computes
+    // (df depends only on the term, never on the query batch)
+    val single = qs.flatMap { case (q, ts) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id"))
+      Retrieval.bm25(docs, "doc_id", "text", ts)
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .select(lit(q).as("query_id"), col("rank"), col("doc_id"), col("score"))
+        .as[(String, Int, Long, Double)].collect()
+    }.toSet
+    assert(multi == single)
+  }
 }
 
 class ContainmentDedupSpec extends AnyFunSuite {
