@@ -50,6 +50,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed == 1000L)
   }
 
+  test("sliding windowed counts: streamed == batch, every event in two panes") {
+    import org.apache.spark.sql.functions._
+    val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+    val agg = graft.streaming.Streams.windowedCounts(stream, "2 hours",
+      slide = Some("1 hour"), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("swc_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("swc_test")
+    // a 2h window sliding by 1h puts every event in exactly two panes
+    assert(streamed.agg(sum(col("n"))).collect()(0).getLong(0) == 2000L)
+    // batch mirror: the SAME transform over the static read (watermark is
+    // a no-op in batch) — streamed rows must equal it exactly
+    val batch = graft.streaming.Streams.windowedCounts(
+      RelationalQueries.events(spark, TestSpark.sf), "2 hours",
+      slide = Some("1 hour"), watermark = "0 seconds")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
     val deduped = graft.streaming.Streams.dedupWithinWatermark(stream.union(stream), "10 minutes")
