@@ -117,6 +117,35 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q_hybrid_search" -> ((s, dir) => {
+      // the modern retrieval stack in one query: lexical BM25 ranks and
+      // exact-cosine vector ranks fused by reciprocal rank (RRF, k=60)
+      // over the corpus subset that carries embeddings (doc_id ≡ vec_id).
+      // Both signal stages end in TakeOrderedAndProject top-50 cuts, so
+      // the only unpartitioned windows run over ≤50 rows — bounded at any
+      // corpus scale; the fusion itself is a 50×50 full-outer join. Ranks
+      // ride deterministic orders (decimal BM25 score / 4dp cosine, id
+      // tie-break), so the fused ranking oracles exactly.
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.orderBy(col("score").desc, col("doc_id"))
+      val lex = graft.operators.Retrieval.bm25(rd(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join", "filter", "vector"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn("lrank", row_number().over(wl).cast("int"))
+        .select(col("doc_id"), col("lrank"))
+      val wv = Window.orderBy(col("cos_sim").desc, col("vec_id"))
+      val vec = Similarity.topKForId(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = 0L, kTop = 50)
+        .withColumn("vrank", row_number().over(wv).cast("int"))
+        .select(col("vec_id").as("doc_id"), col("vrank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lrank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vrank")), lit(0.0)), 6))
+        .select(col("doc_id"), col("lrank"), col("vrank"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    }),
+
     "q_chunk_docs" -> ((s, dir) => {
       // context-length chunking: 32-token windows advancing by 24 (8-token
       // overlap) — see Packing.chunkSpans for the chunk-count arithmetic
@@ -1129,6 +1158,47 @@ object PipelineQueries {
            FROM scored)
          SELECT query_id, rank, doc_id, score FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_hybrid_search" ->
+      """WITH d AS (
+           SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl, l FROM d),
+         stats AS (SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+         hits AS (SELECT doc_id, dl, UNNEST(l) AS term FROM dl),
+         fh AS (SELECT * FROM hits
+                WHERE term IN ('spark', 'join', 'filter', 'vector')),
+         tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM fh GROUP BY 1, 2, 3),
+         df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM fh GROUP BY 1),
+         c AS (SELECT tf.doc_id,
+             CAST(ROUND(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS DECIMAL(18,6)) AS c
+           FROM tf JOIN df USING (term) CROSS JOIN stats),
+         bs AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score FROM c GROUP BY doc_id),
+         lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id) AS INT) AS lrank FROM bs),
+         lex AS (SELECT * FROM lexr WHERE lrank <= 50),
+         q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+         qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq
+                FROM (SELECT UNNEST(e) AS x FROM q) z),
+         parts AS (
+           SELECT b.vec_id, UNNEST(b.embedding) AS y, UNNEST(q.e) AS x
+           FROM embeddings b, q WHERE b.vec_id <> 0),
+         comp AS (
+           SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY vec_id),
+         cs AS (SELECT vec_id, ROUND(dot / (nb * qn.nq), 4) AS cos_sim FROM comp, qn),
+         vecr AS (SELECT vec_id AS doc_id, CAST(ROW_NUMBER() OVER
+             (ORDER BY cos_sim DESC, vec_id) AS INT) AS vrank FROM cs),
+         vec AS (SELECT * FROM vecr WHERE vrank <= 50),
+         fused AS (
+           SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lrank, vrank,
+             ROUND(COALESCE(1.0 / (60 + lrank), 0.0)
+               + COALESCE(1.0 / (60 + vrank), 0.0), 6) AS rrf
+           FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+         SELECT doc_id, lrank, vrank, rrf FROM fused
+         ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_chunk_docs" ->
       """WITH d AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),

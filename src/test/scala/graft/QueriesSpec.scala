@@ -113,6 +113,7 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_tfidf" -> Seq("BroadcastNestedLoopJoin"),       // 1-row broadcast doc count
     "q_bm25" -> Seq("BroadcastNestedLoopJoin"),        // 1-row broadcast (n_docs, avgdl)
     "q_bm25_multi" -> Seq("BroadcastNestedLoopJoin"),  // same 1-row stats broadcast
+    "q_hybrid_search" -> Seq("BroadcastNestedLoopJoin"), // 1-row stats + 1-row query vector
     "q_sample_temperature" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast Z normalizer
     "q_sketch_merge" -> Seq("BroadcastNestedLoopJoin"), // two 1-row broadcasts (merged est, exact total)
     "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
