@@ -839,6 +839,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_source_cap" -> ((s, dir) => {
+      // per-source document cap: at most C best-quality docs per source,
+      // regardless of source size — the anti-spam-domain policy crawl
+      // pipelines apply (a fractional cut like q_quality_filter still
+      // lets a million-page domain flood the corpus; a CAP bounds every
+      // domain's contribution absolutely). One source-keyed window.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), col("source"), qualityScore(col("text")).as("quality"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 15)
+        .select(col("doc_id"), col("source"), col("quality"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_knn_classify" -> ((s, dir) => {
       // kNN majority-vote label propagation (auto-labeling / quality
       // classification): exact top-5 neighbors by cosine through the
@@ -1658,6 +1675,28 @@ object PipelineQueries {
            FROM q)
          SELECT doc_id, lang, quality, CAST(rk AS INT) AS rk
          FROM r WHERE rk * 2 <= n ORDER BY doc_id""",
+    "q_source_cap" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+         m AS (SELECT doc_id, source,
+             len(l) AS n,
+             len(list_distinct(l)) AS u,
+             len(list_filter(l, x -> x IN ('the','a','an','is','of','and','to','in'))) AS st
+           FROM t),
+         q AS (
+           SELECT doc_id, source,
+             ROUND(
+               (CASE WHEN n BETWEEN 20 AND 80 THEN 0.4 WHEN n BETWEEN 10 AND 150 THEN 0.2 ELSE 0.0 END
+                + (CASE WHEN n > 0 THEN CAST(u AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.4)
+               - (CASE WHEN n > 0 THEN CAST(st AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END) * 0.2,
+               6) AS quality
+           FROM m),
+         r AS (
+           SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id) AS INT) AS rk
+           FROM q)
+         SELECT doc_id, source, quality, rk
+         FROM r WHERE rk <= 15 ORDER BY doc_id""",
     "q_knn_classify" -> KnnExactSql,
     // the ANN-candidate form must produce the IDENTICAL prediction table
     // (candidate recall 1.0 at the registered cut ⇒ same top-5 ⇒ same
