@@ -210,6 +210,15 @@ object PipelineQueries {
         .orderBy(col("id_sub"), col("id_sup"))
     }),
 
+    "q_dedup_edit" -> ((s, dir) => {
+      // character-level near-dup: first-3-token prefix blocking (hot
+      // blocks > 8 dropped as boilerplate) → exact Levenshtein verify,
+      // keep edit similarity ≥ 0.8 — the order-sensitive complement of
+      // the shingle-Jaccard paths (Dedup.editDistancePairs scaladoc)
+      Dedup.editDistancePairs(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_clusters" -> ((s, dir) => {
       // full near-dup pipeline: shingle Jaccard pairs ≥ 0.6 → connected
       // components → (doc, cluster, keep) decisions; oracle-checked since
@@ -517,6 +526,32 @@ object PipelineQueries {
           array_join(col("qvec").cast("array<string>"), ",").as("qvec_str"),
           round(dequantRmse(col("embedding"), col("qvec"), col("scale")), 6).as("rmse"))
         .orderBy(col("vec_id"))
+    }),
+
+    "q_embed_project" -> ((s, dir) => {
+      // dimensionality reduction by sparse random projection (Achlioptas
+      // 2003 / JL lemma — public): out component c_j = Σ_i s(i,j)·x_i
+      // with a ±1 sign matrix derived from exact integer arithmetic, so
+      // both engines compute the identical matrix without sharing state.
+      // The 100 TB shape: the n·d·outDim term fan-out is map-side only —
+      // partial aggregation combines per (vec_id, j) before the exchange,
+      // so the shuffle carries n·outDim narrow rows, never the fan-out.
+      // Terms ride as DECIMAL(18,6): order-independent exact sums, the
+      // repo's cross-engine float discipline (no fold-order dependence).
+      // Projected vectors feed the cheap-prefilter ANN path: cosine on
+      // 8 dims costs 1/8th of 64 and JL preserves relative distances.
+      val parts = rd(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      parts
+        .select(col("vec_id"), col("i"), col("x"),
+          explode(sequence(lit(0), lit(7))).as("j"))
+        .withColumn("t",
+          when(((col("i") * 131 + col("j") * 137) * lit(2654435761L)) % 97 < 48,
+            col("x").cast("decimal(18,6)"))
+            .otherwise(-col("x").cast("decimal(18,6)")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("t")).cast("double").as("comp"))
+        .orderBy(col("vec_id"), col("j"))
     }),
 
     "q_token_bpe" -> ((s, dir) => {
@@ -1345,6 +1380,20 @@ object PipelineQueries {
             CAST(inter AS DOUBLE) / CAST(size_sub AS DOUBLE) AS containment
           FROM dir WHERE CAST(inter AS DOUBLE) / CAST(size_sub AS DOUBLE) >= 0.8
           ORDER BY id_sub, id_sup""",
+    "q_dedup_edit" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+          k AS (SELECT doc_id, text, l[1] || ' ' || l[2] || ' ' || l[3] AS blk
+            FROM t WHERE len(l) >= 3),
+          ok AS (SELECT blk FROM k GROUP BY blk HAVING COUNT(*) <= 8),
+          kb AS (SELECT k.* FROM k JOIN ok ON k.blk = ok.blk),
+          cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+            FROM kb a JOIN kb b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+          ed AS (SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS INT) AS edit_dist,
+              ROUND(1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                / CAST(GREATEST(LENGTH(ta), LENGTH(tb)) AS DOUBLE), 4) AS edit_sim
+            FROM cand)
+          SELECT id_a, id_b, edit_dist, edit_sim FROM ed
+          WHERE edit_sim >= 0.8 ORDER BY id_a, id_b""",
     "q_dedup_prefix" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
           sh AS (SELECT DISTINCT doc_id, sh FROM
@@ -1718,6 +1767,19 @@ object PipelineQueries {
                i -> (CAST(v[i] AS DOUBLE) - qvec[i] * scale)
                   * (CAST(v[i] AS DOUBLE) - qvec[i] * scale))) / len(v)), 6) AS rmse
          FROM q ORDER BY vec_id""",
+    "q_embed_project" ->
+      """WITH parts AS (
+           SELECT vec_id, UNNEST(embedding) AS x,
+             UNNEST(range(0, len(embedding))) AS i
+           FROM embeddings),
+         terms AS (
+           SELECT vec_id, j,
+             CASE WHEN ((i * 131 + j * 137) * 2654435761) % 97 < 48
+               THEN CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6))
+               ELSE -CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) END AS t
+           FROM parts, (SELECT UNNEST(range(0, 8)) AS j) js)
+         SELECT vec_id, CAST(j AS INT) AS j, CAST(SUM(t) AS DOUBLE) AS comp
+         FROM terms GROUP BY vec_id, j ORDER BY vec_id, j""",
     "q_token_bpe" ->
       """SELECT event_id,
            CAST(len(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe,

@@ -640,6 +640,38 @@ object RelationalQueries {
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("next_type"))
+    }),
+
+    "q_events_gapfill" -> ((s, dir) => {
+      // telemetry resample + gap-fill: 15-min buckets per event_type over
+      // the corpus-wide span; missing slots appear with n=0/is_gap=1 and
+      // the gauge carried forward from the last observed bucket (LOCF).
+      // The slot grid is generated DISTRIBUTIVELY — each series row
+      // explodes its own slot sequence against a 1-row broadcast span —
+      // no driver loop, no single-task generate. Wide ops are the bucket
+      // aggregate and one per-series window, both on (series, slot) keys
+      // whose cardinality is span-bound, not data-bound. The gauge sum
+      // rides as exact decimal so LOCF output is order-independent.
+      val ev = rd(s, dir, "events")
+      val b = ev
+        .withColumn("slot_s", expr("unix_timestamp(ts) DIV 900 * 900"))
+        .groupBy(col("event_type"), col("slot_s"))
+        .agg(count(lit(1)).as("nn"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val span = b.agg(min(col("slot_s")).as("lo"), max(col("slot_s")).as("hi"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(900L))).as("slot_s"))
+      grid.join(b, Seq("event_type", "slot_s"), "left")
+        .select(col("event_type"), col("slot_s"),
+          coalesce(col("nn"), lit(0L)).as("n"), col("sv").cast("double").as("v"))
+        .withColumn("is_gap", col("v").isNull.cast("int"))
+        .withColumn("filled_value", last(col("v"), ignoreNulls = true).over(
+          Window.partitionBy(col("event_type")).orderBy(col("slot_s"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_type"), timestamp_seconds(col("slot_s")).as("slot_start"),
+          col("n"), col("is_gap"), col("filled_value"))
+        .orderBy(col("event_type"), col("slot_start"))
     }))
 
   /** exact decimal revenue term used by several oracles */
@@ -986,5 +1018,26 @@ object RelationalQueries {
            FROM e)
          SELECT event_type, next_type, COUNT(*) AS n FROM n
          WHERE next_type IS NOT NULL
-         GROUP BY event_type, next_type ORDER BY event_type, next_type""")
+         GROUP BY event_type, next_type ORDER BY event_type, next_type""",
+    "q_events_gapfill" ->
+      """WITH b AS (
+           SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 900 * 900 AS slot_s,
+             COUNT(*) AS nn, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT MIN(slot_s) AS lo, MAX(slot_s) AS hi FROM b),
+         grid AS (
+           SELECT e.event_type, g.slot_s
+           FROM (SELECT DISTINCT event_type FROM events) e,
+             (SELECT UNNEST(range(lo, hi + 900, 900)) AS slot_s FROM span) g),
+         j AS (
+           SELECT g.event_type, g.slot_s, COALESCE(b.nn, 0) AS n,
+             CAST(b.sv AS DOUBLE) AS v
+           FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.slot_s = b.slot_s)
+         SELECT event_type, make_timestamp(slot_s * 1000000) AS slot_start,
+           CAST(n AS BIGINT) AS n,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+         FROM j ORDER BY event_type, slot_start""")
 }

@@ -584,4 +584,45 @@ object Dedup {
         round(sum(col("is_dup")).cast("double") / count(lit(1)).cast("double"), 4)
           .as("dup_ratio"))
   }
+
+  /**
+   * Edit-distance near-dup pairs: prefix-blocked candidates + exact
+   * Levenshtein verification — the character-level verify stage the
+   * shingle paths can't give (Jaccard is token-order-blind; edit distance
+   * is not, so transposed/reordered boilerplate scores differently here).
+   *
+   * Blocking: documents sharing their first `blockTokens` tokens form a
+   * block; candidates are within-block pairs (id_a < id_b) — near-dups
+   * overwhelmingly share an exact prefix because edits land mid-document.
+   * Blocks larger than `maxBlock` are dropped wholesale: a hot prefix is
+   * boilerplate, its members are better caught by the shingle/MinHash
+   * paths, and the cap bounds the join at Σ freq² ≤ maxBlock·n — the same
+   * role the DF cap plays in [[jaccardPairs]].
+   *
+   * Verification: built-in codegen'd `levenshtein` on each candidate pair,
+   * keep edit similarity 1 − d/max(len) ≥ `minSim`. O(len²) per pair but
+   * only on the blocked candidate set — the standard blocking+verify
+   * dedup shape, fully deterministic (one integer distance, one IEEE
+   * division) so the DuckDB oracle matches bit-for-bit.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double = 0.8, blockTokens: Int = 3, maxBlock: Int = 8): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val keyed = df.select(col(idCol), col(textCol))
+      .filter(size(toks) >= blockTokens)
+      .withColumn("__blk", concat_ws(" ", slice(toks, 1, blockTokens)))
+    // block-size cap via one window count; the blk partitioning is then
+    // reused by the self-join below (same key, AQE exchange reuse)
+    val capped = keyed
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__blk"))))
+      .filter(col("__bn") <= maxBlock).drop("__bn")
+    val a = capped.select(col("__blk"), col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = capped.select(col("__blk"), col(idCol).as("id_b"), col(textCol).as("__tb"))
+    a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .withColumn("edit_sim", round(lit(1.0) - col("edit_dist").cast("double") /
+        greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 4))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("edit_dist"), col("edit_sim"))
+  }
 }

@@ -190,6 +190,47 @@ class DedupSpec extends AnyFunSuite {
     assert(flags.filter(col("keep_id") === 1L).count() == 3000L)
     assert(Dedup.exactDedup(df, "doc_id", Seq("text")).count() == 1001L)
   }
+
+  test("edit-distance pairs: prefix block + Levenshtein verify, exact values") {
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .select("id_a", "id_b", "edit_dist", "edit_sim")
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (a, b, d, s) => (a, b) -> (d, s) }.toMap
+    // docs 1/2/4 share the "the quick brown" block; doc 3 does not
+    assert(got((1L, 4L)) == (0, 1.0))                    // exact dup
+    val (d12, s12) = got((1L, 2L))                       // bank -> bend: 2 char edits
+    assert(d12 == 2 && s12 > 0.95)
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"unexpected pair set: ${got.keySet}")
+  }
+
+  test("edit distance is order-sensitive: identical vocabulary, low similarity") {
+    // the two docs share the exact token SET (a bag-of-words signal calls
+    // them identical) but the tail is reordered — character-level edit
+    // similarity must land below the near-dup threshold
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma kappa iota theta eta zeta epsilon delta"
+    assert(a.split(" ").toSet == b.split(" ").toSet)
+    val ed = Dedup.editDistancePairs(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text", minSim = 0.0)
+      .select("edit_sim").as[Double].collect()
+    assert(ed.length == 1 && ed(0) < 0.8,
+      s"reordered doc must score below the near-dup threshold, got ${ed.toSeq}")
+  }
+
+  test("edit-distance blocking drops hot boilerplate blocks at the cap") {
+    val hot = (1L to 12L).map(i => (i, s"click here to read article number $i today"))
+    val cold = Seq((100L, "rare prefix block one shared tail"),
+      (101L, "rare prefix block one shared tale"))
+    val df = (hot ++ cold).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(df, "doc_id", "text", maxBlock = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)),
+      s"hot block (12 > cap 8) must be dropped wholesale, got $pairs")
+    // raising the cap re-admits the hot block's pairs
+    val uncapped = Dedup.editDistancePairs(df, "doc_id", "text", maxBlock = 100)
+    assert(uncapped.count() == 12L * 11 / 2 + 1)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -1251,5 +1292,82 @@ class SketchMergeSpec extends AnyFunSuite {
     val perEst = perType.withColumn("e", expr("hll_sketch_estimate(sk)"))
       .select(col("event_type"), col("e")).as[(String, Long)].collect().toMap
     assert(math.abs(perEst("A") - 100L) <= 3 && math.abs(perEst("B") - 100L) <= 3)
+  }
+}
+
+class GapfillSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("gapfill emits the complete slot grid with LOCF'd gauges") {
+    val rows = SparkEntry.queries("q_events_gapfill")(spark, TestSpark.sf)
+      .select("event_type", "slot_start", "n", "is_gap", "filled_value")
+      .as[(String, java.sql.Timestamp, Long, Int, Option[Double])].collect()
+    // grid completeness: every series covers the same corpus-wide span,
+    // slots exactly 900 s apart with no holes
+    val bySeries = rows.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.map(_._2.getTime).sorted }
+    val spans = bySeries.values.map(ts => (ts.head, ts.last, ts.length)).toSet
+    assert(spans.size == 1, s"series spans differ: $spans")
+    bySeries.values.foreach(ts =>
+      ts.sliding(2).foreach(p => assert(p(1) - p(0) == 900000L)))
+    // gap semantics: n == 0 <=> is_gap == 1; gaps exist at this SF
+    assert(rows.forall { case (_, _, n, g, _) => (n == 0L) == (g == 1) })
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0))
+    // LOCF: walking each series in slot order, a gap carries the last
+    // observed value; observed slots show their own value
+    bySeries.keys.foreach { t =>
+      var lastSeen: Option[Double] = None
+      rows.filter(_._1 == t).sortBy(_._2.getTime).foreach {
+        case (_, slot, _, g, v) =>
+          if (g == 1) assert(v == lastSeen, s"$t@$slot: LOCF broke: $v vs $lastSeen")
+          else { assert(v.isDefined); lastSeen = v }
+      }
+    }
+  }
+}
+
+class RandomProjectionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("projected components equal an independent BigDecimal reimplementation") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val got = SparkEntry.queries("q_embed_project")(spark, TestSpark.sf)
+      .select("vec_id", "j", "comp").as[(Long, Int, Double)].collect()
+    assert(got.length == emb.size * 8)
+    // recompute a sample exactly: sign from the shared integer formula,
+    // terms as 6-dp decimals summed in arbitrary order (order-free by
+    // construction — that is the point of the decimal route)
+    def sign(i: Int, j: Int): Int =
+      if (((i * 131 + j * 137).toLong * 2654435761L) % 97 < 48) 1 else -1
+    val sample = emb.keys.toSeq.sorted.take(5).toSet
+    got.filter(g => sample(g._1)).foreach { case (id, j, comp) =>
+      val want = emb(id).zipWithIndex.map { case (x, i) =>
+        BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(sign(i, j))
+      }.sum.toDouble
+      assert(comp == want, s"vec $id comp $j: got $comp want $want")
+    }
+  }
+
+  test("projection is linear: proj(x) + proj(y) == proj(x + y), exactly") {
+    // dyadic inputs (multiples of 1/64) are exact as float AND as 6-dp
+    // decimal, so the decimal-term projection makes linearity EXACT — any
+    // fold-order or float drift would break equality
+    def sign(i: Int, j: Int): Int =
+      if (((i * 131 + j * 137).toLong * 2654435761L) % 97 < 48) 1 else -1
+    def proj(v: Array[Float]): Array[BigDecimal] =
+      Array.tabulate(8)(j => v.zipWithIndex.map { case (e, i) =>
+        BigDecimal(e.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+          BigDecimal(sign(i, j))
+      }.sum)
+    val x = Array.tabulate(16)(i => (i - 8) / 64.0f)
+    val y = Array.tabulate(16)(i => (16 - i) / 64.0f)
+    val sum = x.zip(y).map { case (a, b) => a + b }   // exact float adds
+    proj(x).zip(proj(y)).zip(proj(sum)).foreach { case ((px, py), ps) =>
+      assert(px + py == ps, s"linearity broke: $px + $py != $ps")
+    }
   }
 }
