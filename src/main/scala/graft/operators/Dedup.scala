@@ -611,11 +611,13 @@ object Dedup {
     val keyed = df.select(col(idCol), col(textCol))
       .filter(size(toks) >= blockTokens)
       .withColumn("__blk", concat_ws(" ", slice(toks, 1, blockTokens)))
-    // block-size cap via one window count; the blk partitioning is then
-    // reused by the self-join below (same key, AQE exchange reuse)
-    val capped = keyed
+    // block-size cap via one window count, then SPILLED once: the self-
+    // join below consumes the capped relation on both sides, and without
+    // the spill each side re-shuffles the full corpus text through its
+    // own window (the sig-recompute trap, measured on minhash round 6)
+    val capped = Materialize.viaParquet(keyed
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("__blk"))))
-      .filter(col("__bn") <= maxBlock).drop("__bn")
+      .filter(col("__bn") <= maxBlock).drop("__bn"), "edit_blocks")
     val a = capped.select(col("__blk"), col(idCol).as("id_a"), col(textCol).as("__ta"))
     val b = capped.select(col("__blk"), col(idCol).as("id_b"), col(textCol).as("__tb"))
     a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
