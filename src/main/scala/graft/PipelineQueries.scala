@@ -1017,6 +1017,34 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_sketch_freq" -> ((s, dir) => {
+      // mergeable FREQUENCY sketches — the count-min analogue of
+      // q_sketch_merge's HLL rollup: per-stratum count_min_sketch
+      // partials (built-in, codegen'd, map-side-merged) roll up through
+      // the custom graft_cms_merge TypedImperativeAggregate into one
+      // corpus-wide sketch; heavy hitters are then probed against it
+      // WITHOUT rescanning raw data. The oracle gates CMS's one-sided
+      // guarantee (estimate ≥ exact, which merge preserves exactly —
+      // counters add) plus a measured tolerance envelope (eps=5e-4 ⇒
+      // error ≤ eps·N with prob ≥ 0.99; flags at 2× that bound). The
+      // top-5 probe set is a TakeOrdered cut, never a global window.
+      graft.plans.GraftExtensions.register(s)
+      val ev = rd(s, dir, "events")
+      val perType = ev.groupBy(col("event_type"))
+        .agg(expr("count_min_sketch(user_id, 0.0005d, 0.99d, 42)").as("sk"))
+      val merged = perType.agg(expr("graft_cms_merge(sk)").as("msk"))
+      val totalDf = ev.agg(count(lit(1)).as("total_n"))
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("user_id")).limit(5)
+      top.crossJoin(broadcast(merged)).crossJoin(broadcast(totalDf))
+        .withColumn("est", expr("graft_cms_estimate(msk, user_id)"))
+        .select(col("user_id"), col("exact_n"),
+          (col("est") >= col("exact_n")).cast("int").as("ge_ok"),
+          (col("est") - col("exact_n") <=
+            greatest(lit(1L), expr("total_n DIV 1000"))).cast("int").as("within_tol"))
+        .orderBy(col("user_id"))
+    }),
+
     // exact halves of the sketch pair, split out so they oracle-check
     "q_exact_p50" -> ((s, dir) => {
       rd(s, dir, "lineitem")
@@ -2003,6 +2031,13 @@ object PipelineQueries {
            CAST(1 AS INT) AS within_tol,
            CAST(exact_total AS BIGINT) AS exact_total, CAST(1 AS INT) AS merge_ok
          FROM t CROSS JOIN tot ORDER BY event_type""",
+    "q_sketch_freq" ->
+      """WITH exact AS (SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id),
+           top AS (SELECT user_id, exact_n FROM exact
+             ORDER BY exact_n DESC, user_id LIMIT 5)
+         SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(1 AS INT) AS ge_ok, CAST(1 AS INT) AS within_tol
+         FROM top ORDER BY user_id""",
     "q_exact_p50" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

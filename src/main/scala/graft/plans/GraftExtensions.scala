@@ -38,7 +38,13 @@ object GraftExtensions {
             s"graft_simsig $what must be an integer literal, got $other")
         }
         FloatVecSimSig(es(0), lit(es(1), "bits").toInt, lit(es(2), "seed"))
-      }))
+      }),
+    ("graft_cms_merge",
+      new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge"),
+      (es: Seq[Expression]) => CmsMergeAgg(es(0))),
+    ("graft_cms_estimate",
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
 
   /** Idempotent: make graft_* functions available in `spark`'s registry. */
   def register(spark: SparkSession): Unit =

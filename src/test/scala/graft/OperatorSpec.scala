@@ -1295,6 +1295,51 @@ class SketchMergeSpec extends AnyFunSuite {
   }
 }
 
+class SketchFreqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merged per-stratum CMS == one sketch built over the whole input") {
+    graft.plans.GraftExtensions.register(spark)
+    // skewed planted counts: user 7 ×500, user 8 ×120, long tail ×1
+    val rows = Seq.fill(500)(("A", 7L)) ++ Seq.fill(120)(("B", 8L)) ++
+      (100L to 400L).map(u => (if (u % 2 == 0) "A" else "B", u))
+    val df = rows.toDF("event_type", "user_id")
+    val merged = df.groupBy(col("event_type"))
+      .agg(expr("count_min_sketch(user_id, 0.0005d, 0.99d, 42)").as("sk"))
+      .agg(expr("graft_cms_merge(sk)").as("msk"))
+    val whole = df.agg(expr("count_min_sketch(user_id, 0.0005d, 0.99d, 42)").as("msk"))
+    val probes = Seq(7L, 8L, 100L, 101L, 399L, 9999L) // 9999 absent
+    def estimates(sketch: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      probes.map { u =>
+        u -> sketch.select(expr(s"graft_cms_estimate(msk, ${u}L)").as("e"))
+          .as[Long].collect()(0)
+      }.toMap
+    val em = estimates(merged)
+    assert(em == estimates(whole),
+      "counter-wise merge must equal the sketch of the concatenated input")
+    // one-sided guarantee survives the merge; planted keys are estimable
+    assert(em(7L) >= 500L && em(8L) >= 120L && em(100L) >= 1L)
+  }
+
+  test("merging sketches with different dimensions fails loudly") {
+    graft.plans.GraftExtensions.register(spark)
+    val a = Seq(("A", 1L)).toDF("g", "u")
+      .agg(expr("count_min_sketch(u, 0.0005d, 0.99d, 42)").as("sk"))
+    val b = Seq(("B", 2L)).toDF("g", "u")
+      .agg(expr("count_min_sketch(u, 0.01d, 0.99d, 42)").as("sk"))
+    val ex = intercept[Exception] {
+      a.union(b).agg(expr("graft_cms_merge(sk)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).map(c => Option(c.getMessage).getOrElse("")).exists(m =>
+        m.toLowerCase.contains("merge") || m.toLowerCase.contains("incompatible")),
+      s"expected an incompatible-merge failure, got $ex")
+  }
+}
+
 class GapfillSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
