@@ -1045,6 +1045,41 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     }),
 
+    "q_sketch_quant" -> ((s, dir) => {
+      // mergeable QUANTILE sketches — completes the sketch-table triad
+      // (distinct = q_sketch_merge, frequency = q_sketch_freq): per-stratum
+      // Greenwald-Khanna summaries (graft_quant_agg, eps = 0.01 rank
+      // error) are stored once; graft_quant_merge rolls them up into a
+      // corpus-wide summary WITHOUT rescanning raw values — percentile_
+      // approx can't do this because Spark never exposes its GK state.
+      // The oracle gates GK's rank guarantee: the sketched p50 must land
+      // between the exact 0.47 / 0.53 quantiles (3× the eps bound, and
+      // the merged estimate must satisfy the same envelope corpus-wide,
+      // which no per-stratum median can produce without a rescan).
+      graft.plans.GraftExtensions.register(s)
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      val per = li.groupBy(col("l_returnflag"))
+        .agg(expr("graft_quant_agg(v, 0.01d)").as("sk"),
+          expr("percentile(v, 0.5)").as("exact_p50"),
+          expr("percentile(v, 0.47)").as("lo"),
+          expr("percentile(v, 0.53)").as("hi"))
+      val merged = per.agg(expr("graft_quant_merge(sk)").as("msk"))
+      val tot = li.agg(expr("percentile(v, 0.5)").as("exact_p50_total"),
+        expr("percentile(v, 0.47)").as("lo_t"),
+        expr("percentile(v, 0.53)").as("hi_t"))
+      per.withColumn("est", expr("graft_quant_q(sk, 0.5d)"))
+        .crossJoin(broadcast(merged)).crossJoin(broadcast(tot))
+        .withColumn("est_t", expr("graft_quant_q(msk, 0.5d)"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          (col("est") >= col("lo") && col("est") <= col("hi"))
+            .cast("int").as("within_tol"),
+          col("exact_p50_total"),
+          (col("est_t") >= col("lo_t") && col("est_t") <= col("hi_t"))
+            .cast("int").as("merge_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // exact halves of the sketch pair, split out so they oracle-check
     "q_exact_p50" -> ((s, dir) => {
       rd(s, dir, "lineitem")
@@ -2038,6 +2073,15 @@ object PipelineQueries {
          SELECT user_id, CAST(exact_n AS BIGINT) AS exact_n,
            CAST(1 AS INT) AS ge_ok, CAST(1 AS INT) AS within_tol
          FROM top ORDER BY user_id""",
+    "q_sketch_quant" ->
+      """WITH t AS (SELECT l_returnflag,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50
+           FROM lineitem GROUP BY l_returnflag),
+           tot AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)
+             AS exact_p50_total FROM lineitem)
+         SELECT l_returnflag, exact_p50, CAST(1 AS INT) AS within_tol,
+           exact_p50_total, CAST(1 AS INT) AS merge_ok
+         FROM t CROSS JOIN tot ORDER BY l_returnflag""",
     "q_exact_p50" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -44,7 +44,24 @@ object GraftExtensions {
       (es: Seq[Expression]) => CmsMergeAgg(es(0))),
     ("graft_cms_estimate",
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
-      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))))
+      (es: Seq[Expression]) => CmsEstimate(es(0), es(1))),
+    ("graft_quant_agg",
+      new ExpressionInfo(classOf[QuantSketchAgg].getName, "graft_quant_agg"),
+      (es: Seq[Expression]) => {
+        val eps = es(1) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_quant_agg eps must be a double literal, got $other")
+        }
+        QuantSketchAgg(es(0), eps)
+      }),
+    ("graft_quant_merge",
+      new ExpressionInfo(classOf[QuantMergeAgg].getName, "graft_quant_merge"),
+      (es: Seq[Expression]) => QuantMergeAgg(es(0))),
+    ("graft_quant_q",
+      new ExpressionInfo(classOf[QuantQuery].getName, "graft_quant_q"),
+      (es: Seq[Expression]) => QuantQuery(es(0), es(1))))
 
   /** Idempotent: make graft_* functions available in `spark`'s registry. */
   def register(spark: SparkSession): Unit =

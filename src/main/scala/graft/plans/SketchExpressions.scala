@@ -128,3 +128,172 @@ case class CmsEstimate(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CmsEstimate = copy(left = l, right = r)
 }
+
+// ── mergeable quantile sketches ──────────────────────────────────────────
+//
+// Same gap as CMS: `percentile_approx` computes quantiles from raw data,
+// but its Greenwald-Khanna summary is never exposed, so per-stratum
+// quantile state could not be stored and rolled up. `graft_quant_agg`
+// emits the GK summary as a binary; `graft_quant_merge` unions binaries;
+// `graft_quant_q` probes one. Completes the sketch-table triad:
+// distinct (hll_union_agg), frequency (graft_cms_merge), quantiles (here).
+
+private[plans] object QuantCodec {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+  import QuantileSummaries.Stats
+
+  def write(qs: QuantileSummaries): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeDouble(qs.relativeError)
+    out.writeInt(qs.compressThreshold)
+    out.writeLong(qs.count)
+    out.writeInt(qs.sampled.length)
+    qs.sampled.foreach { s =>
+      out.writeDouble(s.value); out.writeLong(s.g); out.writeLong(s.delta)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def read(bytes: Array[Byte]): QuantileSummaries = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val eps = in.readDouble()
+    val thr = in.readInt()
+    val count = in.readLong()
+    val sampled = Array.fill(in.readInt())(
+      Stats(in.readDouble(), in.readLong(), in.readLong()))
+    // serialized summaries are always compressed (see callers)
+    new QuantileSummaries(thr, eps, sampled, count, true)
+  }
+}
+
+/** Builder: double column → serialized compressed GK summary. `eps` is the
+  * target relative RANK error; it parameterizes the summary so it must be
+  * a literal. */
+case class QuantSketchAgg(
+    child: Expression,
+    eps: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.sql.catalyst.util.QuantileSummaries] {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_quant_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.DoubleType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a double argument, got $t")
+  }
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, eps,
+      Array.empty, 0L, false)
+
+  override def update(buf: QuantileSummaries, input: InternalRow): QuantileSummaries = {
+    val v = child.eval(input)
+    if (v == null) buf else buf.insert(v.asInstanceOf[Double])
+  }
+
+  override def merge(b1: QuantileSummaries, b2: QuantileSummaries): QuantileSummaries =
+    if (b2.count == 0) b1 else if (b1.count == 0) b2
+    else b1.compress().merge(b2.compress())
+
+  override def eval(buf: QuantileSummaries): Any =
+    if (buf.count == 0) null else QuantCodec.write(buf.compress())
+
+  override def serialize(buf: QuantileSummaries): Array[Byte] =
+    QuantCodec.write(buf.compress())
+
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    QuantCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): QuantSketchAgg = copy(child = c(0))
+}
+
+/** Union-aggregate over serialized GK summaries. GK merge keeps the rank
+  * error bounded by the larger of the two inputs' errors (Greenwald &
+  * Khanna 2001; Spark's own approxQuantile merges partials the same way),
+  * so a rollup tree stays a valid summary of the concatenated input. */
+case class QuantMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.spark.sql.catalyst.util.QuantileSummaries] {
+  import org.apache.spark.sql.catalyst.util.QuantileSummaries
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_quant_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary (serialized quantile summary) argument, got $t")
+  }
+
+  override def createAggregationBuffer(): QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold,
+      QuantileSummaries.defaultRelativeError, Array.empty, 0L, false)
+
+  override def update(buf: QuantileSummaries, input: InternalRow): QuantileSummaries = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val other = QuantCodec.read(v.asInstanceOf[Array[Byte]])
+      if (buf.count == 0) other else buf.compress().merge(other)
+    }
+  }
+
+  override def merge(b1: QuantileSummaries, b2: QuantileSummaries): QuantileSummaries =
+    if (b2.count == 0) b1 else if (b1.count == 0) b2
+    else b1.compress().merge(b2.compress())
+
+  override def eval(buf: QuantileSummaries): Any =
+    if (buf.count == 0) null else QuantCodec.write(buf.compress())
+
+  override def serialize(buf: QuantileSummaries): Array[Byte] =
+    if (buf.count == 0) Array.emptyByteArray else QuantCodec.write(buf.compress())
+
+  override def deserialize(bytes: Array[Byte]): QuantileSummaries =
+    if (bytes.isEmpty) createAggregationBuffer() else QuantCodec.read(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): QuantMergeAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): QuantMergeAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): QuantMergeAgg = copy(child = c(0))
+}
+
+/** Probe: `graft_quant_q(summary, p)` → approximate p-quantile (double). */
+case class QuantQuery(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_quant_q"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, org.apache.spark.sql.types.DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, double), got ($l, $r)")
+    }
+
+  override def nullSafeEval(skBytes: Any, p: Any): Any =
+    QuantCodec.read(skBytes.asInstanceOf[Array[Byte]])
+      .query(p.asInstanceOf[Double]).getOrElse(null)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantQuery = copy(left = l, right = r)
+}

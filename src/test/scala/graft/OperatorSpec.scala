@@ -1340,6 +1340,67 @@ class SketchFreqSpec extends AnyFunSuite {
   }
 }
 
+class SketchQuantSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("merged per-stratum GK summaries answer corpus-wide quantiles within rank bound") {
+    graft.plans.GraftExtensions.register(spark)
+    // two disjoint strata: A = 1..1000, B = 2001..3000. Corpus p50 sits in
+    // the gap — rank 1000/2000 ⇒ value in [~1000, ~2001]. A per-stratum
+    // median (≈500 or ≈2500) CANNOT satisfy the bound, so the test proves
+    // the merge aggregates rank information across strata.
+    val rows = (1 to 1000).map(v => ("A", v.toDouble)) ++
+      (2001 to 3000).map(v => ("B", v.toDouble))
+    val df = rows.toDF("g", "v")
+    val per = df.groupBy(col("g")).agg(expr("graft_quant_agg(v, 0.01d)").as("sk"))
+    // per-stratum probe: rank error <= eps*n = 10 positions
+    val perEst = per.withColumn("e", expr("graft_quant_q(sk, 0.5d)"))
+      .select(col("g"), col("e")).as[(String, Double)].collect().toMap
+    assert(math.abs(perEst("A") - 500.0) <= 12.0, s"A p50 ${perEst("A")}")
+    assert(math.abs(perEst("B") - 2500.0) <= 12.0, s"B p50 ${perEst("B")}")
+    // merged probe: corpus p50 rank 1000±40 of 2000 ⇒ value in the gap edge
+    val m = per.agg(expr("graft_quant_q(graft_quant_merge(sk), 0.5d)").as("e"))
+      .as[Double].collect()(0)
+    assert(m >= 960.0 && m <= 2041.0, s"merged p50 $m must fall at the stratum gap")
+    // p25 / p75 land inside each stratum
+    val q25 = per.agg(expr("graft_quant_q(graft_quant_merge(sk), 0.25d)").as("e"))
+      .as[Double].collect()(0)
+    val q75 = per.agg(expr("graft_quant_q(graft_quant_merge(sk), 0.75d)").as("e"))
+      .as[Double].collect()(0)
+    assert(math.abs(q25 - 500.0) <= 45.0, s"merged p25 $q25")
+    assert(math.abs(q75 - 2500.0) <= 45.0, s"merged p75 $q75")
+  }
+
+  test("quantile summary survives serialize/deserialize round-trip exactly") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = (1 to 500).map(_.toDouble).toDF("v")
+    val sk = df.agg(expr("graft_quant_agg(v, 0.01d)").as("sk"))
+    // re-aggregate the serialized bytes through a merge — decode(encode(x))
+    // must answer the same query as the original
+    val direct = sk.select(expr("graft_quant_q(sk, 0.9d)").as("e")).as[Double].collect()(0)
+    val reMerged = sk.agg(expr("graft_quant_q(graft_quant_merge(sk), 0.9d)").as("e"))
+      .as[Double].collect()(0)
+    assert(direct == reMerged, s"$direct != $reMerged after codec round-trip")
+    assert(math.abs(direct - 450.0) <= 10.0)
+  }
+
+  test("null inputs are skipped and an all-null stratum yields a null sketch") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(("A", Some(1.0)), ("A", None), ("A", Some(3.0)),
+      ("B", None), ("B", None)).toDF("g", "v")
+    val per = df.groupBy(col("g")).agg(expr("graft_quant_agg(v, 0.01d)").as("sk"))
+    val skA = per.filter(col("g") === "A")
+      .select(expr("graft_quant_q(sk, 0.5d)").as("e")).as[Double].collect()(0)
+    assert(skA >= 1.0 && skA <= 3.0)
+    assert(per.filter(col("g") === "B" && col("sk").isNull).count() == 1)
+    // merge over a null partial ignores it rather than corrupting state
+    val m = per.agg(expr("graft_quant_q(graft_quant_merge(sk), 0.5d)").as("e"))
+      .as[Double].collect()(0)
+    assert(m >= 1.0 && m <= 3.0)
+  }
+}
+
 class GapfillSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

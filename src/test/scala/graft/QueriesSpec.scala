@@ -117,6 +117,7 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_sample_temperature" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast Z normalizer
     "q_sketch_merge" -> Seq("BroadcastNestedLoopJoin"), // two 1-row broadcasts (merged est, exact total)
     "q_sketch_freq" -> Seq("BroadcastNestedLoopJoin"),  // two 1-row broadcasts (merged CMS, exact total)
+    "q_sketch_quant" -> Seq("BroadcastNestedLoopJoin"), // two 1-row broadcasts (merged GK, exact totals)
     "q_events_gapfill" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast span onto the |series| list
     "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
     "q_source_mix" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast corpus token total
