@@ -139,6 +139,38 @@ object ParquetIO {
   }
 
   /**
+   * Bucketed external table write — the co-located-join layout. Both
+   * sides of a recurring large-large equi-join pay their shuffle ONCE,
+   * at write time: rows are hash-clustered into `numBuckets` files per
+   * side on the join key (plus sorted within buckets), and every later
+   * join or aggregation on that key runs with NO Exchange — Spark's
+   * scan reports the bucket hash-partitioning and Catalyst drops the
+   * shuffle on both sides (and the sort, when bucket files are sorted).
+   * At 100 TB this converts the dominant nightly-join cost from
+   * O(data) network to zero; the bucket count is chosen like a shuffle
+   * partition count (bucket file ≈ target HDFS block after compression).
+   * Bucketing metadata lives in the catalog, so this writes an EXTERNAL
+   * table (data at `path`, definition under `tableName`) — plain
+   * `spark.read.parquet(path)` still works but loses the bucket info.
+   */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      numBuckets: Int, bucketCols: Seq[String],
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write
+      .mode("overwrite")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /**
    * Sorted compaction: [[merge]] plus clustering. Rows are
    * range-partitioned and sorted on `sortCols`, so each output file (and
    * each row group inside it) covers a disjoint key range; parquet min/max

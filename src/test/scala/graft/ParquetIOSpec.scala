@@ -368,6 +368,45 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(subdirs.exists(_.startsWith("l_returnflag=")))
   }
 
+  test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
+    // the co-located-join layout: both sides hash-clustered on the join
+    // key at write time, so the recurring large-large join pays its
+    // shuffle once (at write) and never again. The assertion is on the
+    // PLAN — at 100 TB the absent Exchange IS the feature.
+    val base = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // one write task per bucket → one file per bucket → in-bucket sort
+    // survives to the read side
+    ParquetIO.writeBucketed(li.repartition(8, col("l_orderkey")),
+      "bkt_lineitem", s"$base/li", 8, Seq("l_orderkey"))
+    ParquetIO.writeBucketed(ord.repartition(8, col("o_orderkey")),
+      "bkt_orders", s"$base/ord", 8, Seq("o_orderkey"))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // join key == bucket key == group key, so the scan's bucket
+      // hash-partitioning satisfies every distribution requirement
+      val joined = spark.table("bkt_lineitem")
+        .join(spark.table("bkt_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join+agg on the bucket key must carry no shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must report bucketing:\n$plan")
+      // values still equal the plain-parquet join
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      assert(joined.collect().toSet == expected.collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB shape: the fact table is partitioned on the join key, the
     // dimension filter is NOT on the partition column — static pruning
