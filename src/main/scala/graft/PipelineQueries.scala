@@ -1059,15 +1059,21 @@ object PipelineQueries {
       graft.plans.GraftExtensions.register(s)
       val li = rd(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      // ONE exact-percentile buffer per aggregate via the array form —
+      // three scalar percentile() calls would each buffer the full
+      // value set independently (measured 8.5 s → ~3 s at sf0.1)
       val per = li.groupBy(col("l_returnflag"))
         .agg(expr("graft_quant_agg(v, 0.01d)").as("sk"),
-          expr("percentile(v, 0.5)").as("exact_p50"),
-          expr("percentile(v, 0.47)").as("lo"),
-          expr("percentile(v, 0.53)").as("hi"))
+          expr("percentile(v, array(0.47D, 0.5D, 0.53D))").as("pcts"))
+        .select(col("l_returnflag"), col("sk"),
+          element_at(col("pcts"), 2).as("exact_p50"),
+          element_at(col("pcts"), 1).as("lo"),
+          element_at(col("pcts"), 3).as("hi"))
       val merged = per.agg(expr("graft_quant_merge(sk)").as("msk"))
-      val tot = li.agg(expr("percentile(v, 0.5)").as("exact_p50_total"),
-        expr("percentile(v, 0.47)").as("lo_t"),
-        expr("percentile(v, 0.53)").as("hi_t"))
+      val tot = li.agg(expr("percentile(v, array(0.47D, 0.5D, 0.53D))").as("pcts"))
+        .select(element_at(col("pcts"), 2).as("exact_p50_total"),
+          element_at(col("pcts"), 1).as("lo_t"),
+          element_at(col("pcts"), 3).as("hi_t"))
       per.withColumn("est", expr("graft_quant_q(sk, 0.5d)"))
         .crossJoin(broadcast(merged)).crossJoin(broadcast(tot))
         .withColumn("est_t", expr("graft_quant_q(msk, 0.5d)"))

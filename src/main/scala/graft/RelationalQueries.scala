@@ -266,6 +266,37 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_join_bucketed" -> ((s, dir) => {
+      // co-located join through the bucketed-table layout: both sides are
+      // hash-clustered on the join key at WRITE time (ParquetIO.
+      // writeBucketed — one repartition each, paid once), after which the
+      // join AND the per-key aggregate run with zero shuffle exchanges
+      // (plan asserted in ParquetIOSpec/BucketingSpec; the scan's bucket
+      // hash-partitioning satisfies every downstream distribution
+      // requirement). At 100 TB this is the nightly-join layout: the
+      // recurring Exchange moves to disk, once. The oracle checks the
+      // values equal the plain equi-join. Doubles sum through
+      // DECIMAL(18,2) on both sides so the hash is order-independent.
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed-q"
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      graft.sources.ParquetIO.writeBucketed(
+        li.repartition(16, col("l_orderkey")),
+        "graft_bkt_lineitem", s"$base/li", 16, Seq("l_orderkey"))
+      graft.sources.ParquetIO.writeBucketed(
+        ord.repartition(16, col("o_orderkey")),
+        "graft_bkt_orders", s"$base/ord", 16, Seq("o_orderkey"))
+      s.table("graft_bkt_lineitem")
+        .join(s.table("graft_bkt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       val e = rd(s, dir, "events")
       val sg = e.filter(col("event_type") === "signup")
@@ -797,6 +828,11 @@ object RelationalQueries {
          JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) c
            USING (user_id)
          ORDER BY e.event_id""",
+    "q_join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey""",
     "q_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS uts FROM events)
          SELECT s.user_id, s.event_id AS signup_id, COUNT(*) AS n_purchases_1h
