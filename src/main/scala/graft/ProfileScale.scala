@@ -54,6 +54,24 @@ object ProfileScale {
       println(s"[scale] wrote $Sf1Dir/events.parquet")
     }
 
+    if (!new java.io.File(s"$Sf1Dir/lineitem.parquet").exists()) {
+      // lineitem/orders: 10 replicas with disjoint orderkey/custkey spaces
+      // — per-order line groups are preserved, the order population grows
+      // 10× (how a fact pair actually scales)
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      (0 until 10).map { r =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      (0 until 10).map { r =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/orders.parquet")
+      println(s"[scale] wrote $Sf1Dir lineitem+orders")
+    }
+
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_prefix",
         "q_dedup_minhash", "q_dedup_simhash", "q_embed_ann", "q_embed_ivf",
