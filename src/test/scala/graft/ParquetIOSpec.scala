@@ -400,6 +400,23 @@ class PartitionPruningSpec extends AnyFunSuite {
       val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
       assert(joined.collect().toSet == expected.collect().toSet)
+      // bucket pruning: an equality filter on the bucket key reads ONE of
+      // the 8 bucket files — the scan-side complement of the shuffle-free
+      // join (point lookups touch 1/numBuckets of the data). The planner's
+      // auto-bucketed-scan turns bucketed reading OFF for plans with no
+      // distribution requirement, which also forfeits pruning — disable it
+      // for the probe, as a point-lookup-heavy workload would.
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val someKey = ord.select(col("o_orderkey")).head().getLong(0)
+        val pruned = spark.table("bkt_orders").filter(col("o_orderkey") === someKey)
+        val prunedPlan = pruned.queryExecution.executedPlan.toString
+        assert(prunedPlan.contains("SelectedBucketsCount: 1 out of 8"),
+          s"expected single-bucket scan:\n$prunedPlan")
+        assert(pruned.count() == 1)
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
