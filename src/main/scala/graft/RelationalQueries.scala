@@ -16,8 +16,10 @@ import scala.collection.immutable.ListMap
  *    Spark's partial-aggregation order;
  *  - AVG = CAST(decimal-SUM AS DOUBLE)/COUNT — one deterministic division;
  *  - every query ends in a total ORDER BY;
- *  - `events.ts` is ns in the files but µs in Spark: the oracle compares
- *    at µs via CAST(ts AS TIMESTAMP);
+ *  - `events.ts` arrives in whatever precision the fixture was written
+ *    with (µs as of the Aug-13 regeneration; ns before); the reader
+ *    normalizes to session-TZ TIMESTAMP (µs) and the oracle compares at
+ *    µs via CAST(ts AS TIMESTAMP);
  *  - narrow ints (size/year/rank/…) cast to the same width on both sides.
  */
 object RelationalQueries {
@@ -26,24 +28,47 @@ object RelationalQueries {
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-   * ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the legacy conf and
-   * truncate to µs ourselves. Integer division is mandatory: epoch-nanos
-   * (~1.7e18) overflow double's 2^53 mantissa, so `/ 1000` would corrupt
-   * timestamps; `DIV 1000` stays in long arithmetic. Matches the oracle's
-   * CAST(ts AS TIMESTAMP) µs truncation.
+   * Normalize an events-shaped `ts` column to session-TZ TIMESTAMP (µs),
+   * whatever the on-disk encoding. Real corpora arrive with mixed
+   * timestamp precisions, so the reader adapts to the LOADED schema
+   * instead of assuming one encoding:
+   *  - `LongType` — raw epoch-nanos, i.e. parquet TIMESTAMP(NANOS) read
+   *    under `spark.sql.legacy.parquet.nanosAsLong` (Spark 4 rejects
+   *    nanos outright otherwise, [PARQUET_TYPE_ILLEGAL]). Integer `DIV`
+   *    is mandatory: epoch-nanos (~1.7e18) overflow double's 2^53
+   *    mantissa, so `/ 1000` would corrupt timestamps.
+   *  - `TimestampNTZType` — parquet TIMESTAMP(MICROS/MILLIS) with
+   *    isAdjustedToUTC=false (what pyarrow writes by default). Cast to
+   *    TIMESTAMP reinterprets the wall-clock in the session TZ; under the
+   *    UTC sessions Verify/Bench/tests use this is value-preserving and
+   *    matches DuckDB's CAST(ts AS TIMESTAMP).
+   *  - `TimestampType` — already session-TZ µs: pass through.
+   * Shared by the batch reader below and `Streams.eventsStream` so the
+   * two paths cannot drift.
    */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected int64-nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    // The conf is session-global (Spark exposes no per-read option for
-    // nanos handling), so this is a set-once latch, not a toggle: it is
-    // only ever written when absent/false, and nothing in this library
-    // sets it back — concurrent callers can therefore only race towards
-    // the same value (round-3 advisory). Sessions that want full control
+    // The nanos conf is session-global (Spark exposes no per-read option),
+    // so this is a set-once latch, not a toggle: it is only ever written
+    // when absent/false, and nothing in this library sets it back —
+    // concurrent callers can therefore only race towards the same value
+    // (round-3 advisory). It is inert for µs-encoded files (it only
+    // affects TIMESTAMP(NANOS) columns), so setting it unconditionally is
+    // safe across fixture regenerations. Sessions that want full control
     // should set it in their builder; Verify/Bench do.
     if (!s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** exact order-independent sum of a 2-decimal double column */

@@ -15,17 +15,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
  */
 object Streams {
 
-  /** File-source stream over an events-shaped parquet directory.
-    * ts is TIMESTAMP(NANOS) in the files → read as long, truncate to µs
-    * (see RelationalQueries.events). */
+  /** File-source stream over an events-shaped parquet directory. `ts` is
+    * normalized to session-TZ TIMESTAMP by the SAME schema-adaptive helper
+    * the batch reader uses ([[graft.RelationalQueries.normalizeEventsTs]]),
+    * so the two paths cannot drift across fixture regenerations
+    * (ns ⇄ µs ⇄ tz-aware). */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file stream sources monitor DIRECTORIES; select the one table by glob
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.RelationalQueries.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling/sliding-window counts per event type. */
