@@ -1,14 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // median-of-N per query (round-4 advisory: two rounds running, a
-    // single-shot total mis-measured by >2× under driver-machine
-    // contention — 184 s vs 75 s byte-identical; the median of 3 runs is
-    // robust to a one-off stall and the reported spread shows whether a
-    // number is signal or noise)
+    // median-of-N per query, INTERLEAVED (round-11, after three rounds of
+    // contention-poisoned artifacts): the whole battery runs N passes and
+    // each query's median is taken ACROSS passes. Back-to-back repeats put
+    // all N samples of a query inside the same contention window, so one
+    // busy minute on the driver host inflated single untouched queries
+    // 30-40x (r10: q1_agg 1.8->56.7 s on byte-identical code); with
+    // passes, a query's samples land minutes apart and the median rejects
+    // any single bad window.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // optional comma-separated query filter for targeted re-measurement;
     // unknown names fail fast — a typo must not print a success-looking
@@ -26,7 +30,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // inert for µs fixtures; keeps ns-encoded events loadable
       // plan strings are diagnostics — never let one grow into driver
       // heap trouble (AQE rebuilds the string on every replan)
       .config("spark.sql.maxPlanStringLength", "1048576")
@@ -38,25 +42,31 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     var failures = List.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.flatMap { case (name, fn) =>
-      // failed iterations are excluded — mixing a time-to-exception into
-      // the median would corrupt the number; a query with zero successful
-      // runs is omitted from the JSON entirely (exit 1 carries the signal)
-      val times = (1 to runs).flatMap { _ =>
+    // battery-level passes: pass p runs EVERY query once before any query
+    // runs its (p+1)-th sample
+    val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    selected.keys.foreach(samples(_) = Vector.empty)
+    for (pass <- 1 to runs) {
+      System.err.println(s"[bench] --- pass $pass/$runs ---")
+      selected.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan (a bare .count() lets Catalyst
         // drop final sorts, under-measuring order-by cost)
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          samples(name) :+= (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] FAILED $name: $e")
+            System.err.println(s"[bench] FAILED $name (pass $pass): $e")
             e.printStackTrace()
             failures ::= name
-            None
         }
       }
+    }
+    val results = samples.flatMap { case (name, times) =>
+      // failed iterations are excluded — mixing a time-to-exception into
+      // the median would corrupt the number; a query with zero successful
+      // runs is omitted from the JSON entirely (exit 1 carries the signal)
       if (times.isEmpty) {
         System.err.println(s"[bench] $name: all $runs runs failed — omitted from JSON")
         None
@@ -95,6 +105,25 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "/root/repo/BENCH_QUERIES.json"))
     try java.nio.file.Files.write(sidecar, (full + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException => System.err.println(s"[bench] sidecar write failed: $e") }
+    // round-stamped copy (judge ask, r9 #5 / r10 #6): the shared path above
+    // is overwritten every run, so each per-query record otherwise survives
+    // only in git history. Round = SPARK_GRAFT_ROUND if set, else inferred
+    // as max(N of BENCH_r{N}.json in the repo) + 1 — the driver writes
+    // BENCH_r{N}.json AFTER this program runs, so +1 is the current round.
+    try {
+      val repo = java.nio.file.Paths.get("/root/repo")
+      val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val it = java.nio.file.Files.list(repo)
+        val prev = try it.iterator().asScala
+          .flatMap(p => rx.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .foldLeft(0)(_ max _)
+        finally it.close()
+        prev + 1
+      }
+      java.nio.file.Files.write(repo.resolve(s"BENCH_QUERIES_r$round.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception => System.err.println(s"[bench] stamped sidecar write failed: $e") }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"n_queries":${results.size},"queries_file":"$sidecar","sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) {
