@@ -646,20 +646,26 @@ object PipelineQueries {
 
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic dedup (Abbas et al. 2023, public): exact
-      // cosine ≥ 0.45 near-dup pairs mined through the sketch-prefiltered
-      // block-matrix join (recall 1.0 at this threshold — the q_embed_ann
-      // operating point), then the SAME connected-components loop the
-      // text path uses → (vector, cluster, keep-one) decisions. Only
-      // vectors in ≥1 pair appear — singletons need no dedup decision.
-      // ORACLE CAVEAT (corpus-dependent, by design): the DuckDB oracle
-      // enumerates exact cosine pairs, so gate equality holds because the
-      // 512-bit/0.25 sketch cut was MEASURED to drop no true cos ≥ 0.45
-      // pair on this corpus (ProfileOracleSix: dropped_by_sketch=0 at
-      // both SFs). On a different corpus re-measure that margin or
-      // substitute Similarity.exactCosinePairs — the knnClassify
-      // exact/ann split applied to pair mining.
+      // cosine ≥ 0.45 near-dup pairs mined through the IVF co-residence
+      // feed (round 11 — the registered path is now the 100 TB shape:
+      // candidates are Σ_cell freq², linear in n at constant per-cell
+      // occupancy since the cell count tracks n, NOT the quadratic
+      // sketch-estimate block join), then the SAME connected-components
+      // loop the text path uses → (vector, cluster, keep-one) decisions.
+      // Only vectors in ≥1 pair appear — singletons need no dedup decision.
+      // ORACLE OPERATING POINT (corpus-dependent, by design): the DuckDB
+      // oracle enumerates exact cosine pairs, so gate equality requires
+      // the candidate cut to drop no true cos ≥ 0.45 pair. On THIS
+      // isotropic synthetic corpus that forces nAssign = 8 (MEASURED
+      // recall 1.0 at sf0.001/0.01/0.1; nAssign=4 drops pairs —
+      // ProfileR11): no spatial partition separates isotropic neighbors
+      // cheaply, so the structural cut pays a high multi-assign constant
+      // here. On real clustered corpora nAssign = 2 is the normal point;
+      // re-measure per corpus, or fall back to Similarity.annPairs
+      // (statistical sketch cut) / exactCosinePairs (exact block join).
       val emb = rd(s, dir, "embeddings")
-      val pairs = Similarity.annPairs(emb, "vec_id", "embedding", minCos = 0.45)
+      val pairs = Similarity.ivfPairs(emb, "vec_id", "embedding",
+          nAssign = 8, minCos = 0.45)
         .select(col("id_a"), col("id_b"))
       Dedup.clusterPairs(pairs)
         .select(col("id").as("vec_id"), col("cluster"),
@@ -832,22 +838,21 @@ object PipelineQueries {
       // branch is non-empty at every SF; copies share their original's
       // embedding id space implicitly via the text edge.
       //
-      // ORACLE OPERATING POINT (corpus-dependent, like q_embed_ann): the
-      // DuckDB oracle enumerates exact cosine pairs, while this side mines
-      // them through the 512-bit sketch cut (minEstCos=0.25). Equality
-      // holds because the cut was MEASURED recall-1.0 at the 0.45 exact
-      // threshold on this corpus at both SFs (min qualifying est-cos 0.33
-      // — a 3.4σ margin, ProfileOracleSix); on a different corpus,
-      // re-measure the margin or swap semPairs to
-      // Similarity.exactCosinePairs (same output, quadratic full-width
-      // compare instead of the 64 B/row sketch stage).
+      // ORACLE OPERATING POINT (corpus-dependent, like q_dedup_semantic):
+      // the DuckDB oracle enumerates exact cosine pairs, while this side
+      // mines them through the IVF co-residence feed (round 11 — Σ_cell
+      // freq² candidates, the sub-quadratic registered path). nAssign = 8
+      // is the MEASURED recall-1.0 point for cos ≥ 0.45 on this isotropic
+      // corpus at all three SFs (ProfileR11); on a clustered corpus
+      // nAssign = 2, on a corpus where the margin is unknown fall back to
+      // Similarity.annPairs (sketch cut) or exactCosinePairs.
       val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
       val textPairs = Dedup.exactDedupFlags(doubled, "doc_id", "text")
         .filter(col("is_dup") === 1)
         .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
-      val semPairs = Similarity.annPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
-          minCos = 0.45)
+      val semPairs = Similarity.ivfPairs(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          nAssign = 8, minCos = 0.45)
         .select(col("id_a"), col("id_b"))
       Dedup.clusterPairs(textPairs.unionByName(semPairs))
         .select(col("id"), col("cluster"),
@@ -904,40 +909,46 @@ object PipelineQueries {
     }),
 
     "q_knn_classify_ann" -> ((s, dir) => {
-      // THE 100 TB kNN formulation (round 9): candidates come from the
-      // 512-bit-sketch miner instead of the exact full-width block join,
-      // feeding the unchanged vote pipeline. Operating point: every
-      // vector's exact top-5 pairs must survive the est-cos cut — the
-      // sketch floor over true top-5 pairs is deterministic per corpus
-      // (hash-seeded signatures) and measured at 0.0919 (sf0.01) /
-      // 0.1102 (sf0.1) (ProfileR9b), so the 0.05 cut keeps candidate
-      // recall 1.0 at both gate SFs and the prediction EQUALS the exact
-      // baseline — which is what the oracle checks. Scale shape: the
-      // quadratic stage compares 64 B sketches (the annPairs envelope);
-      // the full-width cosine runs only on the ~35 % of pairs surviving
-      // the cut, vs 100 % for the exact baseline (measured 14× wall at
-      // the 10× rehearsal). On a different corpus re-measure the floor
-      // (ProfileR9b) — or on clustered data use ivfPairs candidates,
-      // where the cut is structural instead of statistical.
+      // THE 100 TB kNN formulation (round 11): candidates come from the
+      // IVF co-residence miner — Σ_cell freq² pairs, linear in n at
+      // constant per-cell occupancy (the cell count tracks n) — feeding
+      // the unchanged vote pipeline. Operating point: every vector's
+      // exact top-5 pairs must be IVF candidates; nAssign = 8 is the
+      // MEASURED recall-1.0 point at sf0.001/0.01/0.1 on this isotropic
+      // corpus (ProfileR11; nAssign=4 reaches only ~0.91). Isotropic data
+      // is the worst case for a structural cut — real clustered corpora
+      // run nAssign = 2 — and the statistical alternative stays available:
+      // annPairs(minEstCos=0.05) was the round-9 registration with its
+      // own measured floor (ProfileR9b). Whatever the miner, the
+      // prediction EQUALS the exact baseline — which is what the oracle
+      // checks.
       Similarity.knnClassify(rd(s, dir, "embeddings"), "vec_id", "embedding",
           "label", k = 5,
-          candidates = Some(Similarity.annPairs(rd(s, dir, "embeddings"),
-            "vec_id", "embedding", minEstCos = 0.05, minCos = -1.0)))
+          candidates = Some(Similarity.ivfPairs(rd(s, dir, "embeddings"),
+            "vec_id", "embedding", nAssign = 8, minCos = -1.0)))
         .orderBy(col("id"))
     }),
 
     // ── multimodal plumbing ─────────────────────────────────────────────
     "q_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.attachMedia(rd(s, dir, "documents"))
-      // project the ASCII-informative bins (2: space/punct, 3: digits,
-      // 6/7: lowercase letters) as INTEGER counts — exact in any engine,
-      // so the mapPartitions decode is fully oracle-checked; the
-      // normalized float histogram stays covered by MultimodalSpec
-      val feats = Multimodal.extractFeatures(media).toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          element_at(col("bin_counts"), 3).as("c_punct"),
-          element_at(col("bin_counts"), 7).as("c_alpha1"),
-          element_at(col("bin_counts"), 8).as("c_alpha2"))
+      // REAL codec in the decode slot (round 11): a deterministic grayscale
+      // PNG per doc (pixel i = (doc_id*31 + i²) mod 256, 32×16) is ENCODED
+      // and then DECODED through javax.imageio inside the same
+      // mapPartitions batch contract the stub used. PNG is lossless, so
+      // the DuckDB oracle predicts the decoded histogram from the pixel
+      // formula alone — bins counted from real decoded pixels, not a stub.
+      // Integer bin counts are engine-exact; the float32-vs-float64 bin
+      // boundary agreement over all 256 byte values is verified (no byte
+      // value bins differently under (v/255f)*15.999f vs the oracle's
+      // double FLOOR).
+      val media = Multimodal.attachPng(rd(s, dir, "documents"))
+      val feats = Multimodal.extractFeatures(media,
+          decode = (bytes, _) => Multimodal.decodePng(bytes)).toDF()
+        .select(col("doc_id"),
+          element_at(col("bin_counts"), 1).as("c_b0"),
+          element_at(col("bin_counts"), 6).as("c_b5"),
+          element_at(col("bin_counts"), 11).as("c_b10"),
+          element_at(col("bin_counts"), 16).as("c_b15"))
       // spill-checkpoint BEFORE the global sort: the range partitioner
       // samples its child, which re-executed the whole mapPartitions
       // decode (round-2 finding: extraction ran twice, 1.0 s → 5.95 s);
@@ -1099,7 +1110,40 @@ object PipelineQueries {
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type"))
+    }),
+
+    "q_compact_zorder" -> ((s, dir) => {
+      // layout maintenance, oracle-gated (round 11): round-trip orders
+      // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
+      // input files exercise the multi-input merge — then recompute each
+      // row's Morton z over the COMPACTED files with the same withZValue
+      // code path the compactor sorted by, and emit per-z-cell key spans.
+      // The oracle runs the identical bucket+interleave arithmetic on the
+      // raw table: equality proves the compaction preserved every row and
+      // pins the interleave bit-for-bit. File-level clustering (disjoint
+      // per-file z spans -> footer-stats pruning on either key) is asserted
+      // in ParquetIOSpec — file boundaries come from range-exchange
+      // sampling, which SQL cannot reproduce.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val orders = rd(s, dir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$tmp/in0")
+      orders.filter(col("o_orderkey") % 2 === 1).write.parquet(s"$tmp/in1")
+      ParquetIO.compactZOrder(s, Seq(s"$tmp/in0", s"$tmp/in1"), s"$tmp/out",
+        Seq("o_custkey", "o_orderkey"), targetFileBytes = 64L * 1024)
+      ParquetIO.withZValue(s.read.parquet(s"$tmp/out"),
+          Seq("o_custkey", "o_orderkey"), "z")
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("ck_lo"), max(col("o_custkey")).as("ck_hi"),
+          min(col("o_orderkey")).as("ok_lo"), max(col("o_orderkey")).as("ok_hi"))
+        .orderBy(col("z"))
     }))
+
+  // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
+  // lands at position b*2 + i; the terms touch disjoint bits so + == OR
+  private val ZTermsSql = (for (b <- 0 until 15; i <- 0 until 2)
+    yield s"(((bk$i >> $b) & 1) << ${2 * b + i})").mkString(" + ")
 
   // DuckDB shingle-list expression over l = string_split(text, ' ')
   private val ShinglesSql =
@@ -1547,21 +1591,20 @@ object PipelineQueries {
     // compare stays byte-exact on non-ASCII text too (the round-3
     // character-indexed formulation only agreed because this corpus is
     // pure ASCII; MultimodalNonAsciiSpec pins the byte semantics).
+    // predicts the REAL javax.imageio decode: PNG is lossless, so decoded
+    // pixel i of doc d is exactly (d*31 + i*i) % 256 — same formula
+    // syntheticPng encoded
     "q_multimodal_features" ->
-      """WITH b AS (
-           SELECT doc_id, hex(encode(text)) AS h,
-             octet_length(encode(text)) AS nb,
-             least(octet_length(encode(text)), 1024) AS np
-           FROM documents),
-         bins AS (
-           SELECT doc_id, nb,
-             list_transform(range(0, np),
-               i -> CAST(FLOOR(((('0x' || substring(h, 2*i + 1, 2))::INT) / 255.0) * 15.999) AS INT)) AS bl
-           FROM b)
-         SELECT doc_id, CAST(nb AS INT) AS n_bytes,
-           CAST(len(list_filter(bl, x -> x = 2)) AS INT) AS c_punct,
-           CAST(len(list_filter(bl, x -> x = 6)) AS INT) AS c_alpha1,
-           CAST(len(list_filter(bl, x -> x = 7)) AS INT) AS c_alpha2
+      """WITH bins AS (
+           SELECT doc_id,
+             list_transform(range(0, 512),
+               i -> CAST(FLOOR((((doc_id * 31 + i * i) % 256) / 255.0) * 15.999) AS INT)) AS bl
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(bl, x -> x = 0)) AS INT) AS c_b0,
+           CAST(len(list_filter(bl, x -> x = 5)) AS INT) AS c_b5,
+           CAST(len(list_filter(bl, x -> x = 10)) AS INT) AS c_b10,
+           CAST(len(list_filter(bl, x -> x = 15)) AS INT) AS c_b15
          FROM bins ORDER BY doc_id""",
     "q_doc_logprob" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
@@ -2093,5 +2136,24 @@ object PipelineQueries {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_exact_users" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // identical arithmetic to ParquetIO.withZValue on (o_custkey,
+    // o_orderkey): equal-width buckets in [0, 2^15) over each key's
+    // [min, max] (double division BEFORE the *32768 multiply, matching
+    // Spark's expression order bit-for-bit), then the Morton interleave as
+    // a sum of disjoint bit terms
+    "q_compact_zorder" ->
+      s"""WITH b AS (SELECT MIN(o_custkey) AS mn0, MAX(o_custkey) AS mx0,
+                  MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1 FROM orders),
+         bk AS (
+           SELECT o_custkey, o_orderkey,
+             LEAST(32767, CAST(FLOOR(CAST(o_custkey - mn0 AS DOUBLE)
+               / GREATEST(CAST(mx0 - mn0 AS DOUBLE) + 1.0, 1.0) * 32768.0) AS BIGINT)) AS bk0,
+             LEAST(32767, CAST(FLOOR(CAST(o_orderkey - mn1 AS DOUBLE)
+               / GREATEST(CAST(mx1 - mn1 AS DOUBLE) + 1.0, 1.0) * 32768.0) AS BIGINT)) AS bk1
+           FROM orders, b)
+         SELECT ($ZTermsSql) AS z,
+           COUNT(*) AS n, MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
+           MIN(o_orderkey) AS ok_lo, MAX(o_orderkey) AS ok_hi
+         FROM bk GROUP BY z ORDER BY z""")
 }

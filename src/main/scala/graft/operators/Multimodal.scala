@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
  * transforms.
  *
  * The Spark-side plumbing — schema, partitioning, batch shape, the
- * mapPartitions contract — is real and tested. The media DECODE itself is
- * a STUB (this container has no image/audio codecs): `decodeStub` derives
- * deterministic fake pixels/samples from the payload bytes. Swapping in a
- * real codec changes only the function body, not the pipeline shape.
+ * mapPartitions contract — is real and tested. For IMAGES the decode slot
+ * runs a REAL codec (round 11): [[decodePng]] via javax.imageio, fed by
+ * [[syntheticPng]] fixtures, oracle-checked end-to-end in
+ * q_multimodal_features. Audio/video decode stays a STUB (no codecs in
+ * this container): [[decodeStub]] derives deterministic fake samples from
+ * payload bytes; a real codec slots into the same `decode` parameter
+ * without touching the pipeline shape.
  */
 object Multimodal {
 
@@ -39,12 +42,69 @@ object Multimodal {
         lit(null).cast(IntegerType).as("sample_rate_hz"),
         lit(null).cast(LongType).as("duration_ms")))
 
+  /** Deterministic grayscale test image: pixel i (row-major) of doc d is
+    * (d*31 + i²) mod 256, encoded through the REAL PNG codec
+    * (javax.imageio — in every JRE, no external lib). PNG is lossless, so
+    * decoding returns exactly these values — which is what lets a SQL
+    * oracle predict the decoded histogram from the formula alone. */
+  def syntheticPng(docId: Long, w: Int = 32, h: Int = 16): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, ((docId * 31 + i.toLong * i) % 256).toInt)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode in the batch slot (round 11, replacing the stub for
+    * the PNG-carrying query): javax.imageio → normalized grayscale floats.
+    * Runs inside the same mapPartitions batch contract as [[decodeStub]]. */
+  def decodePng(payload: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics(); gg.drawImage(img, 0, 0, null); gg.dispose(); g
+      }
+    val out = new Array[Float](w * h)
+    val raster = gray.getRaster
+    var i = 0
+    while (i < out.length) { out(i) = raster.getSample(i % w, i / w, 0) / 255.0f; i += 1 }
+    out
+  }
+
+  /** Attach a REAL PNG payload per row (see [[syntheticPng]]) — the
+    * image-bearing analogue of [[attachMedia]]. */
+  def attachPng(docs: DataFrame, idCol: String = "doc_id",
+      w: Int = 32, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id, w, h))))
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        lit("image").as("kind"), lit(w).cast("int").as("width"),
+        lit(h).cast("int").as("height"),
+        lit(null).cast(IntegerType).as("sample_rate_hz"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
   /**
    * STUB decode: deterministic fake "pixels" from payload bytes.
    * A real implementation would invoke an image codec here — per batch,
-   * inside the partition, exactly this signature.
+   * inside the partition, exactly this signature ([[decodePng]] is that
+   * real implementation for PNG payloads).
    */
-  private def decodeStub(payload: Array[Byte], nPixels: Int): Array[Float] = {
+  private[operators] def decodeStub(payload: Array[Byte], nPixels: Int): Array[Float] = {
     val out = new Array[Float](nPixels)
     var i = 0
     while (i < nPixels) {
@@ -68,7 +128,8 @@ object Multimodal {
    * 16-bin normalized byte histogram as the stand-in feature vector.
    */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id",
-      mediaCol: String = "media", batchSize: Int = 64): Dataset[MediaFeatures] = {
+      mediaCol: String = "media", batchSize: Int = 64,
+      decode: (Array[Byte], Int) => Array[Float] = decodeStub): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
@@ -76,7 +137,7 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real decoder would run vectorized
           batch.map { case (id, bytes) =>
-            val pixels = decodeStub(bytes, math.min(bytes.length, 1024))
+            val pixels = decode(bytes, math.min(bytes.length, 1024))
             val counts = new Array[Int](16)
             pixels.foreach(p => counts((p * 15.999f).toInt) += 1)
             val n = math.max(1, pixels.length)

@@ -214,19 +214,24 @@ object ParquetIO {
    * codegen'd, no UDF — and the final layout pass is the same declarative
    * range-exchange + in-partition sort + sized write as [[compactSorted]].
    */
-  def compactZOrder(
-      spark: SparkSession,
-      inputPaths: Seq[String],
-      outPath: String,
-      zCols: Seq[String],
-      targetFileBytes: Long = 512L * 1024 * 1024,
-      opts: WriteOptions = WriteOptions()): Unit = {
+  /**
+   * Attach the Morton z-value of `zCols` as column `out`. Shared by
+   * [[compactZOrder]] (layout pass) and the `q_compact_zorder` correctness
+   * query (which recomputes z over the compacted files and checks the
+   * per-cell key spans against a DuckDB oracle running the identical
+   * arithmetic) — one code path, so the gate exercises the exact
+   * interleave the compactor writes with.
+   *
+   * Buckets are equal-width over each column's [min, max] (one tiny agg +
+   * broadcast; rank-based buckets would need a per-column global sort).
+   * The interleave itself is a fold of shift/and/or arithmetic — fully
+   * codegen'd, no UDF.
+   */
+  def withZValue(df: DataFrame, zCols: Seq[String], out: String = "__z"): DataFrame = {
     require(zCols.size >= 2 && zCols.size <= 3,
       "z-ordering earns its keep on 2-3 keys; one key wants compactSorted")
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax, broadcast,
       shiftleft, shiftright, greatest, least, floor}
-    val merged = inputPaths.map(p => spark.read.parquet(p))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
     val n = zCols.size
     val bitsPerCol = 30 / n
     val nb = 1L << bitsPerCol
@@ -234,8 +239,8 @@ object ParquetIO {
     val aggCols = zCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(fmin(col(c).cast("long")).as(s"__mn$i"), fmax(col(c).cast("long")).as(s"__mx$i"))
     }
-    val bounds = merged.agg(aggCols.head, aggCols.tail: _*)
-    val withB = merged.crossJoin(broadcast(bounds))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*)
+    val withB = df.crossJoin(broadcast(bounds))
     // equal-width bucket in [0, nb) — the scaled fraction runs in double
     // (a long multiply could overflow on wide key ranges; bucket
     // BOUNDARIES tolerate double rounding) — then Morton interleave:
@@ -251,11 +256,30 @@ object ParquetIO {
         a.bitwiseOR(shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)), b * n + i))
       }
     }
+    withB.withColumn(out, z).drop(
+      (0 until n).flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
+  }
+
+  /**
+   * Z-order compaction: [[compactSorted]] for MULTI-dimensional pruning —
+   * see [[withZValue]] for the curve; the layout pass is the same
+   * declarative range-exchange + in-partition sort + sized write as
+   * [[compactSorted]].
+   */
+  def compactZOrder(
+      spark: SparkSession,
+      inputPaths: Seq[String],
+      outPath: String,
+      zCols: Seq[String],
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    import org.apache.spark.sql.functions.col
+    val merged = inputPaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val totalBytes = inputBytes(spark, inputPaths)
     val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
-    val zd = withB.withColumn("__z", z).drop(
-      (0 until n).flatMap(i => Seq(s"__mn$i", s"__mx$i")): _*)
-    write(zd.repartitionByRange(parts, col("__z")).sortWithinPartitions(col("__z"))
+    write(withZValue(merged, zCols)
+      .repartitionByRange(parts, col("__z")).sortWithinPartitions(col("__z"))
       .drop("__z"), outPath, opts)
   }
 

@@ -371,6 +371,40 @@ class MultimodalSpec extends AnyFunSuite {
       .select("frames").as[Seq[Array[Byte]]].collect()
     frames.foreach(f => assert(f.length == 4 && f.forall(_.length <= 8)))
   }
+
+  test("PNG codec round-trip: real javax.imageio decode recovers the generator formula") {
+    // syntheticPng encodes pixel i = (d*31 + i²) mod 256 through the real
+    // PNG writer; decodePng must hand back exactly those values (PNG is
+    // lossless) — the invariant the q_multimodal_features oracle rests on
+    for (d <- Seq(0L, 7L, 499L)) {
+      val bytes = Multimodal.syntheticPng(d)
+      assert(bytes.length > 8 &&
+        (bytes.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+        "payload must actually be a PNG stream")
+      val px = Multimodal.decodePng(bytes)
+      assert(px.length == 32 * 16)
+      px.zipWithIndex.foreach { case (p, i) =>
+        val expected = ((d * 31 + i.toLong * i) % 256).toInt
+        assert(math.round(p * 255.0f) == expected, s"pixel $i of doc $d")
+      }
+    }
+  }
+
+  test("attachPng + extractFeatures(decodePng): bin counts match direct formula") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(50)
+    val media = Multimodal.attachPng(docs)
+    val feats = Multimodal.extractFeatures(media,
+      decode = (b, _) => Multimodal.decodePng(b)).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      val expected = new Array[Int](16)
+      (0 until 512).foreach { i =>
+        val v = ((f.doc_id * 31 + i.toLong * i) % 256).toInt
+        expected(((v / 255.0f) * 15.999f).toInt) += 1
+      }
+      assert(f.bin_counts.toSeq == expected.toSeq, s"doc ${f.doc_id}")
+    }
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
