@@ -171,6 +171,65 @@ object ParquetIO {
   }
 
   /**
+   * Bucketed-table LIFECYCLE, part 1 (round 11): append a new batch into
+   * an existing bucketed table. Each append keeps the hash-clustering
+   * contract — Spark rejects a mismatched bucket spec — so joins on the
+   * bucket key stay exchange-free across generations of ingest. The cost
+   * is file-count growth: every append lands (up to) one new file per
+   * bucket per writing task, and a point lookup that used to open one
+   * file per bucket now opens one per (bucket × append). That debt is
+   * what [[compactBucketed]] pays down.
+   */
+  def appendBucketed(df: DataFrame, tableName: String,
+      numBuckets: Int, bucketCols: Seq[String],
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(bucketCols.nonEmpty, "appendBucketed needs at least one bucket column")
+    df.write
+      .mode("append")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /**
+   * Bucketed-table LIFECYCLE, part 2: per-bucket compaction after a run of
+   * appends. Rewrites the table back to one sorted file per bucket — one
+   * clustering Exchange on the bucket key, the same shuffle the original
+   * write paid — into a FRESH directory, then swaps the catalog entry
+   * (write-new, drop-old, rename: the generational pattern table formats
+   * like Delta/Iceberg institutionalize; the old generation's directory is
+   * left for the caller's GC, never half-overwritten in place). Join
+   * plans are unchanged before/after: the feature is fewer files per
+   * bucket, not a different layout.
+   */
+  def compactBucketed(spark: SparkSession, tableName: String, newPath: String,
+      numBuckets: Int, bucketCols: Seq[String],
+      opts: WriteOptions = WriteOptions()): Unit = {
+    import org.apache.spark.sql.functions.col
+    val tmpName = tableName + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    // Read the old generation as PLAIN parquet, not through the catalog
+    // table: the bucketed scan already satisfies the clustering
+    // distribution, so Catalyst elides the repartition and writer tasks
+    // then span buckets — leaving multiple files per bucket, the very
+    // thing compaction exists to remove. A metadata-free read keeps the
+    // exchange, and numBuckets clustering partitions ⇒ one writer task
+    // per bucket ⇒ one file per bucket (the identity
+    // Murmur3 % numBuckets == bucket-id the initial writers rely on too).
+    val location = spark.sql(s"DESCRIBE FORMATTED $tableName")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    writeBucketed(
+      spark.read.parquet(location).repartition(numBuckets, bucketCols.map(col): _*),
+      tmpName, newPath, numBuckets, bucketCols, opts)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmpName RENAME TO $tableName")
+  }
+
+  /**
    * Sorted compaction: [[merge]] plus clustering. Rows are
    * range-partitioned and sorted on `sortCols`, so each output file (and
    * each row group inside it) covers a disjoint key range; parquet min/max

@@ -424,6 +424,79 @@ class PartitionPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed lifecycle: append keeps the join exchange-free, compaction shrinks per-bucket files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bktlc").toString
+    val ord = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = spark.read.parquet(s"${TestSpark.sf}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val (batch1, batch2) = (ord.filter(col("o_orderkey") % 2 === 0),
+      ord.filter(col("o_orderkey") % 2 === 1))
+    def bucketFiles(path: String): Map[Int, Int] = {
+      val rx = "_(\\d{5})\\.".r
+      new java.io.File(path).listFiles().toSeq.map(_.getName)
+        .flatMap(n => rx.findFirstMatchIn(n).map(_.group(1).toInt))
+        .groupBy(identity).map { case (b, fs) => b -> fs.size }
+    }
+    ParquetIO.writeBucketed(batch1.repartition(8, col("o_orderkey")),
+      "bkt_lc_orders", s"$base/gen0", 8, Seq("o_orderkey"))
+    ParquetIO.appendBucketed(batch2.repartition(8, col("o_orderkey")),
+      "bkt_lc_orders", 8, Seq("o_orderkey"))
+    ParquetIO.writeBucketed(li.repartition(8, col("l_orderkey")),
+      "bkt_lc_li", s"$base/li", 8, Seq("l_orderkey"))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // append landed a second file generation in each bucket
+      assert(bucketFiles(s"$base/gen0").values.exists(_ > 1),
+        s"append should add per-bucket files: ${bucketFiles(s"$base/gen0")}")
+      // post-append: full row set, join still carries no Exchange
+      def joined = spark.table("bkt_lc_orders")
+        .join(spark.table("bkt_lc_li"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+      val expected = ord.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey")).agg(sum(col("l_quantity")).as("qty"))
+        .collect().toSet
+      val planAfterAppend = joined.queryExecution.executedPlan.toString
+      assert(!planAfterAppend.contains("Exchange"),
+        s"post-append bucketed join must stay shuffle-free:\n$planAfterAppend")
+      assert(joined.collect().toSet == expected)
+      // compaction: fresh generation dir, catalog swap, per-bucket file
+      // count shrinks back toward one (usually exactly one — task i of the
+      // clustering exchange holds exactly bucket i — but the writer
+      // occasionally splits a task's output under load, so the invariant
+      // asserted is monotone shrink, never growth)
+      val before = bucketFiles(s"$base/gen0")
+      ParquetIO.compactBucketed(spark, "bkt_lc_orders", s"$base/gen1",
+        8, Seq("o_orderkey"))
+      val perBucket = bucketFiles(s"$base/gen1")
+      assert(perBucket.nonEmpty && perBucket.values.sum < before.values.sum,
+        s"compaction must shrink the file count: $before -> $perBucket")
+      assert(perBucket.keySet == (0 until 8).toSet,
+        s"every bucket must survive compaction: $perBucket")
+      val planAfterCompact = joined.queryExecution.executedPlan.toString
+      assert(!planAfterCompact.contains("Exchange"),
+        s"post-compaction bucketed join must stay shuffle-free:\n$planAfterCompact")
+      assert(joined.collect().toSet == expected)
+      // point lookup still prunes to a single bucket
+      val prevAuto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      try {
+        val someKey = ord.select(col("o_orderkey")).head().getLong(0)
+        val pruned = spark.table("bkt_lc_orders").filter(col("o_orderkey") === someKey)
+        assert(pruned.queryExecution.executedPlan.toString
+          .contains("SelectedBucketsCount: 1 out of 8"))
+        assert(pruned.count() == 1)
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.sql("DROP TABLE IF EXISTS bkt_lc_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lc_orders__compacting")
+      spark.sql("DROP TABLE IF EXISTS bkt_lc_li")
+    }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB shape: the fact table is partitioned on the join key, the
     // dimension filter is NOT on the partition column — static pruning
