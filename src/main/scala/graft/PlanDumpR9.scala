@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
   * registered queries (args; defaults to the round-9 additions) at
   * sf0.01 — the evidence source for PLANS.md. */
 object PlanDumpR9 {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * seconds go (upstream Jaccard pairs vs CC rounds vs materialize), and
   * inline-index vs spilled-index pair generation. */
 object ProfileCc {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -8,7 +8,7 @@ object ProfileDedup {
     val t0 = System.nanoTime(); val r = f
     System.err.println(f"[prof] $name%-28s ${(System.nanoTime()-t0)/1e9}%8.2f s"); r
   }
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -8,7 +8,7 @@ import graft.operators.{Dedup, Similarity}
   * recall 1.0 on the test corpora, so their outputs become deterministic
   * and DuckDB-oracle-able. */
 object ProfileOracleSix {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // events.ts is TIMESTAMP(NANOS)

@@ -44,7 +44,7 @@ object ProfileR11 {
           .as("embedding"))
   }
 
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     if (args.headOption.contains("planted")) { plantedMain(); return }
     if (args.headOption.contains("clustered")) { clusteredMain(); return }
     val spark = SparkSession.builder()

@@ -17,7 +17,7 @@ import graft.operators.Similarity
   *     exact quadratic baseline.
   */
 object ProfileR9 {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -13,7 +13,7 @@ import graft.operators.Similarity
   *  3. Sanity: ivf ∪ sketch candidates exact-verified == exact pair set.
   */
 object ProfileR9b {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

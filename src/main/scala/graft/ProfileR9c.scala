@@ -6,7 +6,7 @@ import graft.operators.Similarity
 /** Component timing for the round-9 q_embed_ivf_pairs union (9.8 s at
   * sf0.1 vs 3.4 s for the old IVF-only form): which stage pays. */
 object ProfileR9c {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch: confirm AQE stage reuse in the executed q_dedup_jaccard plan
   * (not part of the contract). */
 object ProfileReuse {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch profiler: time a named subset of registered queries at a given
   * sf dir (not part of the contract). Usage: runMain graft.ProfileRound3 q1 q2... */
 object ProfileRound3 {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

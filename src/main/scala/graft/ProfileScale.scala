@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object ProfileScale {
   val Sf1Dir = "/tmp/graft_sf1"
 
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()

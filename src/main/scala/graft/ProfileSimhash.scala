@@ -7,7 +7,7 @@ import graft.functions.TextFunctions._
 /** Scratch profiler: hamming distance of simhash sigs vs exact jaccard on
   * the test corpus (not part of the contract). */
 object ProfileSimhash {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.operators.Dedup
 object ProfileSimhashCap {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()

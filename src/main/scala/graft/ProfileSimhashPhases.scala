@@ -7,7 +7,7 @@ import graft.operators.{Dedup, Materialize}
   * sf0.1 — spilled index, signature aggregate, banded bucket join to
   * candidates, exact verification — to locate its bench seconds. */
 object ProfileSimhashPhases {
-  def main(args: Array[String]): Unit = {
+  private[graft] def run(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -11,7 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // events.ts is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // inert for µs fixtures; keeps ns-encoded events loadable
       // plan strings are diagnostics — never let one grow into driver
       // heap trouble (AQE rebuilds the string on every replan)
       .config("spark.sql.maxPlanStringLength", "1048576")
