@@ -1138,25 +1138,32 @@ class HybridDedupSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("text edges and semantic edges close into single components") {
-    // docs 1 and 4 share text; vectors 2 and 3 are semantic near-dups; the
-    // corpus doubling (+100000) adds a text edge from every doc to its
-    // copy — so {1,4,+copies} and {2,3,+copies} must each close into ONE
-    // cluster spanning both signals
-    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
-      (3L, "zeta eta theta"), (4L, "alpha beta gamma")).toDF("doc_id", "text")
-    val emb = Seq(
-      (1L, Seq(1f, 0f, 0f, 0f), 0),
-      (2L, Seq(0f, 1f, 0f, 0f), 0),
-      (3L, Seq(0f, 0.9f, 0.1f, 0f), 0),
-      (4L, Seq(0f, 0f, 0f, 1f), 0)).toDF("vec_id", "embedding", "label")
+    // Round-11 semantics: the semantic side derives the CLUSTERED corpus
+    // (member = anchor(vec_id mod nC) + 0.1×own, nC = ceil(n/20)). With 40
+    // vectors nC = 2: evens cluster around anchor 0, odds around anchor 1
+    // (intra-cos ≈ 0.99 ≥ 0.9; cross ≲ 0.2). Docs 0 and 1 share text, so
+    // ONE text edge bridges the two semantic clusters — plus the corpus
+    // doubling (+100000) edges every doc to its copy. Everything must
+    // close into a single component keyed by min id 0, with exactly one
+    // keep.
+    val e = Array(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+      Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+    val docs = (0L until 40L)
+      .map(i => (i, if (i <= 1) "shared bridge text" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val emb = (0L until 40L).map(i => (i, e((i % 4).toInt), 0))
+      .toDF("vec_id", "embedding", "label")
     val dir = java.nio.file.Files.createTempDirectory("hybrid").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = PipelineQueries.queries("q_dedup_hybrid")(spark, dir)
-      .as[(Long, Long, Int)].collect().toSet
-    assert(out == Set(
-      (1L, 1L, 1), (4L, 1L, 0), (100001L, 1L, 0), (100004L, 1L, 0),
-      (2L, 2L, 1), (3L, 2L, 0), (100002L, 2L, 0), (100003L, 2L, 0)))
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 80, s"40 members + 40 text copies, got ${out.length}")
+    assert(out.forall(_._2 == 0L),
+      s"the text bridge must close both semantic clusters into component 0: " +
+        s"${out.filter(_._2 != 0L).take(5).toSeq}")
+    assert(out.filter(_._3 == 1).map(_._1).toSeq == Seq(0L),
+      "exactly one keeper, the min id")
   }
 }
 

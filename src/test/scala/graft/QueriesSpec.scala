@@ -120,7 +120,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_sketch_quant" -> Seq("BroadcastNestedLoopJoin"), // two 1-row broadcasts (merged GK, exact totals)
     "q_events_gapfill" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast span onto the |series| list
     "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
-    "q_source_mix" -> Seq("BroadcastNestedLoopJoin"))  // 1-row broadcast corpus token total
+    "q_source_mix" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast corpus token total
+    "q_compact_zorder" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast per-key min/max bounds (withZValue)
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
   // enumerate pairs with the block-matrix self-join (no full-table
   // broadcast) — a BNLJ reappearing there must fail this audit
