@@ -27,22 +27,11 @@ object ProfileR11 {
     emb.unionByName(copies)
   }
 
-  /** Deterministic CLUSTERED corpus from the isotropic fixture: member i's
-    * vector is anchor(vec_id % nC) + 0.1 * own embedding, nC = ceil(n/20)
-    * — ~20-member clusters at intra cos ≈ 0.99, cross cos ≲ 0.7. The shape
-    * real embedding corpora have (and the reason IVF works at all). */
-  def clustered(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val n = emb.count()
-    val nC = (n + 19) / 20
-    val anchors = emb.filter(col("vec_id") < lit(nC))
-      .select(col("vec_id").as("cid"), col("embedding").as("avec"))
-    emb.withColumn("cid", pmod(col("vec_id"), lit(nC)))
-      .join(broadcast(anchors), "cid")
-      .select(col("vec_id"), col("label"),
-        zip_with(col("avec"), col("embedding"),
-          (a, x) => (a.cast("double") + lit(0.1) * x.cast("double")).cast("float"))
-          .as("embedding"))
-  }
+  /** The canonical clustered corpus — ONE definition, shared with the
+    * registered queries, so this measurement can't drift from what
+    * Verify/Bench actually run. */
+  def clustered(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    PipelineQueries.clusteredEmbeddings(emb)._1
 
   private[graft] def run(args: Array[String]): Unit = {
     if (args.headOption.contains("planted")) { plantedMain(); return }
