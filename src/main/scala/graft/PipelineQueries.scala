@@ -1148,6 +1148,20 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio codec in the decode slot (round 11, the WAV twin of
+      // q_multimodal_features): a deterministic 16-bit PCM clip per doc
+      // (sample i = (doc_id*131 + i²·7) mod 65536 − 32768, 800 samples)
+      // is ENCODED and DECODED through javax.sound.sampled inside the
+      // mapPartitions batch contract; PCM WAV is lossless, so the oracle
+      // predicts the decoded integer features from the formula alone.
+      val media = Multimodal.attachWav(rd(s, dir, "documents"))
+      Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("doc_id"), col("n_samples"), col("c_pos"),
+          col("c_loud"), col("sum_abs"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_compact_zorder" -> ((s, dir) => {
       // layout maintenance, oracle-gated (round 11): round-trip orders
       // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
@@ -2185,6 +2199,19 @@ object PipelineQueries {
     "q_exact_users" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // predicts the REAL javax.sound.sampled decode: PCM WAV is lossless,
+    // so decoded sample i of doc d is exactly (d*131 + i*i*7) % 65536 - 32768
+    "q_multimodal_audio" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_transform(range(0, 800),
+               i -> CAST((doc_id * 131 + i * i * 7) % 65536 - 32768 AS BIGINT)) AS sl
+           FROM documents)
+         SELECT doc_id, CAST(800 AS INT) AS n_samples,
+           CAST(len(list_filter(sl, x -> x >= 0)) AS INT) AS c_pos,
+           CAST(len(list_filter(sl, x -> abs(x) >= 16384)) AS INT) AS c_loud,
+           CAST(list_sum(list_transform(sl, x -> abs(x))) AS BIGINT) AS sum_abs
+         FROM s ORDER BY doc_id""",
     // identical arithmetic to ParquetIO.withZValue on (o_custkey,
     // o_orderkey): equal-width buckets in [0, 2^15) over each key's
     // [min, max] (double division BEFORE the *32768 multiply, matching

@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
  * transforms.
  *
  * The Spark-side plumbing — schema, partitioning, batch shape, the
- * mapPartitions contract — is real and tested. For IMAGES the decode slot
- * runs a REAL codec (round 11): [[decodePng]] via javax.imageio, fed by
- * [[syntheticPng]] fixtures, oracle-checked end-to-end in
- * q_multimodal_features. Audio/video decode stays a STUB (no codecs in
- * this container): [[decodeStub]] derives deterministic fake samples from
+ * mapPartitions contract — is real and tested. For IMAGES and AUDIO the
+ * decode slot runs REAL codecs (round 11): [[decodePng]] via
+ * javax.imageio and [[decodeWav]] via javax.sound.sampled, fed by
+ * [[syntheticPng]]/[[syntheticWav]] fixtures and oracle-checked
+ * end-to-end in q_multimodal_features / q_multimodal_audio (both
+ * formats are lossless, so SQL predicts decoded features from the
+ * generator formulas). VIDEO decode stays a STUB (no video codec ships
+ * in a JRE): [[decodeStub]] derives deterministic fake samples from
  * payload bytes; a real codec slots into the same `decode` parameter
  * without touching the pipeline shape.
  */
@@ -98,11 +101,100 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")))
   }
 
+  /** Deterministic 16-bit PCM mono test clip: sample i of doc d is
+    * ((d*131 + i²·7) mod 65536) − 32768, encoded through the REAL WAV
+    * codec (javax.sound.sampled — in every JRE). PCM WAV is lossless, so
+    * decoding returns exactly these samples and a SQL oracle predicts
+    * decoded-audio features from the formula alone — the audio analogue
+    * of [[syntheticPng]]. */
+  def syntheticWav(docId: Long, nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((docId * 131 + i.toLong * i * 7) % 65536) - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode in the batch slot: javax.sound.sampled WAV →
+    * signed 16-bit samples. Same mapPartitions batch contract as the
+    * image path. */
+  def decodeWav(payload: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"expected 16-bit LE mono PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
+  /** Attach a REAL WAV payload per row (see [[syntheticWav]]) — the
+    * audio-bearing analogue of [[attachPng]]. */
+  def attachWav(docs: DataFrame, idCol: String = "doc_id",
+      nSamples: Int = 800, sampleRate: Int = 16000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticWav(id, nSamples, sampleRate))))
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        lit("audio").as("kind"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(sampleRate).cast("int").as("sample_rate_hz"),
+        lit(nSamples * 1000L / sampleRate).cast("long").as("duration_ms")))
+  }
+
+  /** Engine-exact integer audio features: positive-sample and loud-sample
+    * counts plus the exact |amplitude| sum — deterministic in any engine,
+    * unlike float RMS. */
+  final case class AudioFeatures(doc_id: Long, n_samples: Int,
+      c_pos: Int, c_loud: Int, sum_abs: Long)
+
+  /** Batched audio feature extraction over (id, wav) — the audio twin of
+    * [[extractFeatures]], REAL codec in the decode slot. */
+  def extractAudioFeatures(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val s = decodeWav(bytes)
+            var pos = 0; var loud = 0; var sumAbs = 0L
+            s.foreach { v =>
+              if (v >= 0) pos += 1
+              if (math.abs(v) >= 16384) loud += 1
+              sumAbs += math.abs(v)
+            }
+            AudioFeatures(id, s.length, pos, loud, sumAbs)
+          }
+        }
+      }
+  }
+
   /**
    * STUB decode: deterministic fake "pixels" from payload bytes.
    * A real implementation would invoke an image codec here — per batch,
-   * inside the partition, exactly this signature ([[decodePng]] is that
-   * real implementation for PNG payloads).
+   * inside the partition, exactly this signature ([[decodePng]] /
+   * [[decodeWav]] are the real implementations for PNG/WAV payloads).
    */
   private[operators] def decodeStub(payload: Array[Byte], nPixels: Int): Array[Float] = {
     val out = new Array[Float](nPixels)

@@ -390,6 +390,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV codec round-trip: real javax.sound.sampled decode recovers the generator formula") {
+    for (d <- Seq(0L, 13L, 499L)) {
+      val bytes = Multimodal.syntheticWav(d, nSamples = 200)
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF" &&
+        new String(bytes.slice(8, 12), "US-ASCII") == "WAVE",
+        "payload must actually be a RIFF/WAVE stream")
+      val s = Multimodal.decodeWav(bytes)
+      assert(s.length == 200)
+      s.zipWithIndex.foreach { case (v, i) =>
+        val expected = (((d * 131 + i.toLong * i * 7) % 65536) - 32768).toInt
+        assert(v == expected, s"sample $i of doc $d")
+      }
+    }
+  }
+
+  test("attachWav + extractAudioFeatures: integer features match direct formula") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(30)
+    val feats = Multimodal.extractAudioFeatures(Multimodal.attachWav(docs)).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      val s = (0 until 800).map(i => (((f.doc_id * 131 + i.toLong * i * 7) % 65536) - 32768).toInt)
+      assert(f.n_samples == 800)
+      assert(f.c_pos == s.count(_ >= 0), s"doc ${f.doc_id} c_pos")
+      assert(f.c_loud == s.count(v => math.abs(v) >= 16384), s"doc ${f.doc_id} c_loud")
+      assert(f.sum_abs == s.map(v => math.abs(v).toLong).sum, s"doc ${f.doc_id} sum_abs")
+    }
+  }
+
   test("attachPng + extractFeatures(decodePng): bin counts match direct formula") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(50)
     val media = Multimodal.attachPng(docs)
