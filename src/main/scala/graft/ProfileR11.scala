@@ -33,9 +33,53 @@ object ProfileR11 {
   def clustered(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     PipelineQueries.clusteredEmbeddings(emb)._1
 
+  /** IMI operating point on the clustered corpus: recall of the product-
+    * cell feed vs the exact cos≥0.9 pair set, wall vs flat ivfPairs. */
+  def imiMain(): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = Seq(
+      "sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1") ++
+      (if (new java.io.File(s"${ProfileScale.Sf1Dir}/embeddings.parquet").exists())
+        Seq("sf1" -> ProfileScale.Sf1Dir) else Nil)
+    for ((tag, dir) <- dirs) {
+      val corpus = clustered(spark.read.parquet(s"$dir/embeddings.parquet")).cache()
+      val n = corpus.count()
+      val nC = ((n + 19) / 20).toInt
+      val exact = Similarity.exactCosinePairs(corpus, "vec_id", "embedding", minCos = 0.9)
+        .select("id_a", "id_b").cache()
+      val nExact = exact.count()
+      for (nAssign <- Seq(1, 2, 3)) {
+        val t0 = System.nanoTime()
+        val imi = Similarity.imiPairs(corpus, "vec_id", "embedding",
+            nAssign = nAssign, minCos = 0.9).select("id_a", "id_b")
+        val found = exact.intersect(imi).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[r11i] $tag imi nAssign=$nAssign: n=$n nC=$nC exact=$nExact " +
+          f"found=$found recall=${if (nExact == 0) 1.0 else found.toDouble / nExact}%.4f " +
+          f"wall=$secs%.2f s")
+      }
+      val t0f = System.nanoTime()
+      Similarity.ivfPairs(corpus, "vec_id", "embedding",
+        k = nC, nAssign = 2, minCos = 0.9).select("id_a", "id_b").count()
+      println(f"[r11i] $tag flat-ivf k=$nC nAssign=2 wall=${(System.nanoTime() - t0f) / 1e9}%.2f s")
+      exact.unpersist(); corpus.unpersist()
+    }
+    spark.stop()
+  }
+
   private[graft] def run(args: Array[String]): Unit = {
     if (args.headOption.contains("planted")) { plantedMain(); return }
     if (args.headOption.contains("clustered")) { clusteredMain(); return }
+    if (args.headOption.contains("imi")) { imiMain(); return }
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")

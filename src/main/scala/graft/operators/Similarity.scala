@@ -370,29 +370,88 @@ object Similarity {
     * a single-assignment table, so the full [[ivfIndex]] build's final
     * assignment pass + spill would be wasted work), multi-assign every
     * vector to its `nAssign` nearest cells, pair up cell cohabitants. */
-  private def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, nAssign: Int): DataFrame = {
+  /** Train-then-multi-assign: every vector to its `nAssign` nearest of
+    * `k` Lloyd cells, spilled to parquet because candidate self-joins
+    * consume the table twice (inline, the whole score/window subtree
+    * would execute once per join side — the PPJoin prefix-spill lesson).
+    * Assignment scores n·k dots against the broadcast centroid arrays —
+    * the flat-quantizer cost [[imiCandidates]] exists to undercut. */
+  private def multiAssign(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nAssign: Int, tag: String): DataFrame = {
     val spark = emb.sparkSession
-    val kEff = if (k > 0) k
-      else math.min(4096L, math.max(16L, emb.count() / 125L)).toInt
-    val centroids = trainCentroids(emb, idCol, vecCol, kEff, iters)
-    // multi-assign scores against the broadcast centroid arrays (same
-    // O(n·k) shape as ivfIndex's assignment; the window keeps top-nAssign
-    // rather than top-1, so the rank cut shuffles n·k narrow rows)
+    val centroids = trainCentroids(emb, idCol, vecCol, k, iters)
     val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroidArrays(centroids)))
       .select(col("id"), col("cell"),
         (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("vec"), col("cvec")))
           .as("dist"))
     val w = Window.partitionBy(col("id")).orderBy(col("dist"), col("cell"))
-    // spilled: the candidate self-join consumes this TWICE — inline, the
-    // whole score/window subtree would execute once per join side (the
-    // same double-compute the PPJoin prefix spill eliminates)
-    val multiAssign = Materialize.viaParquet(
+    Materialize.viaParquet(
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= nAssign).select(col("id"), col("cell")),
-      "ivf_multiassign")
-    multiAssign.as("x").join(multiAssign.as("y"), Seq("cell"))
+      tag)
+  }
+
+  private def ivfCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nAssign: Int): DataFrame = {
+    val kEff = if (k > 0) k
+      else math.min(4096L, math.max(16L, emb.count() / 125L)).toInt
+    val ma = multiAssign(emb, idCol, vecCol, kEff, iters, nAssign, "ivf_multiassign")
+    ma.as("x").join(ma.as("y"), Seq("cell"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  /**
+   * Two-level (inverted multi-index, Babenko & Lempitsky 2012 — public)
+   * pair mining: the vector splits into two halves, each half gets its own
+   * `kPerHalf`-cell quantizer, and a vector's effective cell is the PAIR
+   * (left cell, right cell) — kPerHalf² product cells at an assignment
+   * cost of n·2·kPerHalf dots, i.e. O(n·√k) where flat [[ivfPairs]] pays
+   * n·k. This is the 100 TB answer to flat IVF's own honesty note: with
+   * cells ∝ n the flat assignment stage is O(n²/c); the product quantizer
+   * keeps the SAME Σ_cell freq² pair stage (over product cells) while the
+   * assignment stage drops to O(n·√n). Default kPerHalf = ceil(√(n/20))
+   * so product cells ≈ the n/20 clusters [[graft.PipelineQueries]]'s
+   * corpus construction plants. Recall on clustered corpora: cluster
+   * members share both half-cells WHEN each half-quantizer keeps the
+   * cluster together — each half carries only half the anchor signal, so
+   * the guarantee is softer than flat IVF's. MEASURED (ProfileR11 `imi`,
+   * clustered corpus, cos ≥ 0.9): recall 1.0 at nAssign = 2 for
+   * sf0.001/0.01/0.1, 0.9972 at the 10× rehearsal (0.99999 at
+   * nAssign = 3). That epsilon is why the ORACLE-GATED registrations keep
+   * the flat [[ivfPairs]] feed (exact equality measured at every scale);
+   * imiPairs is the assignment-cost escape hatch for the k where flat
+   * assignment dominates end-to-end wall, priced at a recall epsilon or
+   * one more nAssign. ImiPairsSpec pins ≥ 0.9 recall + real pruning on
+   * planted clusters.
+   */
+  def imiPairs(emb: DataFrame, idCol: String, vecCol: String,
+      kPerHalf: Int = 0, iters: Int = 2, nAssign: Int = 2,
+      minCos: Double = 0.0): DataFrame =
+    verifyPairs(emb, idCol, vecCol,
+      imiCandidates(emb, idCol, vecCol, kPerHalf, iters, nAssign), minCos)
+
+  /** The product-cell co-residence relation of [[imiPairs]]. */
+  private def imiCandidates(emb: DataFrame, idCol: String, vecCol: String,
+      kPerHalf: Int, iters: Int, nAssign: Int): DataFrame = {
+    val firstRow = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstRow.nonEmpty, "imiPairs: empty embedding corpus")
+    val dim = firstRow(0).getInt(0)
+    require(dim >= 2, s"imiPairs needs at least 2 dims, got $dim")
+    val half = dim / 2
+    val kEff = if (kPerHalf > 0) kPerHalf
+      else math.max(4, math.ceil(math.sqrt(emb.count() / 20.0)).toInt)
+    val left = emb.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol))
+    val right = emb.select(col(idCol), slice(col(vecCol), half + 1, dim - half).as(vecCol))
+    val aL = multiAssign(left, idCol, vecCol, kEff, iters, nAssign, "imi_assign_l")
+      .select(col("id"), col("cell").as("cl"))
+    val aR = multiAssign(right, idCol, vecCol, kEff, iters, nAssign, "imi_assign_r")
+      .select(col("id"), col("cell").as("cr"))
+    // nAssign² product cells per vector; spilled for the same
+    // consumed-twice reason as the flat assignment
+    val product = Materialize.viaParquet(aL.join(aR, "id"), "imi_product")
+    product.as("x").join(product.as("y"), Seq("cl", "cr"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
   }

@@ -593,6 +593,40 @@ class IvfPairsSpec extends AnyFunSuite {
   }
 }
 
+class ImiPairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("IMI product-cell pair mining matches flat IVF recall on planted clusters at O(n*sqrt(k)) assignment") {
+    // same corpus shape as IvfPairsSpec: 10 planted clusters of 20 (dim 32)
+    val rnd = new scala.util.Random(7)
+    val centers = Seq.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // kPerHalf=4 → 16 product cells from 2×(n·4) assignment dots, vs the
+    // flat quantizer's n·16 — the IMI trade this operator exists for
+    val got = Similarity.imiPairs(df, "vec_id", "embedding",
+        kPerHalf = 4, iters = 2, nAssign = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val strong = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.size
+      if cos(vecs(i)._2, vecs(j)._2) >= 0.9
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(strong.nonEmpty)
+    val recall = (strong intersect got).size.toDouble / strong.size
+    assert(recall >= 0.9, s"IMI pair recall too low: $recall (${strong.size} strong pairs)")
+    assert(got.size < vecs.size * (vecs.size - 1) / 4,
+      s"IMI pruned nothing: ${got.size} candidates")
+  }
+}
+
 class KvMetadataWriteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
