@@ -4,12 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
-/** Round-11 operating-point measurement: can the IVF (structural,
-  * Σcell² candidates) feed replace the sketch (statistical, quadratic
-  * comparisons) feed for the registered semantic-dedup and kNN queries
-  * at recall 1.0 on THIS corpus? Prints, per SF and nAssign:
-  *  - exact cos≥0.45 pair count vs ivfPairs-found count (semantic dedup)
-  *  - per-vector exact top-5 containment in the IVF candidate set (kNN)
+/** Round-11 operating-point measurements (run via `graft.Profile r11
+  * [planted|clustered|imi]`):
+  *  - default: IVF recall vs exact on the RAW ISOTROPIC fixture (the
+  *    negative result — nAssign=8 needed, worse than quadratic here);
+  *  - `planted`: near-identical copies on the isotropic fixture (the
+  *    second negative result — recall collapses at sf1);
+  *  - `clustered`: the registered operating point — clustered corpus,
+  *    ivfPairs(k=nC, nAssign=2), recall 1.0 at every SF incl. 10×;
+  *  - `imi`: two-level product quantizer vs flat IVF (recall 1.0 to
+  *    sf0.1, 0.997 at sf1 — the documented epsilon).
   */
 object ProfileR11 {
 
