@@ -202,7 +202,66 @@ object Tools {
    * the distributed path for RG-targeted reads is predicate pushdown with
    * row-group stats pruning (PartitionPruningSpec / PLANS.md).
    */
-  def readRowGroup(spark: SparkSession, file: String, rowGroup: Int): DataFrame = {
+  /**
+   * S9: memory-mapped parquet input — the reference reader's `memory_map`
+   * flag (`cpp/tools/parquet/parquet_reader.cc:35,64`). The file is mapped
+   * once via FileChannel; every stream is a position-tracked view over the
+   * shared MappedByteBuffer, so footer and page reads are zero-copy from
+   * the page cache instead of read(2) into heap buffers. Driver-side
+   * tools path only (like the reference's CLI): single-file, < 2 GB (the
+   * JVM single-buffer mapping limit — a loud error, not a silent clamp).
+   */
+  private final class MmapInputFile(path: java.nio.file.Path)
+      extends org.apache.parquet.io.InputFile {
+    private val buf = {
+      val ch = java.nio.channels.FileChannel.open(path, java.nio.file.StandardOpenOption.READ)
+      try {
+        require(ch.size() <= Int.MaxValue,
+          s"mmap tools path supports files < 2 GiB, got ${ch.size()} bytes: $path")
+        ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, ch.size())
+      } finally ch.close()
+    }
+    override def getLength: Long = buf.capacity().toLong
+    override def newStream(): org.apache.parquet.io.SeekableInputStream =
+      new org.apache.parquet.io.SeekableInputStream {
+        private val b = buf.duplicate()
+        override def getPos: Long = b.position().toLong
+        override def seek(newPos: Long): Unit = b.position(newPos.toInt)
+        override def read(): Int = if (!b.hasRemaining) -1 else b.get() & 0xff
+        override def read(bytes: Array[Byte], off: Int, len: Int): Int = {
+          if (len == 0) 0
+          else if (!b.hasRemaining) -1
+          else { val n = math.min(len, b.remaining()); b.get(bytes, off, n); n }
+        }
+        override def readFully(bytes: Array[Byte]): Unit = b.get(bytes)
+        override def readFully(bytes: Array[Byte], start: Int, len: Int): Unit =
+          b.get(bytes, start, len)
+        override def read(out: java.nio.ByteBuffer): Int = {
+          if (!b.hasRemaining) return -1
+          val n = math.min(out.remaining(), b.remaining())
+          val view = b.duplicate(); view.limit(view.position() + n)
+          out.put(view); b.position(b.position() + n); n
+        }
+        override def readFully(out: java.nio.ByteBuffer): Unit = {
+          val n = out.remaining()
+          require(b.remaining() >= n, s"EOF: need $n, have ${b.remaining()}")
+          read(out); ()
+        }
+      }
+  }
+
+  /** Open a footer+pages reader over either the Hadoop stream path or the
+    * S9 memory-mapped path — the reference's `memory_map` toggle. */
+  private def openReader(file: String, conf: org.apache.hadoop.conf.Configuration,
+      mmap: Boolean): ParquetFileReader =
+    if (!mmap) ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    else {
+      val local = java.nio.file.Paths.get(new Path(file).toUri.getPath)
+      ParquetFileReader.open(new MmapInputFile(local))
+    }
+
+  def readRowGroup(spark: SparkSession, file: String, rowGroup: Int,
+      mmap: Boolean = false): DataFrame = {
     import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
     import org.apache.parquet.io.ColumnIOFactory
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
@@ -210,7 +269,7 @@ object Tools {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val conf = spark.sparkContext.hadoopConfiguration
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val reader = openReader(file, conf, mmap)
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
       val nGroups = reader.getFooter.getBlocks.size()
@@ -271,7 +330,7 @@ object Tools {
    * [[Tools]]; `maxPerColumn` caps output per column chunk.
    */
   def valueLevels(spark: SparkSession, file: String,
-      maxPerColumn: Long = Long.MaxValue): Seq[ValueLevel] = {
+      maxPerColumn: Long = Long.MaxValue, mmap: Boolean = false): Seq[ValueLevel] = {
     import org.apache.parquet.column.impl.ColumnReadStoreImpl
     import org.apache.parquet.io.api.{Converter, GroupConverter, PrimitiveConverter}
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -287,7 +346,7 @@ object Tools {
       override def end(): Unit = ()
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    val reader = openReader(file, conf, mmap)
     try {
       val meta = reader.getFooter.getFileMetaData
       val schema = meta.getSchema

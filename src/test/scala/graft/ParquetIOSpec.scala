@@ -331,6 +331,28 @@ class ParquetIOSpec extends AnyFunSuite {
     val actual = got.collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
     assert(actual == expected)
   }
+
+  test("S9: memory-mapped read equals the stream read, rows and levels (parquet_reader.cc:35,64)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s9").toString + "/t"
+    val df = spark.range(0, 5000).repartition(1).sortWithinPartitions("id")
+      .selectExpr("id", "cast(id % 31 as double) as v",
+        "case when id % 7 = 0 then null else concat('s', id) end as s")
+    ParquetIO.write(df, dir, ParquetIO.WriteOptions(rowGroupBytes = 64 * 1024,
+      pageRowCountLimit = 500))
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).sorted.head
+    def rowsOf(mmap: Boolean) = Tools.readRowGroup(spark, file, 0, mmap = mmap)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rowsOf(mmap = true) == rowsOf(mmap = false), "mmap rows must equal stream rows")
+    // def/rep level dump identical through the mapped path too (nulls
+    // exercise def levels)
+    val a = Tools.valueLevels(spark, file, maxPerColumn = 200, mmap = false)
+    val b = Tools.valueLevels(spark, file, maxPerColumn = 200, mmap = true)
+    assert(a == b, "mmap value/level dump must equal stream dump")
+    assert(a.exists(_.defLevel == 0), "fixture must exercise null def levels")
+  }
 }
 
 class Int96Spec extends AnyFunSuite {
