@@ -5,14 +5,17 @@ import org.apache.spark.sql.SparkSession
 /**
  * CLI parity with the reference's three tools (SURVEY.md §3 E3):
  *  - `schema <path>`               ≙ parquet-dump-schema (`parquet-dump-schema.cc:23-33`)
- *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv] [--levels[=N]]`
+ *  - `dump <path> [--json] [--columns=a,b] [--only-metadata] [--print-kv] [--levels[=N]] [--memory-map]`
  *                                  ≙ parquet_reader (`parquet_reader.cc:24-72`;
  *                                    `--levels` = the per-value def/rep scan of
  *                                    `parquet_reader.cc:66-72`, N values per column)
  *  - `scan <path> [--columns=a,b] [--batch-size=N]`
  *                                  ≙ parquet-scan timed count (`parquet-scan.cc:25-71`;
  *                                    `--batch-size` ≙ `parquet-scan.cc:35`)
- *  - `read-row-group <path> --row-group=R`
+ *  - `read-row-group <path> --row-group=R [--memory-map]`
+ *    (`--memory-map`/`--no-memory-map` ≙ the reference reader's mmap
+ *    toggle, `parquet_reader.cc:35,64` — S9; stream read is our default
+ *    because the Hadoop path also serves non-local filesystems)
  *                                  ≙ single-row-group data read (`reader-writer.cc:77-90`)
  *  - `merge <in1,in2,...> --out=<path> [--sort-by=a,b] [--target-file-bytes=N]`
  *                                  ≙ the repo's namesake file-merge capability
@@ -46,7 +49,9 @@ object ToolsCli {
   }
 
   private[graft] def run(spark: SparkSession, cmd: String, path: String,
-      flags: Seq[String], columns: Seq[String]): Unit = cmd match {
+      flags: Seq[String], columns: Seq[String]): Unit = {
+    val mmap = flags.contains("--memory-map") && !flags.contains("--no-memory-map")
+    cmd match {
     case "schema" =>
       println(Tools.schemaTree(spark, path))
 
@@ -65,7 +70,7 @@ object ToolsCli {
         case f if f.startsWith("--levels=") => f.stripPrefix("--levels=").toLong
       }.foreach { cap =>
         Tools.parquetFiles(spark, path).headOption.foreach { f =>
-          Tools.valueLevels(spark, f.toString, cap).foreach { v =>
+          Tools.valueLevels(spark, f.toString, cap, mmap = mmap).foreach { v =>
             println(s"${v.column} rg=${v.rowGroup} r:${v.rep} d:${v.defLevel} v:${v.value}")
           }
         }
@@ -88,7 +93,7 @@ object ToolsCli {
       val rg = flags.collectFirst {
         case f if f.startsWith("--row-group=") => f.stripPrefix("--row-group=").toInt
       }.getOrElse(0)
-      Tools.readRowGroup(spark, path, rg).show(20, truncate = false)
+      Tools.readRowGroup(spark, path, rg, mmap = mmap).show(20, truncate = false)
 
     // the namesake operation as a tool: <path> here is comma-separated
     // inputs; --out is required, --sort-by turns merge into a clustered
@@ -114,5 +119,6 @@ object ToolsCli {
         s"${rgs.map(_.numRows).sum} rows, ${rgs.map(_.file).distinct.size} files, ${rgs.size} row groups")
 
     case other => sys.error(s"unknown command: $other")
+    }
   }
 }

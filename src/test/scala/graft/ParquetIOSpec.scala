@@ -592,6 +592,16 @@ class ToolsCliSpec extends AnyFunSuite {
     assert(scanOut.contains("6000 rows scanned in"))
   }
 
+  test("read-row-group --memory-map equals the stream read (S9 CLI parity)") {
+    val p = graft.sources.Tools.parquetFiles(spark, s"${TestSpark.sf}/nation.parquet")
+      .head.toString
+    val streamOut = captureOut(graft.sources.ToolsCli.run(spark, "read-row-group", p,
+      Seq("--row-group=0"), Nil))
+    val mmapOut = captureOut(graft.sources.ToolsCli.run(spark, "read-row-group", p,
+      Seq("--row-group=0", "--memory-map"), Nil))
+    assert(mmapOut == streamOut && mmapOut.contains("NATION_0"))
+  }
+
   test("merge command: plain and sorted-compaction forms") {
     val base = java.nio.file.Files.createTempDirectory("graft-mcli").toString
     spark.range(2000).selectExpr("pmod(id * 37, 512) as k", "id as v")
