@@ -607,6 +607,27 @@ object RelationalQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    "q_stream_sliding" -> ((s, dir) => {
+      // §2.10 round 11: the SLIDING variant of the same batch==stream
+      // transform — each event lands in windowDur/slide = 4 overlapping
+      // windows; the oracle enumerates exactly those four aligned starts
+      // per event, so the window-assignment arithmetic is gated, not just
+      // the tumbling special case.
+      graft.streaming.Streams.windowedCounts(rd(s, dir, "events"),
+          windowDur = "1 hour", slide = Some("15 minutes"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    "q_stream_sessions" -> ((s, dir) => {
+      // §2.10 round 11: session_window(gap) through the SAME streaming
+      // transform (Streams.sessionCounts) in batch mode. The oracle
+      // rebuilds sessions with the lag/islands technique — new session at
+      // gap ≥ 30 min (session_window's end bound is exclusive) — and
+      // reproduces Spark's session_end = last event + gap.
+      graft.streaming.Streams.sessionCounts(rd(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // ── batch mirror of streaming/StatefulSessions (§2.10) ──────────────
     "q_events_sessionize" -> ((s, dir) => {
       // batch sessionization with a 30-min inactivity gap: lag marks
@@ -1023,6 +1044,37 @@ object RelationalQueries {
       """SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
            COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // each event belongs to exactly 4 sliding windows: starts k*15min back
+    // from its 15-min-aligned slot, k = 0..3 (window 1h, slide 15min)
+    "q_stream_sliding" ->
+      """WITH e AS (
+           SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         w AS (
+           SELECT event_type, value,
+             (us // 900000000 - k) * 900000000 AS ws
+           FROM e CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) ks)
+         SELECT make_timestamp(ws) AS window_start, event_type,
+           COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // islands technique: new session when the gap to the previous event is
+    // >= 30 min (session_window's end bound is exclusive); session_end =
+    // last event + gap, exactly Spark's session_window end
+    "q_stream_sessions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         f AS (
+           SELECT *, CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sid
+           FROM f)
+         SELECT make_timestamp(MIN(us)) AS session_start,
+           make_timestamp(MAX(us) + 1800000000) AS session_end,
+           user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q_events_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, value,

@@ -68,6 +68,18 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("session windows: streamed == batch (the q_stream_sessions transform)") {
+    val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
+    val agg = graft.streaming.Streams.sessionCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("sc_test").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sc_test")
+    val batch = graft.streaming.Streams.sessionCounts(
+      RelationalQueries.events(spark, TestSpark.sf))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     val stream = graft.streaming.Streams.eventsStream(spark, TestSpark.sf)
     val deduped = graft.streaming.Streams.dedupWithinWatermark(stream.union(stream), "10 minutes")
