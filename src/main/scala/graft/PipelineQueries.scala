@@ -1162,6 +1162,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_upsert" -> ((s, dir) => {
+      // MERGE-INTO lifecycle, oracle-gated (round 11): base = orders at
+      // version 0; updates = every 10th order re-priced at version 1 plus
+      // a batch of NEW orders under shifted keys. ParquetIO.upsert keeps
+      // latest-wins per key and writes a compacted generation; reading it
+      // back and aggregating proves per-key survivor selection against
+      // the oracle's reconstruction. Everything rides ONE key-hash
+      // exchange (clustering satisfies the window, survivors land sized).
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      orders.withColumn("version", lit(0L)).write.parquet(s"$tmp/base")
+      val repriced = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val inserted = orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      repriced.unionByName(inserted).withColumn("version", lit(1L))
+        .write.parquet(s"$tmp/upd")
+      ParquetIO.upsert(s, Seq(s"$tmp/base"), Seq(s"$tmp/upd"), s"$tmp/out",
+        Seq("o_orderkey"), "version", targetFileBytes = 256L * 1024)
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_compact_zorder" -> ((s, dir) => {
       // layout maintenance, oracle-gated (round 11): round-trip orders
       // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
@@ -2199,6 +2227,22 @@ object PipelineQueries {
     "q_exact_users" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // latest-wins reconstruction: repriced keys (o_orderkey % 10 = 0) at
+    // version 1, untouched keys at version 0, inserted keys (shifted)
+    "q_upsert" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
     // predicts the REAL javax.sound.sampled decode: PCM WAV is lossless,
     // so decoded sample i of doc d is exactly (d*131 + i*i*7) % 65536 - 32768
     "q_multimodal_audio" ->

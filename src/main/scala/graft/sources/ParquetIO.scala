@@ -274,6 +274,50 @@ object ParquetIO {
    * range-exchange + in-partition sort + sized write as [[compactSorted]].
    */
   /**
+   * Keyed upsert-compaction (round 11) — the MERGE-INTO analogue every
+   * lakehouse table format institutionalizes: base files ∪ update files,
+   * ONE row survives per key — the greatest `versionCol`, update side
+   * winning version ties (the Delta/Iceberg latest-wins contract) — and
+   * the survivors land as a sized, newly-compacted generation. One
+   * key-hash Exchange prices the whole operation (the window and the
+   * write ride the same clustering); at 100 TB the update side is
+   * typically ≪ base, and AQE's skew handling covers hot keys the same
+   * way it does for the compaction sorts.
+   */
+  def upsert(
+      spark: SparkSession,
+      basePaths: Seq[String],
+      updatePaths: Seq[String],
+      outPath: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, lit, row_number, desc}
+    import org.apache.spark.sql.expressions.Window
+    val base = basePaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .withColumn("__src", lit(0))
+    val upd = updatePaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .withColumn("__src", lit(1))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(desc(versionCol), desc("__src"))
+    val totalBytes = inputBytes(spark, basePaths ++ updatePaths)
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    // cluster FIRST at the output file count: the window's key-hash
+    // requirement is then already satisfied, so survivors flow from the
+    // one Exchange straight into sized files (window after a
+    // differently-sized repartition would shuffle twice)
+    val merged = base.unionByName(upd, allowMissingColumns = true)
+      .repartition(parts, keyCols.map(col): _*)
+    write(merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src"), outPath, opts)
+  }
+
+  /**
    * Attach the Morton z-value of `zCols` as column `out`. Shared by
    * [[compactZOrder]] (layout pass) and the `q_compact_zorder` correctness
    * query (which recomputes z over the compacted files and checks the

@@ -332,6 +332,32 @@ class ParquetIOSpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("upsert: latest-wins per key, update side wins version ties, schema drift tolerated") {
+    val base0 = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    import spark.implicits._
+    // base: keys 1..100 at v0; updates: keys 50..100 ALSO at v0 (tie — the
+    // update side must win, the Delta/Iceberg contract) + inserts 101..110
+    // at v1 carrying a drifted extra column
+    (1L to 100L).map(k => (k, s"base$k", 0L)).toDF("k", "payload", "v")
+      .write.parquet(s"$base0/base")
+    ((50L to 100L).map(k => (k, s"upd$k", 0L)) ++ (101L to 110L).map(k => (k, s"ins$k", 1L)))
+      .toDF("k", "payload", "v")
+      .withColumn("extra", col("k") * 2)
+      .write.parquet(s"$base0/upd")
+    ParquetIO.upsert(spark, Seq(s"$base0/base"), Seq(s"$base0/upd"), s"$base0/out",
+      Seq("k"), "v")
+    val out = spark.read.parquet(s"$base0/out")
+      .select("k", "payload").as[(Long, String)].collect().toMap
+    assert(out.size == 110)
+    assert((1L to 49L).forall(k => out(k) == s"base$k"), "untouched keys keep base rows")
+    assert((50L to 100L).forall(k => out(k) == s"upd$k"), "version ties go to the update side")
+    assert((101L to 110L).forall(k => out(k) == s"ins$k"), "new keys inserted")
+    // drifted column survives via unionByName(allowMissing): null on base rows
+    val extra = spark.read.parquet(s"$base0/out").select("k", "extra")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(extra(1L).isEmpty && extra(105L).contains(210L))
+  }
+
   test("S9: memory-mapped read equals the stream read, rows and levels (parquet_reader.cc:35,64)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-s9").toString + "/t"
     val df = spark.range(0, 5000).repartition(1).sortWithinPartitions("id")
