@@ -107,6 +107,23 @@ object Multimodal {
     * decoding returns exactly these samples and a SQL oracle predicts
     * decoded-audio features from the formula alone — the audio analogue
     * of [[syntheticPng]]. */
+  // The WAV SPI providers, resolved ONCE: AudioSystem.getAudioInputStream /
+  // AudioSystem.write re-scan the provider registry on EVERY call behind a
+  // lock, which serialized the 32-thread decode stage (measured 11.4× wall
+  // at the 10× rehearsal before this cache — codec work is linear, the
+  // registry scan was the super-linear term). Same codec classes either way.
+  private lazy val wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toList
+  }
+  private lazy val wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .filter(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)).toList
+  }
+
   def syntheticWav(docId: Long, nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
@@ -120,8 +137,9 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(
-      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val writer = wavWriters.headOption.getOrElse(
+      sys.error("no WAV AudioFileWriter provider in this JRE"))
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
@@ -129,8 +147,11 @@ object Multimodal {
     * signed 16-bit samples. Same mapPartitions batch contract as the
     * image path. */
   def decodeWav(payload: Array[Byte]): Array[Int] = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    val ais = wavReaders.view.flatMap { r =>
+      try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+    }.headOption.getOrElse(
+      throw new IllegalArgumentException("payload is not a decodable audio stream"))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
       s"expected 16-bit LE mono PCM, got $fmt")
