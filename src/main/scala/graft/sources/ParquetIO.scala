@@ -293,25 +293,33 @@ object ParquetIO {
       versionCol: String,
       targetFileBytes: Long = 512L * 1024 * 1024,
       opts: WriteOptions = WriteOptions()): Unit = {
+    val base = basePaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val upd = updatePaths.map(p => spark.read.parquet(p))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val totalBytes = inputBytes(spark, basePaths ++ updatePaths)
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    upsertWrite(base, upd, outPath, keyCols, versionCol, parts, opts)
+  }
+
+  /** DataFrame core of [[upsert]] — also the body of the streaming
+    * foreachBatch MERGE sink ([[graft.streaming.Streams.upsertSink]]),
+    * where the update side arrives as a micro-batch, not files. */
+  def upsertWrite(base: DataFrame, updates: DataFrame, outPath: String,
+      keyCols: Seq[String], versionCol: String, parts: Int,
+      opts: WriteOptions = WriteOptions()): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     import org.apache.spark.sql.functions.{col, lit, row_number, desc}
     import org.apache.spark.sql.expressions.Window
-    val base = basePaths.map(p => spark.read.parquet(p))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .withColumn("__src", lit(0))
-    val upd = updatePaths.map(p => spark.read.parquet(p))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .withColumn("__src", lit(1))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(desc(versionCol), desc("__src"))
-    val totalBytes = inputBytes(spark, basePaths ++ updatePaths)
-    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
     // cluster FIRST at the output file count: the window's key-hash
     // requirement is then already satisfied, so survivors flow from the
     // one Exchange straight into sized files (window after a
     // differently-sized repartition would shuffle twice)
-    val merged = base.unionByName(upd, allowMissingColumns = true)
-      .repartition(parts, keyCols.map(col): _*)
+    val merged = base.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
+      .repartition(math.max(1, parts), keyCols.map(col): _*)
     write(merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "__src"), outPath, opts)

@@ -113,6 +113,48 @@ object Streams {
       }
       .start()
 
+  /**
+   * CDC-style streaming MERGE sink (round 11): every micro-batch upserts
+   * into a keyed table via [[graft.sources.ParquetIO.upsertWrite]] —
+   * latest version per key wins, the incoming batch winning ties — and
+   * each merge lands as a NEW generation directory `gen<batchId>` with a
+   * `_CURRENT` pointer file flipped after the write (the write-new,
+   * point-later pattern; a crashed batch leaves a dangling directory,
+   * never a half-merged table, and foreachBatch's replay of an
+   * uncommitted batch simply rewrites the same generation). Read the
+   * table with [[currentGeneration]].
+   */
+  def upsertSink(updates: DataFrame, tableDir: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String, parts: Int = 4): StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = s"$tableDir/gen$batchId"
+        currentGeneration(tableDir) match {
+          case Some(cur) =>
+            graft.sources.ParquetIO.upsertWrite(
+              spark.read.parquet(cur), batch.toDF(), gen, keyCols, versionCol, parts)
+          case None =>
+            graft.sources.ParquetIO.upsertWrite(
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                batch.schema),
+              batch.toDF(), gen, keyCols, versionCol, parts)
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$tableDir/_CURRENT"),
+          gen.getBytes("UTF-8"))
+        ()
+      }
+      .start()
+
+  /** The generation directory `_CURRENT` points at, if the table exists. */
+  def currentGeneration(tableDir: String): Option[String] = {
+    val p = java.nio.file.Paths.get(s"$tableDir/_CURRENT")
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    else None
+  }
+
   /** Drive a streaming DF to completion against a memory sink (local smoke:
     * a batch of parquet fully drains through the streaming engine). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
