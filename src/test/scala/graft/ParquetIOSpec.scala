@@ -356,6 +356,20 @@ class ParquetIOSpec extends AnyFunSuite {
     val extra = spark.read.parquet(s"$base0/out").select("k", "extra")
       .as[(Long, Option[Long])].collect().toMap
     assert(extra(1L).isEmpty && extra(105L).contains(210L))
+    // the one-exchange claim: clustering at the output file count already
+    // satisfies the survivor window's key distribution, so the whole merge
+    // carries exactly ONE shuffle (pin against planner drift)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("k")).orderBy(desc("v"), desc("__src"))
+    val probe = spark.read.parquet(s"$base0/base").withColumn("__src", lit(0))
+      .unionByName(spark.read.parquet(s"$base0/upd").withColumn("__src", lit(1)),
+        allowMissingColumns = true)
+      .repartition(2, col("k"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"upsert merge must carry exactly one Exchange:\n$plan")
   }
 
   test("S9: memory-mapped read equals the stream read, rows and levels (parquet_reader.cc:35,64)") {
