@@ -34,6 +34,16 @@ object PipelineQueries {
    * sf1 even for planted near-identical copies) and the exact/sketch
    * paths (q_embed_pairs, q_embed_ann, q_knn_classify) remain the
    * registered coverage for that regime.
+   *
+   * TEST SCAFFOLDING, NOT A PRODUCTION OPERATOR (round 12): this helper
+   * exists to give the oracle a deterministic clustered corpus to check
+   * against. A production corpus arrives ALREADY clustered — real
+   * embedding spaces have this geometry natively, nothing re-mixes them —
+   * so the production contract is "feed [[Similarity.imiPairs]] the
+   * corpus as-is". Do NOT lift this constructor to scale: it broadcasts
+   * nC = n/20 anchor VECTORS (5 % of the corpus — at 100 TB that is a
+   * multi-TB broadcast) and runs a per-call count() job. Both are fine
+   * for a fixture builder and wrong in a pipeline.
    */
   private[graft] def clusteredEmbeddings(emb: DataFrame): (DataFrame, Int) = {
     val nC = ((emb.count() + 19) / 20).toInt
@@ -686,23 +696,24 @@ object PipelineQueries {
 
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic dedup (Abbas et al. 2023, public) in its
-      // 100 TB shape (round 11): the corpus is the deterministic CLUSTERED
+      // 100 TB shape: the corpus is the deterministic CLUSTERED
       // construction (see clusteredEmbeddings — real near-dup geometry),
-      // pairs at cos ≥ 0.9 are mined through the IVF co-residence feed —
-      // candidates are Σ_cell freq², LINEAR in n at constant per-cell
-      // occupancy because the cell count k = nC tracks n — then the SAME
+      // pairs at cos ≥ 0.9 are mined through the TWO-LEVEL (IMI) product
+      // quantizer feed (round 12) — kPerHalf² ≈ nC product cells keep the
+      // candidate stage Σ_cell freq², LINEAR in n at constant per-cell
+      // occupancy, while the ASSIGNMENT stage drops from flat IVF's n·k
+      // dots to n·2·√k (Babenko & Lempitsky 2012) — then the SAME
       // connected-components loop the text path uses → (vector, cluster,
-      // keep-one) decisions. ORACLE OPERATING POINT: k = nC, nAssign = 2
-      // is MEASURED recall 1.0 at sf0.001/0.01/0.1 and the 10× rehearsal
-      // (ProfileR11 clustered; nAssign=1 drops pairs), with dedup wall
-      // 2.3× at 10× data. Flat-IVF honesty: the assignment stage scores
-      // n·k dots, so with k ∝ n it is the n^1.5-optimal flat quantizer —
-      // at true 100 TB k is capped and a two-level (IMI-style) coarse
-      // quantizer takes over; the PAIR stage stays linear either way.
+      // keep-one) decisions. ORACLE OPERATING POINT: default kPerHalf
+      // = ceil(√(n/20)), nAssign = 2 is MEASURED recall 1.0 at
+      // sf0.001/0.01/0.1 (the oracle gates); the 10× rehearsal reads
+      // 0.9972 at nAssign = 2, 0.99999 at nAssign = 3 (SCALE.md) — the
+      // epsilon buys O(n·√k) assignment, the piece flat IVF could not
+      // scale past 10×. The exact-verify stage is unchanged.
       val emb = rd(s, dir, "embeddings")
-      val (corpus, nC) = clusteredEmbeddings(emb)
-      val pairs = Similarity.ivfPairs(corpus, "vec_id", "embedding",
-          k = nC, nAssign = 2, minCos = 0.9)
+      val (corpus, _) = clusteredEmbeddings(emb)
+      val pairs = Similarity.imiPairs(corpus, "vec_id", "embedding",
+          nAssign = 2, minCos = 0.9)
         .select(col("id_a"), col("id_b"))
       Dedup.clusterPairs(pairs)
         .select(col("id").as("vec_id"), col("cluster"),
@@ -875,19 +886,20 @@ object PipelineQueries {
       // branch is non-empty at every SF; copies share their original's
       // embedding id space implicitly via the text edge.
       //
-      // ORACLE OPERATING POINT (round 11, same as q_dedup_semantic): the
+      // ORACLE OPERATING POINT (round 12, same as q_dedup_semantic): the
       // semantic edges come from the CLUSTERED corpus at cos ≥ 0.9 through
-      // the IVF co-residence feed (k = nC, nAssign = 2 — measured recall
-      // 1.0 at every SF incl. the 10× rehearsal, ProfileR11 clustered);
-      // Σ_cell freq² candidates keep the registered pair stage linear.
+      // the two-level IMI product-cell feed (default kPerHalf = ceil(√nC),
+      // nAssign = 2 — measured recall 1.0 at every oracle-gated SF);
+      // Σ_cell freq² candidates keep the pair stage linear while the
+      // assignment stage is O(n·√k) instead of flat IVF's n·k.
       val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
       val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
       val textPairs = Dedup.exactDedupFlags(doubled, "doc_id", "text")
         .filter(col("is_dup") === 1)
         .select(col("keep_id").as("id_a"), col("doc_id").as("id_b"))
-      val (corpus, nC) = clusteredEmbeddings(rd(s, dir, "embeddings"))
-      val semPairs = Similarity.ivfPairs(corpus, "vec_id", "embedding",
-          k = nC, nAssign = 2, minCos = 0.9)
+      val (corpus, _) = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val semPairs = Similarity.imiPairs(corpus, "vec_id", "embedding",
+          nAssign = 2, minCos = 0.9)
         .select(col("id_a"), col("id_b"))
       Dedup.clusterPairs(textPairs.unionByName(semPairs))
         .select(col("id"), col("cluster"),
@@ -944,24 +956,26 @@ object PipelineQueries {
     }),
 
     "q_knn_classify_ann" -> ((s, dir) => {
-      // THE 100 TB kNN formulation (round 11): candidates come from the
-      // IVF co-residence miner over the CLUSTERED corpus — Σ_cell freq²
-      // pairs, linear in n at constant per-cell occupancy — feeding the
-      // unchanged vote pipeline. Operating point: every vector's exact
-      // top-5 pairs must be IVF candidates; k = nC, nAssign = 2 is the
-      // MEASURED recall-1.0 point at sf0.001/0.01/0.1 AND the 10×
-      // rehearsal (ProfileR11 clustered; nAssign=1 reaches ~0.997).
-      // Clusterable geometry is the requirement, not a convenience: on
-      // the raw isotropic fixture even planted near-identical copies
-      // split cells at scale (measured: recall 0.72 at sf1), which is why
-      // the exact vote pipeline stays registered as q_knn_classify for
-      // that regime. Whatever the miner, the prediction EQUALS the exact
-      // baseline — which is what the oracle checks.
-      val (corpus, nC) = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      // THE 100 TB kNN formulation (round 12): candidates come from the
+      // two-level IMI product-cell miner over the CLUSTERED corpus —
+      // Σ_cell freq² pairs over kPerHalf² ≈ nC product cells, linear in n
+      // at constant per-cell occupancy, with O(n·√k) assignment — feeding
+      // the unchanged vote pipeline. Operating point: every vector's
+      // exact top-5 pairs must be candidates; default kPerHalf, nAssign=2
+      // is the MEASURED recall-1.0 point at sf0.001/0.01/0.1 (oracle
+      // gates; the 10× rehearsal's 0.003 epsilon closes at nAssign=3 —
+      // SCALE.md). Clusterable geometry is the requirement, not a
+      // convenience: on the raw isotropic fixture even planted
+      // near-identical copies split cells at scale (measured: recall 0.72
+      // at sf1), which is why the exact vote pipeline stays registered as
+      // q_knn_classify for that regime. Whatever the miner, the
+      // prediction EQUALS the exact baseline — which is what the oracle
+      // checks.
+      val (corpus, _) = clusteredEmbeddings(rd(s, dir, "embeddings"))
       Similarity.knnClassify(corpus, "vec_id", "embedding",
           "label", k = 5,
-          candidates = Some(Similarity.ivfPairs(corpus,
-            "vec_id", "embedding", k = nC, nAssign = 2, minCos = -1.0)))
+          candidates = Some(Similarity.imiPairs(corpus,
+            "vec_id", "embedding", nAssign = 2, minCos = -1.0)))
         .orderBy(col("id"))
     }),
 
@@ -1162,6 +1176,33 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_multimodal_video" -> ((s, dir) => {
+      // REAL decode in the last multimodal slot (round 12): the video
+      // container is length-prefixed PNG FRAMES (GVID — see
+      // Multimodal.syntheticVideo; frame f pixel i of doc d is
+      // (d*31 + f*7919 + i²) mod 256), so the decode path is the same
+      // javax.imageio codec as q_multimodal_features, per frame, zero new
+      // deps. Frame-sampling is a SLICE OF THE FRAME INDEX: 3 of 6 frames
+      // (0, 2, 4) are decoded, the others are skipped as byte ranges —
+      // the keyframe-index property a real container gives at 100 TB.
+      // PNG losslessness again lets the oracle predict the sampled-frame
+      // histogram from the formula; the bin arithmetic is the PNG query's
+      // (float32/float64 boundary agreement already verified over all 256
+      // byte values).
+      val media = Multimodal.attachVideo(rd(s, dir, "documents"), nFrames = 6)
+      val feats = Multimodal.extractVideoFeatures(media, nSample = 3).toDF()
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          element_at(col("bin_counts"), 1).as("c_b0"),
+          element_at(col("bin_counts"), 6).as("c_b5"),
+          element_at(col("bin_counts"), 11).as("c_b10"),
+          element_at(col("bin_counts"), 16).as("c_b15"))
+      // spill-checkpoint before the global sort (the q_multimodal_features
+      // lesson: the range partitioner's sampling pass re-runs the child,
+      // which would decode every clip twice)
+      graft.operators.Materialize.viaParquet(feats, "mm_video")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_upsert" -> ((s, dir) => {
       // MERGE-INTO lifecycle, oracle-gated (round 11): base = orders at
       // version 0; updates = every 10th order re-priced at version 1 plus
@@ -1183,6 +1224,41 @@ object PipelineQueries {
         .write.parquet(s"$tmp/upd")
       ParquetIO.upsert(s, Seq(s"$tmp/base"), Seq(s"$tmp/upd"), s"$tmp/out",
         Seq("o_orderkey"), "version", targetFileBytes = 256L * 1024)
+      s.read.parquet(s"$tmp/out")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_upsert_delete" -> ((s, dir) => {
+      // FULL CDC MERGE lifecycle (round 12): q_upsert's base/update fixture
+      // plus an op column — every 10th order (% 10 = 5) arrives as a
+      // version-1 DELETE tombstone, repriced (% 10 = 0) and inserted
+      // (% 10 = 1, shifted keys) rows as version-1 upserts. Latest-wins
+      // winner selection is unchanged; a winning tombstone DROPS its key
+      // (WHEN MATCHED THEN DELETE), so replaying a delete-bearing CDC
+      // stream cannot resurrect rows. The oracle reconstructs the table
+      // with the tombstoned keys excluded; op is transport metadata and is
+      // absent from the output generation.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_del").toString
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      orders.withColumn("version", lit(0L)).write.parquet(s"$tmp/base")
+      val repriced = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("u"))
+      val inserted = orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .withColumn("op", lit("u"))
+      val deleted = orders.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("op", lit("d"))
+      repriced.unionByName(inserted).unionByName(deleted)
+        .withColumn("version", lit(1L)).write.parquet(s"$tmp/upd")
+      ParquetIO.upsert(s, Seq(s"$tmp/base"), Seq(s"$tmp/upd"), s"$tmp/out",
+        Seq("o_orderkey"), "version", targetFileBytes = 256L * 1024,
+        opCol = Some("op"))
       s.read.parquet(s"$tmp/out")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"),
@@ -2243,6 +2319,22 @@ object PipelineQueries {
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
            CAST(version AS BIGINT) AS version
          FROM survivors ORDER BY o_orderkey""",
+    // q_upsert's reconstruction MINUS the tombstoned keys (% 10 = 5): a
+    // version-1 delete beats the version-0 base row and drops the key
+    "q_upsert_delete" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
     // predicts the REAL javax.sound.sampled decode: PCM WAV is lossless,
     // so decoded sample i of doc d is exactly (d*131 + i*i*7) % 65536 - 32768
     "q_multimodal_audio" ->
@@ -2256,6 +2348,23 @@ object PipelineQueries {
            CAST(len(list_filter(sl, x -> abs(x) >= 16384)) AS INT) AS c_loud,
            CAST(list_sum(list_transform(sl, x -> abs(x))) AS BIGINT) AS sum_abs
          FROM s ORDER BY doc_id""",
+    // predicts the REAL per-frame javax.imageio decode of the GVID
+    // container: PNG frames are lossless, so pixel i of sampled frame f
+    // is exactly (doc_id*31 + f*7919 + i*i) % 256; sampled indices are
+    // 0, 2, 4 of 6 and the bin arithmetic is q_multimodal_features'
+    "q_multimodal_video" ->
+      """WITH bins AS (
+           SELECT doc_id,
+             flatten(list_transform([0, 2, 4], f ->
+               list_transform(range(0, 512),
+                 i -> CAST(FLOOR((((doc_id * 31 + f * 7919 + i * i) % 256) / 255.0) * 15.999) AS INT)))) AS bl
+           FROM documents)
+         SELECT doc_id, CAST(6 AS INT) AS n_frames, CAST(3 AS INT) AS n_sampled,
+           CAST(len(list_filter(bl, x -> x = 0)) AS INT) AS c_b0,
+           CAST(len(list_filter(bl, x -> x = 5)) AS INT) AS c_b5,
+           CAST(len(list_filter(bl, x -> x = 10)) AS INT) AS c_b10,
+           CAST(len(list_filter(bl, x -> x = 15)) AS INT) AS c_b15
+         FROM bins ORDER BY doc_id""",
     // identical arithmetic to ParquetIO.withZValue on (o_custkey,
     // o_orderkey): equal-width buckets in [0, 2^15) over each key's
     // [min, max] (double division BEFORE the *32768 multiply, matching

@@ -17,10 +17,14 @@ import org.apache.spark.sql.types._
  * [[syntheticPng]]/[[syntheticWav]] fixtures and oracle-checked
  * end-to-end in q_multimodal_features / q_multimodal_audio (both
  * formats are lossless, so SQL predicts decoded features from the
- * generator formulas). VIDEO decode stays a STUB (no video codec ships
- * in a JRE): [[decodeStub]] derives deterministic fake samples from
- * payload bytes; a real codec slots into the same `decode` parameter
- * without touching the pipeline shape.
+ * generator formulas). VIDEO (round 12) is REAL too, with zero new
+ * deps: no video codec ships in a JRE, so the container is defined as
+ * length-prefixed PNG FRAMES (`GVID` header — see [[syntheticVideo]])
+ * and every frame decodes through the same javax.imageio path as
+ * images; frame-sampling is a SLICE OF THE FRAME INDEX — unsampled
+ * frames are skipped as byte ranges, never decoded
+ * ([[decodeVideoFrames]]). [[decodeStub]] remains only as the generic
+ * any-payload fallback for [[resize]]/[[extractFeatures]] defaults.
  */
 object Multimodal {
 
@@ -50,13 +54,17 @@ object Multimodal {
     * (javax.imageio — in every JRE, no external lib). PNG is lossless, so
     * decoding returns exactly these values — which is what lets a SQL
     * oracle predict the decoded histogram from the formula alone. */
-  def syntheticPng(docId: Long, w: Int = 32, h: Int = 16): Array[Byte] = {
+  def syntheticPng(docId: Long, w: Int = 32, h: Int = 16): Array[Byte] =
+    grayPng(w, h, i => ((docId * 31 + i.toLong * i) % 256).toInt)
+
+  /** Encode a grayscale PNG from a pixel formula (row-major index). */
+  private def grayPng(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var i = 0
     while (i < w * h) {
-      raster.setSample(i % w, i / w, 0, ((docId * 31 + i.toLong * i) % 256).toInt)
+      raster.setSample(i % w, i / w, 0, pixel(i))
       i += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -99,6 +107,121 @@ object Multimodal {
         lit(h).cast("int").as("height"),
         lit(null).cast(IntegerType).as("sample_rate_hz"),
         lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  // ── video: length-prefixed PNG frames (round 12) ─────────────────────
+  // Container layout: "GVID" magic, int32 BE frame count, then per frame
+  // an int32 BE byte length + the PNG bytes. Defining the video slot as
+  // concatenated lossless PNG frames keeps the decode REAL (javax.imageio
+  // per frame, zero new deps) while making frame-sampling a pure byte-
+  // range skip — the property an actual container (MP4/MKV keyframe
+  // index) gives a 100 TB pipeline: sampling k of n frames reads and
+  // decodes k frames, not n.
+
+  /** Deterministic test clip: frame f, pixel i (row-major) of doc d is
+    * (d*31 + f*7919 + i²) mod 256, each frame encoded through the REAL
+    * PNG codec — the video analogue of [[syntheticPng]], and losslessness
+    * again lets a SQL oracle predict decoded features from the formula. */
+  def syntheticVideo(docId: Long, nFrames: Int = 6, w: Int = 32, h: Int = 16): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("GVID".getBytes("US-ASCII"))
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val ff = f
+      val png = grayPng(w, h, i => ((docId * 31 + ff * 7919L + i.toLong * i) % 256).toInt)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Frame count from the container header alone — no frame is decoded. */
+  def videoFrameCount(payload: Array[Byte]): Int = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID",
+      "payload is not a GVID frame container")
+    buf.getInt
+  }
+
+  /** REAL video decode with frame-index sampling: only the requested
+    * frame indices are PNG-decoded; every other frame is skipped as a
+    * byte range (the length prefix makes the skip O(1) per frame).
+    * Returns (frame index, grayscale floats) in index order. */
+  def decodeVideoFrames(payload: Array[Byte], frames: Seq[Int]): Seq[(Int, Array[Float])] = {
+    val wanted = frames.toSet
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    val magic = new Array[Byte](4); buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID",
+      "payload is not a GVID frame container")
+    val n = buf.getInt
+    require(wanted.forall(f => f >= 0 && f < n),
+      s"frame index out of range (clip has $n frames, asked for $frames)")
+    val out = Seq.newBuilder[(Int, Array[Float])]
+    var found = 0
+    var f = 0
+    while (f < n && found < wanted.size) {
+      val len = buf.getInt
+      if (wanted(f)) {
+        val fb = new Array[Byte](len); buf.get(fb)
+        out += f -> decodePng(fb)
+        found += 1
+      } else buf.position(buf.position() + len)  // sampled out: never decoded
+      f += 1
+    }
+    out.result()
+  }
+
+  /** Attach a REAL frame-container payload per row — the video-bearing
+    * analogue of [[attachPng]]/[[attachWav]]. */
+  def attachVideo(docs: DataFrame, idCol: String = "doc_id",
+      nFrames: Int = 6, w: Int = 32, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticVideo(id, nFrames, w, h))))
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        lit("video").as("kind"), lit(w).cast("int").as("width"),
+        lit(h).cast("int").as("height"),
+        lit(null).cast(IntegerType).as("sample_rate_hz"),
+        lit(nFrames * 40L).cast("long").as("duration_ms")))  // 25 fps
+  }
+
+  /** Integer video features over SAMPLED frames: evenly spaced indices
+    * j·n/k, each decoded frame binned with the same 16-bin histogram as
+    * [[extractFeatures]] (the float32/float64 boundary agreement carries
+    * over — identical arithmetic). `bin_counts` sums over the sampled
+    * frames; unsampled frames are never decoded. */
+  final case class VideoFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+      bin_counts: Array[Int])
+
+  /** Batched video feature extraction — same mapPartitions batch contract
+    * as [[extractFeatures]]/[[extractAudioFeatures]]. */
+  def extractVideoFeatures(df: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", nSample: Int = 3,
+      batchSize: Int = 64): Dataset[VideoFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val n = videoFrameCount(bytes)
+            val k = math.min(nSample, n)
+            val idx = (0 until k).map(j => j * n / k)
+            val counts = new Array[Int](16)
+            decodeVideoFrames(bytes, idx).foreach { case (_, pixels) =>
+              pixels.foreach(p => counts((p * 15.999f).toInt) += 1)
+            }
+            VideoFeatures(id, n, k, counts)
+          }
+        }
+      }
   }
 
   /** Deterministic 16-bit PCM mono test clip: sample i of doc d is

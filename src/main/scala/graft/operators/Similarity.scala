@@ -358,7 +358,10 @@ object Similarity {
    * wall at the 10× rehearsal with k=16). Cells must track n so
    * per-cell occupancy stays constant: then candidates are O(n·occ),
    * linear. The count is one metadata-cheap job next to the Lloyd
-   * iterations the index build already runs.
+   * iterations the index build already runs. With k ∝ n the ASSIGNMENT
+   * stage scores n·k dots — the flat-quantizer wall; [[imiPairs]] is the
+   * two-level form that drops it to O(n·√k) and (round 12) carries the
+   * registered similarity queries.
    */
   def ivfPairs(emb: DataFrame, idCol: String, vecCol: String,
       k: Int = 0, iters: Int = 2, nAssign: Int = 2, minCos: Double = 0.0): DataFrame =
@@ -419,11 +422,12 @@ object Similarity {
    * the guarantee is softer than flat IVF's. MEASURED (ProfileR11 `imi`,
    * clustered corpus, cos ≥ 0.9): recall 1.0 at nAssign = 2 for
    * sf0.001/0.01/0.1, 0.9972 at the 10× rehearsal (0.99999 at
-   * nAssign = 3). That epsilon is why the ORACLE-GATED registrations keep
-   * the flat [[ivfPairs]] feed (exact equality measured at every scale);
-   * imiPairs is the assignment-cost escape hatch for the k where flat
-   * assignment dominates end-to-end wall, priced at a recall epsilon or
-   * one more nAssign. ImiPairsSpec pins ≥ 0.9 recall + real pruning on
+   * nAssign = 3). Since round 12 this IS the registered feed for
+   * q_dedup_semantic / q_dedup_hybrid / q_knn_classify_ann — recall 1.0
+   * at every oracle-gated SF means the verified output is identical to
+   * the flat [[ivfPairs]] feed's there, at O(n·√k) assignment instead of
+   * n·k; at the 10× rehearsal the epsilon closes with nAssign = 3
+   * (SCALE.md). ImiPairsSpec pins ≥ 0.9 recall + real pruning on
    * planted clusters.
    */
   def imiPairs(emb: DataFrame, idCol: String, vecCol: String,

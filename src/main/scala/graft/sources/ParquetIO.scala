@@ -198,19 +198,25 @@ object ParquetIO {
    * Bucketed-table LIFECYCLE, part 2: per-bucket compaction after a run of
    * appends. Rewrites the table back to one sorted file per bucket — one
    * clustering Exchange on the bucket key, the same shuffle the original
-   * write paid — into a FRESH directory, then swaps the catalog entry
-   * (write-new, drop-old, rename: the generational pattern table formats
-   * like Delta/Iceberg institutionalize; the old generation's directory is
-   * left for the caller's GC, never half-overwritten in place). Join
-   * plans are unchanged before/after: the feature is fewer files per
-   * bucket, not a different layout.
+   * write paid — into a FRESH directory, then swaps the catalog entry.
+   * The swap (round 12, after the r11 advice) is rename-rename-drop, not
+   * drop-then-rename: `table → table__old`, `table__compacting → table`,
+   * then drop `table__old` — the no-table window shrinks from "between a
+   * DROP and a RENAME" to a single atomic catalog rename, and a failure
+   * mid-swap leaves the old generation recoverable under `table__old`
+   * instead of gone. The old generation's DIRECTORY is left for the
+   * caller's GC, never half-overwritten in place. Join plans are
+   * unchanged before/after: the feature is fewer files per bucket, not a
+   * different layout.
    */
   def compactBucketed(spark: SparkSession, tableName: String, newPath: String,
       numBuckets: Int, bucketCols: Seq[String],
       opts: WriteOptions = WriteOptions()): Unit = {
     import org.apache.spark.sql.functions.col
     val tmpName = tableName + "__compacting"
+    val oldName = tableName + "__old"
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    spark.sql(s"DROP TABLE IF EXISTS $oldName")
     // Read the old generation as PLAIN parquet, not through the catalog
     // table: the bucketed scan already satisfies the clustering
     // distribution, so Catalyst elides the repartition and writer tasks
@@ -219,14 +225,16 @@ object ParquetIO {
     // exchange, and numBuckets clustering partitions ⇒ one writer task
     // per bucket ⇒ one file per bucket (the identity
     // Murmur3 % numBuckets == bucket-id the initial writers rely on too).
-    val location = spark.sql(s"DESCRIBE FORMATTED $tableName")
-      .filter(col("col_name") === "Location")
-      .select("data_type").head().getString(0)
+    // Location comes from the catalog API, not DESCRIBE-output scraping.
+    val location = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .location.toString
     writeBucketed(
       spark.read.parquet(location).repartition(numBuckets, bucketCols.map(col): _*),
       tmpName, newPath, numBuckets, bucketCols, opts)
-    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tableName RENAME TO $oldName")
     spark.sql(s"ALTER TABLE $tmpName RENAME TO $tableName")
+    spark.sql(s"DROP TABLE $oldName")
   }
 
   /**
@@ -292,25 +300,51 @@ object ParquetIO {
       keyCols: Seq[String],
       versionCol: String,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      opts: WriteOptions = WriteOptions()): Unit = {
+      opts: WriteOptions = WriteOptions(),
+      opCol: Option[String] = None): Unit = {
+    // loud preconditions: an empty Seq otherwise dies inside .reduce with
+    // an opaque "empty.reduce" (r11 advice)
+    require(basePaths.nonEmpty, "upsert: basePaths is empty — nothing to merge into")
+    require(updatePaths.nonEmpty,
+      "upsert: updatePaths is empty — for a pure compaction use compactSorted")
     val base = basePaths.map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val upd = updatePaths.map(p => spark.read.parquet(p))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val totalBytes = inputBytes(spark, basePaths ++ updatePaths)
     val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
-    upsertWrite(base, upd, outPath, keyCols, versionCol, parts, opts)
+    upsertWrite(base, upd, outPath, keyCols, versionCol, parts, opts, opCol)
   }
 
   /** DataFrame core of [[upsert]] — also the body of the streaming
     * foreachBatch MERGE sink ([[graft.streaming.Streams.upsertSink]]),
-    * where the update side arrives as a micro-batch, not files. */
+    * where the update side arrives as a micro-batch, not files.
+    *
+    * `opCol` (round 12) turns the merge into the FULL CDC MERGE contract:
+    * the named column on the update side carries `"u"` (upsert, the
+    * default when null/absent) or `"d"` (delete tombstone). Winner
+    * selection is unchanged — latest version per key, update side winning
+    * ties — but a winning DELETE drops the key from the new generation
+    * (`WHEN MATCHED [AND latest] THEN DELETE`), so replaying a CDC stream
+    * with deletes cannot resurrect rows. The op column is transport
+    * metadata, not table data: it is projected away from the output, and
+    * a base generation written by a previous upsert never carries it
+    * (tombstones must NOT persist — a retained `d` row would shadow a
+    * later legitimate re-insert at a lower version). Still one key-hash
+    * Exchange: the tombstone filter is a post-window predicate on the
+    * already-clustered rows.
+    */
   def upsertWrite(base: DataFrame, updates: DataFrame, outPath: String,
       keyCols: Seq[String], versionCol: String, parts: Int,
-      opts: WriteOptions = WriteOptions()): Unit = {
+      opts: WriteOptions = WriteOptions(),
+      opCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    import org.apache.spark.sql.functions.{col, lit, row_number, desc}
+    import org.apache.spark.sql.functions.{col, lit, row_number, desc, coalesce}
     import org.apache.spark.sql.expressions.Window
+    opCol.foreach { c =>
+      require(updates.columns.contains(c),
+        s"upsert: op column '$c' not present on the update side")
+    }
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(desc(versionCol), desc("__src"))
     // cluster FIRST at the output file count: the window's key-hash
@@ -320,9 +354,17 @@ object ParquetIO {
     val merged = base.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)), allowMissingColumns = true)
       .repartition(math.max(1, parts), keyCols.map(col): _*)
-    write(merged.withColumn("__rn", row_number().over(w))
+    val survivors = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", "__src"), outPath, opts)
+      .drop("__rn", "__src")
+    val live = opCol match {
+      // base rows (no op col before the union ⇒ null after it) default to
+      // "u" — only an explicit tombstone kills a key
+      case Some(c) => survivors
+        .filter(coalesce(col(c), lit("u")) =!= lit("d")).drop(c)
+      case None => survivors
+    }
+    write(live, outPath, opts)
   }
 
   /**

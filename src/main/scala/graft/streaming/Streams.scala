@@ -114,35 +114,58 @@ object Streams {
       .start()
 
   /**
-   * CDC-style streaming MERGE sink (round 11): every micro-batch upserts
-   * into a keyed table via [[graft.sources.ParquetIO.upsertWrite]] —
-   * latest version per key wins, the incoming batch winning ties — and
-   * each merge lands as a NEW generation directory `gen<batchId>` with a
-   * `_CURRENT` pointer file flipped after the write (the write-new,
-   * point-later pattern; a crashed batch leaves a dangling directory,
-   * never a half-merged table, and foreachBatch's replay of an
-   * uncommitted batch simply rewrites the same generation). Read the
+   * CDC-style streaming MERGE sink: every micro-batch upserts into a
+   * keyed table via [[graft.sources.ParquetIO.upsertWrite]] — latest
+   * version per key wins, the incoming batch winning ties, and (round 12)
+   * `opCol` tombstones delete their key — and each merge lands as a NEW
+   * generation directory `gen<batchId>` with a `_CURRENT` pointer file
+   * flipped after the write (write-new, point-later: a crashed batch
+   * leaves a dangling directory, never a half-merged table). Read the
    * table with [[currentGeneration]].
+   *
+   * Crash-window replay (round 12, after the r11 advice): foreachBatch
+   * can replay a batch whose write finished but whose checkpoint commit
+   * didn't. If the crash hit AFTER the pointer flip, the replayed batch
+   * would read `_CURRENT` == its own output and try to overwrite the path
+   * it is reading from — Spark refuses and the stream could never
+   * restart. The guard: when the pointer already names gen<batchId>, the
+   * merge is fully applied (the pointer flips strictly after a complete
+   * write), so the replay is a no-op. The flip itself is an ATOMIC_MOVE
+   * of a temp file, so a concurrent [[currentGeneration]] can never
+   * observe a truncated/empty pointer.
    */
   def upsertSink(updates: DataFrame, tableDir: String, checkpoint: String,
-      keyCols: Seq[String], versionCol: String, parts: Int = 4): StreamingQuery =
+      keyCols: Seq[String], versionCol: String, parts: Int = 4,
+      opCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val gen = s"$tableDir/gen$batchId"
-        currentGeneration(tableDir) match {
-          case Some(cur) =>
-            graft.sources.ParquetIO.upsertWrite(
-              spark.read.parquet(cur), batch.toDF(), gen, keyCols, versionCol, parts)
-          case None =>
-            graft.sources.ParquetIO.upsertWrite(
-              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-                batch.schema),
-              batch.toDF(), gen, keyCols, versionCol, parts)
+        val cur = currentGeneration(tableDir)
+        if (cur.contains(gen)) {
+          // replay of a batch that already committed its write AND its
+          // pointer flip: gen<batchId> is complete — rewriting it from
+          // itself would be read-while-overwrite; skip.
+          ()
+        } else {
+          cur match {
+            case Some(c) =>
+              graft.sources.ParquetIO.upsertWrite(
+                spark.read.parquet(c), batch.toDF(), gen, keyCols, versionCol,
+                parts, opCol = opCol)
+            case None =>
+              graft.sources.ParquetIO.upsertWrite(
+                spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  batch.schema),
+                batch.toDF(), gen, keyCols, versionCol, parts, opCol = opCol)
+          }
+          val tmp = java.nio.file.Paths.get(s"$tableDir/_CURRENT.tmp")
+          java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$tableDir/_CURRENT"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$tableDir/_CURRENT"),
-          gen.getBytes("UTF-8"))
         ()
       }
       .start()

@@ -433,6 +433,66 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.bin_counts.toSeq == expected.toSeq, s"doc ${f.doc_id}")
     }
   }
+
+  test("video container round-trip: per-frame PNG decode recovers the generator formula") {
+    // syntheticVideo encodes frame f pixel i = (d*31 + f*7919 + i²) mod 256
+    // as length-prefixed real PNGs; decodeVideoFrames must hand back
+    // exactly those values — the invariant the q_multimodal_video oracle
+    // rests on
+    for (d <- Seq(0L, 7L, 499L)) {
+      val bytes = Multimodal.syntheticVideo(d, nFrames = 6)
+      assert(new String(bytes.take(4), "US-ASCII") == "GVID")
+      assert(Multimodal.videoFrameCount(bytes) == 6)
+      val frames = Multimodal.decodeVideoFrames(bytes, 0 until 6)
+      assert(frames.map(_._1) == (0 until 6))
+      frames.foreach { case (f, px) =>
+        assert(px.length == 32 * 16)
+        px.zipWithIndex.foreach { case (p, i) =>
+          val expected = ((d * 31 + f * 7919L + i.toLong * i) % 256).toInt
+          assert(math.round(p * 255.0f) == expected, s"frame $f pixel $i of doc $d")
+        }
+      }
+    }
+  }
+
+  test("frame sampling is a byte-range skip: unsampled frames are never decoded") {
+    // corrupt every UNSAMPLED frame's bytes in place — if sampling decoded
+    // them, javax.imageio would throw; the sampled slice must come back
+    // intact, proving the skip is a pure byte-range seek (the property
+    // that makes k-of-n sampling read k frames at 100 TB, not n)
+    val bytes = Multimodal.syntheticVideo(42L, nFrames = 6)
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.position(4)
+    val n = buf.getInt
+    val sampled = Set(0, 2, 4)
+    (0 until n).foreach { f =>
+      val len = buf.getInt
+      if (!sampled(f)) java.util.Arrays.fill(bytes, buf.position(), buf.position() + len, 0xA5.toByte)
+      buf.position(buf.position() + len)
+    }
+    val frames = Multimodal.decodeVideoFrames(bytes, Seq(0, 2, 4))
+    assert(frames.map(_._1) == Seq(0, 2, 4))
+    frames.foreach { case (f, px) =>
+      assert(math.round(px(9) * 255.0f) == ((42L * 31 + f * 7919L + 81) % 256).toInt)
+    }
+    intercept[Exception](Multimodal.decodeVideoFrames(bytes, Seq(1)))
+  }
+
+  test("extractVideoFeatures: sampled-frame bin counts match direct formula") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(30)
+    val media = Multimodal.attachVideo(docs, nFrames = 6)
+    val feats = Multimodal.extractVideoFeatures(media, nSample = 3).collect()
+    assert(feats.length == 30)
+    feats.foreach { f =>
+      assert(f.n_frames == 6 && f.n_sampled == 3)
+      val expected = new Array[Int](16)
+      for (fr <- Seq(0, 2, 4); i <- 0 until 512) {
+        val v = ((f.doc_id * 31 + fr * 7919L + i.toLong * i) % 256).toInt
+        expected(((v / 255.0f) * 15.999f).toInt) += 1
+      }
+      assert(f.bin_counts.toSeq == expected.toSeq, s"doc ${f.doc_id}")
+    }
+  }
 }
 
 class SkewSpec extends AnyFunSuite {

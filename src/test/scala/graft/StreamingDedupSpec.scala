@@ -66,4 +66,89 @@ class StreamingUpsertSpec extends AnyFunSuite {
     val gens = new java.io.File(s"$base/table").listFiles().map(_.getName).filter(_.startsWith("gen"))
     assert(gens.length == 2, s"expected 2 generations, got ${gens.toSeq}")
   }
+
+  test("CDC tombstones delete keys; a later re-insert resurrects legitimately") {
+    val base = java.nio.file.Files.createTempDirectory("graft-susd").toString
+    // three micro-batches (maxFilesPerTrigger=1): base load, a
+    // delete-bearing CDC batch, then a re-insert of one deleted key at a
+    // HIGHER version — the tombstone must kill its keys, the re-insert
+    // must win over the tombstone, and version-based latest-wins keeps
+    // the final state batch-order-independent
+    (1L to 50L).map(k => (k, "a", 1L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    ((1L to 10L).map(k => (k, "x", 2L, "d")) ++ (41L to 60L).map(k => (k, "b", 2L, "u")))
+      .toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    Seq((5L, "c", 3L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f2")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = Streams.upsertSink(stream, s"$base/table", s"$base/ckpt",
+      Seq("k"), "v", parts = 2, opCol = Some("op"))
+    try q.processAllAvailable() finally q.stop()
+    val cur = Streams.currentGeneration(s"$base/table")
+    assert(cur.isDefined)
+    val out = spark.read.parquet(cur.get)
+    // op is transport metadata — the stored generation must not carry it
+    // (a persisted tombstone would shadow later legitimate re-inserts)
+    assert(!out.columns.contains("op"), "op column must not persist in the table")
+    val m = out.select("k", "payload", "v").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m.size == 51, s"expected 51 live keys, got ${m.size}")
+    assert((6L to 10L).forall(k => !m.contains(k)), "tombstoned keys stay dead")
+    assert((1L to 4L).forall(k => !m.contains(k)), "tombstoned keys stay dead")
+    assert(m(5L) == ("c", 3L), "higher-version re-insert beats the tombstone")
+    assert((11L to 40L).forall(k => m(k) == ("a", 1L)), "untouched keys survive")
+    assert((41L to 60L).forall(k => m(k) == ("b", 2L)), "CDC upserts apply")
+  }
+
+  test("replay after a crash inside the commit window is an idempotent no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft-susr").toString
+    (1L to 50L).map(k => (k, "a", 1L)).toDF("k", "payload", "v")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    (26L to 75L).map(k => (k, "b", 2L)).toDF("k", "payload", "v")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    def start(ckpt: String) = Streams.upsertSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*"),
+      s"$base/table", ckpt, Seq("k"), "v", parts = 2)
+    val q = start(s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // simulate the crash window the r11 advice found: the batch's write
+    // finished and _CURRENT flipped, but the checkpoint commit was lost.
+    // A real crash restarts in a FRESH JVM, so the checkpoint (minus the
+    // lost commit marker) is copied to a new path — Spark's same-JVM
+    // "multiple queries on one checkpoint" guard would otherwise trip —
+    // and the restarted stream REPLAYS the last batch, which now sees
+    // _CURRENT == its own output directory. Without the pointer-guard the
+    // replayed upsertWrite reads gen1 while overwriting gen1 and Spark
+    // kills the stream permanently.
+    val src = java.nio.file.Paths.get(s"$base/ckpt")
+    val dst = java.nio.file.Paths.get(s"$base/ckpt2")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString)
+      .foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    val commits = new java.io.File(s"$base/ckpt2/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete(), "test setup: failed to remove commit marker")
+    // the Hadoop local FS shadows every file with a .name.crc checksum —
+    // leave one behind and the replayed commit's rename fails on it
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    val q2 = start(s"$base/ckpt2")
+    try q2.processAllAvailable() finally q2.stop()
+    val cur = Streams.currentGeneration(s"$base/table")
+    val out = spark.read.parquet(cur.get)
+      .select("k", "payload", "v").as[(Long, String, Long)].collect()
+    assert(out.length == 75, "replayed batch must not change the table")
+    val m = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((1L to 25L).forall(k => m(k) == ("a", 1L)))
+    assert((26L to 75L).forall(k => m(k) == ("b", 2L)))
+  }
 }
