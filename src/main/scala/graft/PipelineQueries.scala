@@ -979,6 +979,23 @@ object PipelineQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ann_incremental" -> ((s, dir) => {
+      // Δ×corpus incremental ANN (round 12) — the ingest-time similarity
+      // shape: vec_id < 50 of the clustered corpus stands in for a NEW
+      // ingest batch, the rest is the standing corpus, and each new vector
+      // gets its top-3 corpus neighbors through the IMI index trained on
+      // the corpus alone (Similarity.imiIncrementalTopK: batch assignment
+      // |Δ|·2·√k dots, candidate join linear in |Δ| at constant cell
+      // occupancy — never |Δ|·n). The oracle is the exact brute-force
+      // top-3 — candidate recall 1.0 at the gate SFs makes the IMI answer
+      // equal it, which is precisely the claim worth gating.
+      val (corpus0, _) = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val batch = corpus0.filter(col("vec_id") < 50)
+      val corpus = corpus0.filter(col("vec_id") >= 50)
+      Similarity.imiIncrementalTopK(corpus, batch, "vec_id", "embedding", k = 3)
+        .orderBy(col("id"), col("cos_sim").desc, col("nbr"))
+    }),
+
     // ── multimodal plumbing ─────────────────────────────────────────────
     "q_multimodal_features" -> ((s, dir) => {
       // REAL codec in the decode slot (round 11): a deterministic grayscale
@@ -2028,6 +2045,27 @@ object PipelineQueries {
     // (candidate recall 1.0 at the registered cut ⇒ same top-5 ⇒ same
     // votes), so it shares the exact-kNN oracle verbatim
     "q_knn_classify_ann" -> KnnClusteredExactSql,
+    "q_ann_incremental" ->
+      (s"WITH $ClusteredCorpusSql, " +
+        """btch AS (SELECT * FROM corpus WHERE vec_id < 50),
+         corp AS (SELECT * FROM corpus WHERE vec_id >= 50),
+         parts AS (
+           SELECT b.vec_id AS id, c.vec_id AS nbr,
+             UNNEST(b.embedding) AS x, UNNEST(c.embedding) AS y
+           FROM btch b, corp c),
+         comp AS (
+           SELECT id, nbr,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id, nbr),
+         scored AS (SELECT id, nbr, ROUND(dot / (na * nb), 4) AS cos_sim FROM comp),
+         ranked AS (
+           SELECT id, nbr, cos_sim,
+             row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rnk
+           FROM scored)
+         SELECT id, nbr, cos_sim FROM ranked WHERE rnk <= 3
+         ORDER BY id, cos_sim DESC, nbr"""),
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding AS v,

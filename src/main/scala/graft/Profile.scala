@@ -17,6 +17,7 @@ package graft
 object Profile {
   private val registry: Map[String, (Array[String] => Unit, String)] = Map(
     "scale" -> (ProfileScale.run _, "synthesize /tmp sf1 (10x) and time queries at sf0.1 vs sf1 (SCALE.md)"),
+    "scale100" -> (ProfileScale100.run _, "synthesize /tmp sf10 (100x) and probe the simhash/ann escape hatches (args: census simhash ann)"),
     "r11" -> (ProfileR11.run _, "IVF candidate recall operating points (also: r11 planted | r11 clustered)"),
     "oracle-six" -> (ProfileOracleSix.run _, "sketch-cut margin for the 0.45 semantic threshold"),
     "r9" -> (ProfileR9.run _, "round-9 query timings"),

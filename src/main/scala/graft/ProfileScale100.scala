@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Materialize, Similarity}
+
+/**
+ * 100× rehearsal (round 12, SCALE.md): synthesize "sf10" — 100× the bench
+ * SF (sf0.1) — and push the two honest quadratics through it:
+ * `q_dedup_simhash` (fixed 64-bit signature ⇒ O(n²/2^bits) bucket join)
+ * and `q_embed_ann` (isotropic corpus ⇒ irreducible O(n²) sketch pass).
+ * The goal is not a wall-clock trophy but the ENGAGEMENT THRESHOLDS of
+ * the two escape hatches, tuned from data:
+ *
+ *   - simhash `hotBucketCap`: at what bucket occupancy f does second-level
+ *     re-banding beat the un-split popcount join? Measured via an occupancy
+ *     census (predicted Σf² per cap — exact, cheap) plus timed runs at the
+ *     runnable caps.
+ *   - ann `minEstCos`: at what corpus size must the sketch cut rise above
+ *     the default 0.25? Measured via ONE quadratic histogram pass over
+ *     est-cos (every cut's candidate count at once) plus timed top-100
+ *     runs at the raised cuts, checked identical.
+ *
+ * Scale-up design (same invariant as [[ProfileScale]]): replicas must not
+ * create cross-replica near-dups. Documents get a per-replica token
+ * namespace (disjoint shingle spaces). Embeddings CANNOT reuse sf1's
+ * cyclic component rotation — 100 replicas > 64 dims, shifts would repeat
+ * — so each replica r > 0 multiplies components by a deterministic ±1
+ * pattern (splitmix-style bit mix of (r, i)): intra-replica pairwise
+ * cosines are preserved EXACTLY (⟨s·x, s·y⟩ = Σ s_i² x_i y_i = ⟨x,y⟩),
+ * cross-replica pairs decorrelate to the isotropic noise floor.
+ * Not part of the driver contract.
+ */
+object ProfileScale100 {
+  val Sf10Dir = "/tmp/graft_sf10"
+  val Replicas = 100
+
+  /** Deterministic ±1 per (replica, component): splitmix64 finalizer. */
+  private def signs(r: Int): Seq[Float] = (0 until 64).map { i =>
+    var z = r.toLong * 64L + i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 0L) 1.0f else -1.0f
+  }
+
+  private def synthesize(spark: SparkSession, src: String): Unit = {
+    if (!new java.io.File(s"$Sf10Dir/documents.parquet").exists()) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until Replicas).map { r =>
+        docs.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+          .withColumn("text",
+            if (r == 0) col("text")
+            else concat_ws(" ", transform(split(col("text"), " +"),
+              t => concat(t, lit(s"_$r")))))
+      }.reduce(_ unionByName _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$Sf10Dir/documents.parquet")
+      println(s"[scale100] wrote $Sf10Dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$Sf10Dir/embeddings.parquet").exists()) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until Replicas).map { r =>
+        val base = emb.withColumn("vec_id", col("vec_id") + lit(r * 10000000L))
+        if (r == 0) base
+        else base.withColumn("embedding",
+          zip_with(col("embedding"), typedlit(signs(r)), (x, s) => x * s))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Sf10Dir/embeddings.parquet")
+      println(s"[scale100] wrote $Sf10Dir/embeddings.parquet")
+    }
+  }
+
+  private def time[A](tag: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[scale100] $tag%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  /** Occupancy census: per hotBucketCap, the exact popcount-comparison
+    * count the bucket join would execute — Σ f·(f−1)/2 over (band,bucket)
+    * groups for the un-split part, and for buckets above the cap the
+    * re-banded Σ over (band,bucket,band2,bucket2) sub-groups. Pure
+    * aggregates over the signature table: the predicted cost of a config
+    * without running its join. */
+  private def simhashCensus(spark: SparkSession, idx: DataFrame,
+      caps: Seq[Int]): Unit = {
+    val sigs = Materialize.viaParquet(
+      Dedup.simHashSignaturesFromFeats(idx), "s100_sigs")
+    val bands = 13
+    val buckets = sigs.select(col("id"), col("sig"),
+        explode(graft.functions.TextFunctions.simHashBands(col("sig"), bands)).as("bk"))
+      .select(col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val f1 = Materialize.viaParquet(
+      buckets.groupBy("band", "bucket").agg(count(lit(1)).as("f")), "s100_f1")
+    val stats = f1.agg(count(lit(1)).as("n_buckets"), max("f").as("max_f"),
+      expr("percentile(f, 0.5)").as("med_f"),
+      sum(col("f") * (col("f") - 1)).as("pairs2")).collect()(0)
+    println(s"[scale100] simhash census: buckets=${stats.getLong(0)} " +
+      s"max_f=${stats.getLong(1)} med_f=${stats.getDouble(2)} " +
+      s"pairs_unsplit=${stats.getLong(3) / 2}")
+    // second-level sub-bucket sizes for every first-level bucket (computed
+    // once, filtered per cap): rotate-by-3 re-banding, same as the operator
+    val rot = 3
+    val sig2 = shiftleft(col("sig"), rot).bitwiseOR(shiftrightunsigned(col("sig"), 64 - rot))
+    val f2 = Materialize.viaParquet(
+      buckets.withColumn("bk2", explode(graft.functions.TextFunctions.simHashBands(sig2, bands)))
+        .groupBy(col("band"), col("bucket"), col("bk2.band").as("band2"),
+          col("bk2.bucket").as("bucket2"))
+        .agg(count(lit(1)).as("g")), "s100_f2")
+    caps.foreach { cap =>
+      val cold = f1.filter(col("f") <= cap)
+        .agg(coalesce(sum(col("f") * (col("f") - 1)), lit(0L))).collect()(0).getLong(0) / 2
+      val hotRows = f1.filter(col("f") > cap)
+      val hot = f2.join(hotRows.select("band", "bucket"), Seq("band", "bucket"))
+        .agg(coalesce(sum(col("g") * (col("g") - 1)), lit(0L))).collect()(0).getLong(0) / 2
+      val nHot = hotRows.count()
+      println(s"[scale100] cap=$cap hot_buckets=$nHot predicted_popcounts=${cold + hot} " +
+        s"(cold $cold + rebanded $hot)")
+    }
+  }
+
+  private[graft] def run(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    synthesize(spark, src)
+    val which = if (args.nonEmpty) args.toSet else Set("census", "simhash", "ann")
+
+    if (which("census") || which("simhash")) {
+      val docs = spark.read.parquet(s"$Sf10Dir/documents.parquet")
+      val idx = time("shingle index (500k docs)") {
+        Materialize.viaParquet(Dedup.shingleIndex(docs, "doc_id", "text", 3), "s100_idx")
+      }
+      if (which("census"))
+        time("simhash occupancy census") {
+          simhashCensus(spark, idx, Seq(20000, 10000, 5000, 2500, 1000))
+        }
+      if (which("simhash")) {
+        // candidate-stage wall per cap (the quadratic under test); counts
+        // must agree — the re-banding recall guarantee is exact
+        Seq(2500, 5000, 10000).foreach { cap =>
+          val n = time(s"simhash candidates cap=$cap") {
+            Dedup.simHashPairsFromFeats(idx, hotBucketCap = cap)
+              .select("id_a", "id_b").count()
+          }
+          println(s"[scale100] cap=$cap candidate_pairs=$n")
+        }
+      }
+    }
+
+    if (which("ann")) {
+      val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
+      // ONE quadratic pass, every cut's candidate count at once
+      val hist = time("ann est-cos histogram (200k vecs)") {
+        Similarity.sketchEstHistogram(emb, "vec_id", "embedding", binWidth = 0.05)
+          .filter(col("bin") >= 0.0).orderBy(col("bin").desc).collect()
+      }
+      var cum = 0L
+      hist.foreach { r =>
+        cum += r.getLong(1)
+        println(f"[scale100] est_cos>=${r.getDouble(0)}%.2f candidates=$cum%,d")
+      }
+      // the registered query at raised cuts: top-100 must be identical
+      val tops = Seq(0.55, 0.45).map { cut =>
+        val rows = time(f"q_embed_ann top-100 minEstCos=$cut%.2f") {
+          Similarity.annPairs(emb, "vec_id", "embedding",
+              minEstCos = cut, minCos = 0.45)
+            .orderBy(col("cos_sim").desc, col("id_a"), col("id_b"))
+            .limit(100).collect()
+        }
+        println(f"[scale100] cut=$cut%.2f top100_boundary_cos=${rows.last.getDouble(2)}%.4f")
+        cut -> rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      println(s"[scale100] top100 identical across cuts: ${tops.map(_._2).distinct.size == 1}")
+    }
+    spark.stop()
+  }
+}

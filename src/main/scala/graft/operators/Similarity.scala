@@ -146,6 +146,29 @@ object Similarity {
         greatest(col("xid"), col("yid")).as("id_b"))
   }
 
+  /** Measurement companion to [[annPairs]] (SCALE.md 100× rehearsal): one
+    * quadratic sketch pass binning est-cos into `binWidth` buckets —
+    * every `minEstCos` operating point's candidate count from a SINGLE
+    * block-matrix scan, instead of one quadratic run per cut. Returns
+    * (bin, pairs) where bin is the inclusive lower est-cos edge. */
+  private[graft] def sketchEstHistogram(emb: DataFrame, idCol: String,
+      vecCol: String, bits: Int = 512, binWidth: Double = 0.05,
+      seed: Long = 42L, numBlocks: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val words = bits / 64
+    val sigs = Materialize.viaParquet(
+      emb.select(col(idCol).as("id"),
+        GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("p")),
+      "ann_hist_sigs")
+    val hamming = (0 until words).map(w =>
+        bit_count(element_at(col("xp"), w + 1).bitwiseXOR(element_at(col("yp"), w + 1))))
+      .reduce(_ + _)
+    blockPairRows(sigs, resolveBlocks(emb, numBlocks))
+      .select((floor(cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble))
+        / lit(binWidth)) * lit(binWidth)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("pairs"))
+  }
+
   /** Shared exact-verification stage: join the candidate relation
     * (id_a, id_b) back to the vectors once per side, score with the
     * codegen cosine (4 dp), keep pairs clearing `minCos`. Linear in the
@@ -380,9 +403,16 @@ object Similarity {
     * Assignment scores n·k dots against the broadcast centroid arrays —
     * the flat-quantizer cost [[imiCandidates]] exists to undercut. */
   private def multiAssign(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, nAssign: Int, tag: String): DataFrame = {
+      k: Int, iters: Int, nAssign: Int, tag: String): DataFrame =
+    multiAssignWith(emb, idCol, vecCol,
+      trainCentroids(emb, idCol, vecCol, k, iters), nAssign, tag)
+
+  /** Top-`nAssign` cell assignment against a PRE-TRAINED centroid table —
+    * the piece [[imiIncrementalTopK]] needs separately: a Δ batch must be
+    * quantized by the CORPUS index, never retrain it. */
+  private def multiAssignWith(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nAssign: Int, tag: String): DataFrame = {
     val spark = emb.sparkSession
-    val centroids = trainCentroids(emb, idCol, vecCol, k, iters)
     val scored = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroidArrays(centroids)))
       .select(col("id"), col("cell"),
@@ -458,6 +488,72 @@ object Similarity {
     product.as("x").join(product.as("y"), Seq("cl", "cr"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  /**
+   * Incremental (Δ×corpus) ANN on the IMI index — the ingest-time shape of
+   * [[imiPairs]], and the vector analogue of
+   * [[Dedup.incrementalDedupFlags]]: per NEW vector, its `k` nearest
+   * CORPUS vectors, without re-mining the corpus against itself. The two
+   * half-quantizers train on the CORPUS ONLY (the index is a corpus
+   * artifact; a Δ batch is quantized by it, never retrains it — at 100 TB
+   * the centroid tables are maintained index state, built once per
+   * compaction epoch). Work per ingest:
+   *
+   *   - batch assignment: |Δ|·2·√k broadcast dots (same O(·√k) shape the
+   *     corpus assignment pays),
+   *   - candidate join: batch product-cells × corpus product-cells —
+   *     |Δ|·occupancy rows, LINEAR in |Δ| at constant per-cell occupancy,
+   *     never |Δ|·n,
+   *   - exact verify + per-id top-k window on candidates only.
+   *
+   * Emits (id, nbr, cos_sim) — `k` rows per new vector (fewer only if its
+   * probed cells hold fewer corpus vectors), ranked by the 4-dp-rounded
+   * exact cosine, ties to the lowest nbr. Recall has the same clustered-
+   * geometry contract as [[imiPairs]]: a new vector near a corpus cluster
+   * lands in that cluster's cells (measured recall 1.0 at the oracle
+   * gates — q_ann_incremental is DuckDB-checked against the exact
+   * brute-force top-k).
+   */
+  def imiIncrementalTopK(corpus: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, k: Int = 1, kPerHalf: Int = 0, iters: Int = 2,
+      nAssign: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val firstRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(firstRow.nonEmpty, "imiIncrementalTopK: empty corpus")
+    val dim = firstRow(0).getInt(0)
+    require(dim >= 2, s"imiIncrementalTopK needs at least 2 dims, got $dim")
+    val half = dim / 2
+    val kEff = if (kPerHalf > 0) kPerHalf
+      else math.max(4, math.ceil(math.sqrt(corpus.count() / 20.0)).toInt)
+    def halves(df: DataFrame) = (
+      df.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol)),
+      df.select(col(idCol), slice(col(vecCol), half + 1, dim - half).as(vecCol)))
+    val (corpL, corpR) = halves(corpus)
+    val (batL, batR) = halves(batch)
+    val centsL = trainCentroids(corpL, idCol, vecCol, kEff, iters)
+    val centsR = trainCentroids(corpR, idCol, vecCol, kEff, iters)
+    def product(l: DataFrame, r: DataFrame, tagL: String, tagR: String) =
+      multiAssignWith(l, idCol, vecCol, centsL, nAssign, tagL)
+        .select(col("id"), col("cell").as("cl"))
+        .join(multiAssignWith(r, idCol, vecCol, centsR, nAssign, tagR)
+          .select(col("id"), col("cell").as("cr")), "id")
+    val corpProduct = Materialize.viaParquet(
+      product(corpL, corpR, "inc_corp_l", "inc_corp_r"), "inc_corp_cells")
+    val batProduct = product(batL, batR, "inc_bat_l", "inc_bat_r")
+    val cands = batProduct.as("q").join(corpProduct.as("c"), Seq("cl", "cr"))
+      .filter(col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("id"), col("c.id").as("nbr")).distinct()
+    val qVecs = batch.select(col(idCol).as("id"), col(vecCol).as("qvec"))
+    val cVecs = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cvec"))
+    val scored = cands.join(qVecs, "id").join(cVecs, "nbr")
+      .withColumn("cos_sim",
+        round(GraftExtensions.graftCosine(spark, col("qvec"), col("cvec")), 4))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("nbr"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("id"), col("nbr"), col("cos_sim"))
   }
 
   /**

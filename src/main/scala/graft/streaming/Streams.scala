@@ -178,6 +178,68 @@ object Streams {
     else None
   }
 
+  /** Every generation directory of a [[upsertSink]] table, ascending by
+    * generation id — (id, path). Pure directory listing; dangling
+    * generations from a crashed batch (written, never pointed at) appear
+    * too, which is exactly what [[vacuumGenerations]] needs to see. */
+  def listGenerations(tableDir: String): Seq[(Long, String)] = {
+    val d = new java.io.File(tableDir)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.matches("gen\\d+"))
+      .map(f => (f.getName.stripPrefix("gen").toLong, f.getAbsolutePath))
+      .sortBy(_._1)
+  }
+
+  /** Time travel: read generation `gen` of the table as of that batch —
+    * every generation is a complete copy-on-write snapshot (the
+    * [[upsertSink]] merge rewrites survivors wholesale), so reading an
+    * old one needs no log replay. Loud error listing what exists when the
+    * generation is missing (vacuumed, or never written). */
+  def readGeneration(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, gen: Long): DataFrame = {
+    val all = listGenerations(tableDir)
+    all.find(_._1 == gen) match {
+      case Some((_, path)) => spark.read.parquet(path)
+      case None => throw new IllegalArgumentException(
+        s"generation $gen not found under $tableDir — " +
+          s"available: ${all.map(_._1).mkString(", ")}")
+    }
+  }
+
+  /**
+   * Retention for the generational table: delete all but the newest
+   * `keepLast` generations. The generation `_CURRENT` points at is NEVER
+   * deleted regardless of age (a stalled stream must stay readable), and
+   * generations NEWER than the pointer are also kept — a dangling
+   * directory from a crashed batch is that batch's replay target, not
+   * garbage. Returns the deleted paths. Driver-side directory surgery on
+   * table metadata — the same class of operation as the `_CURRENT` flip,
+   * not a data-plane job.
+   */
+  def vacuumGenerations(tableDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"vacuumGenerations: keepLast must be >= 1, got $keepLast")
+    val all = listGenerations(tableDir)
+    val cur = currentGeneration(tableDir)
+      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
+    val curId = all.collectFirst {
+      case (id, p) if cur.contains(
+        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString) => id
+    }
+    val deletable = all.dropRight(keepLast).filter { case (id, p) =>
+      !cur.contains(java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString) &&
+        curId.forall(id < _)
+    }
+    deletable.map { case (_, path) =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      path
+    }
+  }
+
   /** Drive a streaming DF to completion against a memory sink (local smoke:
     * a batch of parquet fully drains through the streaming engine). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

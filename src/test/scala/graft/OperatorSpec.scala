@@ -687,6 +687,45 @@ class ImiPairsSpec extends AnyFunSuite {
   }
 }
 
+class ImiIncrementalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("incremental ANN finds each new vector's exact top-k among its cluster's cells") {
+    // 10 planted clusters of 20 (dim 32); the last 2 members of each
+    // cluster form the "new ingest" batch, the rest the standing corpus
+    val rnd = new scala.util.Random(11)
+    val centers = Seq.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val all = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v.toSeq)
+    }
+    val (batch, corpus) = all.partition(_._1 % 20 >= 18)
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val batchDf = batch.toDF("vec_id", "embedding")
+    val got = Similarity.imiIncrementalTopK(corpusDf, batchDf,
+        "vec_id", "embedding", k = 3, kPerHalf = 4, nAssign = 2)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      math.rint(1e4 * d / (math.sqrt(a.map(x => x.toDouble * x).sum)
+        * math.sqrt(b.map(x => x.toDouble * x).sum))) / 1e4
+    }
+    val exact = batch.map { case (qid, qv) =>
+      qid -> corpus.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy(r => (-r._2, r._1)).take(3).map(_._1).toSeq
+    }.toMap
+    assert(got.keySet == batch.map(_._1).toSet, "every new vector gets an answer")
+    val hits = batch.count { case (qid, _) => got(qid) == exact(qid) }
+    assert(hits == batch.size,
+      s"incremental top-3 != exact for ${batch.size - hits} of ${batch.size} batch vectors")
+    // the Δ×corpus shape: candidates were cell-mates only, so each query
+    // compared against far fewer than the whole corpus — top-3 rows out
+    assert(got.values.forall(_.size == 3))
+  }
+}
+
 class KvMetadataWriteSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -152,3 +152,83 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert((26L to 75L).forall(k => m(k) == ("b", 2L)))
   }
 }
+
+/** Generation lifecycle (round 12): every [[Streams.upsertSink]] merge is
+  * a complete copy-on-write snapshot, so old generations are time-travel
+  * targets and retention is directory deletion — with the invariants that
+  * make it safe: `_CURRENT` is never vacuumed, and generations newer than
+  * the pointer (a crashed batch's replay target) are kept. */
+class GenerationLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def buildTable(base: String): Unit = {
+    // three micro-batches → gen0..gen2: base load, tombstone+update, re-insert
+    (1L to 50L).map(k => (k, "a", 1L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    ((1L to 10L).map(k => (k, "x", 2L, "d")) ++ (41L to 60L).map(k => (k, "b", 2L, "u")))
+      .toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    Seq((5L, "c", 3L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f2")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = Streams.upsertSink(stream, s"$base/table", s"$base/ckpt",
+      Seq("k"), "v", parts = 2, opCol = Some("op"))
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("time travel reads any generation as of its batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    buildTable(base)
+    assert(Streams.listGenerations(s"$base/table").map(_._1) == Seq(0L, 1L, 2L))
+    // gen0: the pre-delete state — tombstoned keys still alive
+    val g0 = Streams.readGeneration(spark, s"$base/table", 0L)
+      .select("k").as[Long].collect().toSet
+    assert(g0 == (1L to 50L).toSet, "gen0 is the full base load")
+    // gen1: deletes applied, re-insert not yet arrived
+    val g1 = Streams.readGeneration(spark, s"$base/table", 1L)
+      .select("k").as[Long].collect().toSet
+    assert(!g1.contains(5L) && !g1.contains(10L) && g1.contains(60L))
+    // gen2 == _CURRENT
+    val cur = Streams.currentGeneration(s"$base/table").get
+    assert(Streams.readGeneration(spark, s"$base/table", 2L).count() ==
+      spark.read.parquet(cur).count())
+    val err = intercept[IllegalArgumentException] {
+      Streams.readGeneration(spark, s"$base/table", 9L)
+    }
+    assert(err.getMessage.contains("available: 0, 1, 2"))
+  }
+
+  test("vacuum keeps the newest K, never the current pointer's target") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
+    buildTable(base)
+    val deleted = Streams.vacuumGenerations(s"$base/table", keepLast = 2)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0"))
+    assert(Streams.listGenerations(s"$base/table").map(_._1) == Seq(1L, 2L))
+    // the table is still readable through the pointer
+    val cur = Streams.currentGeneration(s"$base/table").get
+    assert(spark.read.parquet(cur).count() == 51)
+    // asking to keep more than exists is a no-op
+    assert(Streams.vacuumGenerations(s"$base/table", keepLast = 5).isEmpty)
+  }
+
+  test("vacuum never deletes _CURRENT's target or newer generations") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vac2").toString
+    buildTable(base)
+    // simulate a crashed batch: gen3 written, pointer still at gen2 —
+    // and a stalled pointer: point _CURRENT back at gen1
+    val table = s"$base/table"
+    val g1 = Streams.listGenerations(table).find(_._1 == 1L).get._2
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_CURRENT"),
+      g1.getBytes("UTF-8"))
+    val g3 = new java.io.File(s"$table/gen3")
+    assert(g3.mkdir())
+    // keepLast=1 would by age alone delete gen0..gen2: the pointer target
+    // (gen1) and everything newer (gen2, gen3) must survive
+    val deleted = Streams.vacuumGenerations(table, keepLast = 1)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0"))
+    assert(Streams.listGenerations(table).map(_._1) == Seq(1L, 2L, 3L))
+  }
+}
