@@ -143,14 +143,24 @@ object ProfileScale100 {
         }
       if (which("simhash")) {
         // candidate-stage wall per cap (the quadratic under test); counts
-        // must agree — the re-banding recall guarantee is exact
-        Seq(2500, 5000, 10000).foreach { cap =>
+        // must agree — the re-banding recall guarantee is exact. The
+        // census says the contrast set is {dormant, 28-hot, all-split}:
+        // every cap below ~16k splits everything and predicts the same
+        // 43.2e9 popcounts.
+        Seq(Int.MaxValue, 20000, 10000).foreach { cap =>
           val n = time(s"simhash candidates cap=$cap") {
             Dedup.simHashPairsFromFeats(idx, hotBucketCap = cap)
               .select("id_a", "id_b").count()
           }
           println(s"[scale100] cap=$cap candidate_pairs=$n")
         }
+        // the registered FLAT-shape alternative at the same scale: minhash
+        // banded LSH — the asymptotic escape the docs should point at
+        val docs100 = spark.read.parquet(s"$Sf10Dir/documents.parquet")
+        val nMin = time("minhash candidates (same corpus)") {
+          Dedup.minHashPairs(docs100, "doc_id", "text").count()
+        }
+        println(s"[scale100] minhash candidate_pairs=$nMin")
       }
     }
 

@@ -445,19 +445,29 @@ object Dedup {
    * (pigeonhole over all 64 bits again) — the recall guarantee is kept
    * EXACTLY (spec: hot path == cold path pair-for-pair).
    *
-   * The cap default is MEASURED, not guessed: one extra level multiplies
-   * hot members ×bands while cutting their pair tests ~2.3× (a sub-band
-   * match costs 2^-4.9 per rotated band × 13 bands), so it only wins once
-   * bucket occupancy f is large enough that f² popcounts outweigh 13·f
-   * extra shuffled rows — measured at 10× (50 k docs, f ≈ 1.5–5 k) the
-   * un-split codegen'd popcount join is still 1.3–3× FASTER than
-   * splitting (ProfileSimhashCap: 5.5 s vs 7.3–21 s as the cap drops).
-   * 20 000 keeps the mechanism dormant below its win regime and engages
-   * it exactly where the quadratic term starts to dominate; at extreme
-   * occupancy the same construction recurses (rotate again) for a
-   * compounding cut. True duplicate storms — identical signatures —
-   * stay quadratic in any blocking scheme; their output is itself
-   * quadratic.
+   * The cap default is MEASURED, not guessed — at BOTH ends now:
+   *
+   *   - 10× (50 k docs, f ≈ 1.5–5 k): the un-split codegen'd popcount
+   *     join is 1.3–3× FASTER than splitting (ProfileSimhashCap: 5.5 s
+   *     vs 7.3–21 s as the cap drops) — below the win regime the
+   *     mechanism must stay dormant, and 20 000 keeps it dormant.
+   *   - 100× (500 k docs, ProfileScale100 round 12; med f ≈ 16 k, max
+   *     41 k): the cap ENGAGES — 28 buckets clear 20 000 — and wins
+   *     1.6× (48.5 s vs 78.4 s dormant, identical 61 587 candidates).
+   *     The census says WHY, and it is not the popcount total (−5%):
+   *     splitting the >20 k tail breaks the STRAGGLER tasks — a single
+   *     41 k bucket is a 1.7e9-popcount join task, the wall-clock long
+   *     pole. Splitting everything (cap 10 000) over-pays the ×13 row
+   *     fan-out: 57.3 s, and the census shows one level only cuts total
+   *     popcounts 1.29× at uniform occupancy (sub-buckets inherit the
+   *     bit skew). The cap is a SKEW/straggler guard, not an asymptotic
+   *     fix — at a fixed 64-bit signature the Σf² term is irreducible
+   *     (f ∝ n/2^4.9 per band), so past ~10⁶ docs the asymptotic escape
+   *     is a different registered shape: [[minHashPairs]] banding (same
+   *     corpus, 23.9 s at 100× — flat) or [[jaccardPairsThresholded]].
+   *
+   * True duplicate storms — identical signatures — stay quadratic in any
+   * blocking scheme; their output is itself quadratic.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 12, bands: Int = 13, k: Int = 3,

@@ -58,6 +58,13 @@ object Multimodal {
     grayPng(w, h, i => ((docId * 31 + i.toLong * i) % 256).toInt)
 
   /** Encode a grayscale PNG from a pixel formula (row-major index). */
+  // ImageIO defaults to useCache=true: every write()/read() spills its
+  // working stream to a TEMP FILE on disk (FileCacheImageOutputStream) —
+  // tens of thousands of create/delete syscalls per query for 2 KB
+  // in-memory payloads. Memory-cached streams are the right mode for
+  // byte-array codecs; set once, first touch of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def grayPng(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
