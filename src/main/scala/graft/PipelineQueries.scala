@@ -1220,6 +1220,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_merge_evolution" -> ((s, dir) => {
+      // the namesake file-merge under SCHEMA DRIFT (round 12) — the shape
+      // a long-lived lake actually has: files written months apart differ
+      // in column sets and widths. Slice A carries (l_orderkey,
+      // l_quantity as INT, l_returnflag), slice B (l_orderkey,
+      // l_quantity as BIGINT, l_extendedprice). ParquetIO.merge
+      // reconciles BY NAME: the analyzer's set-operation widening lifts
+      // INT ∪ BIGINT to BIGINT and missing columns fill with NULL — no
+      // per-file schema registry, no rewrite of old files. The aggregate
+      // proves both halves of the contract: widened quantities sum
+      // decimal-exactly across the type seam, and per-slice columns
+      // count only their own rows (null-fill is real, not a default).
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge_evo").toString
+      val li = rd(s, dir, "lineitem")
+      li.filter(col("l_orderkey") % 3 === 0)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("int").as("l_quantity"), col("l_returnflag"))
+        .write.parquet(s"$tmp/a")
+      li.filter(col("l_orderkey") % 3 === 1)
+        .select(col("l_orderkey"),
+          col("l_quantity").cast("long").as("l_quantity"), col("l_extendedprice"))
+        .write.parquet(s"$tmp/b")
+      ParquetIO.merge(s, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/out",
+        targetFileBytes = 256L * 1024)
+      s.read.parquet(s"$tmp/out")
+        .groupBy(coalesce(col("l_returnflag"), lit("-")).as("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(col("l_extendedprice")).as("n_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_upsert" -> ((s, dir) => {
       // MERGE-INTO lifecycle, oracle-gated (round 11): base = orders at
       // version 0; updates = every 10th order re-priced at version 1 plus
@@ -2343,6 +2376,19 @@ object PipelineQueries {
          FROM events GROUP BY event_type ORDER BY event_type""",
     // latest-wins reconstruction: repriced keys (o_orderkey % 10 = 0) at
     // version 1, untouched keys at version 0, inserted keys (shifted)
+    "q_merge_evolution" ->
+      """WITH a AS (
+           SELECT l_orderkey, CAST(l_quantity AS INT) AS l_quantity, l_returnflag
+           FROM lineitem WHERE l_orderkey % 3 = 0),
+         b AS (
+           SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS l_quantity, l_extendedprice
+           FROM lineitem WHERE l_orderkey % 3 = 1),
+         m AS (SELECT * FROM a UNION ALL BY NAME SELECT * FROM b)
+         SELECT COALESCE(l_returnflag, '-') AS l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(l_extendedprice) AS n_price
+         FROM m GROUP BY 1 ORDER BY 1""",
     "q_upsert" ->
       """WITH survivors AS (
            SELECT o_orderkey, o_custkey,
