@@ -19,6 +19,7 @@ object Profile {
     "scale" -> (ProfileScale.run _, "synthesize /tmp sf1 (10x) and time queries at sf0.1 vs sf1 (SCALE.md)"),
     "scale100" -> (ProfileScale100.run _, "synthesize /tmp sf10 (100x) and probe the simhash/ann escape hatches (args: census simhash ann)"),
     "r11" -> (ProfileR11.run _, "IVF candidate recall operating points (also: r11 planted | r11 clustered)"),
+    "r12" -> (ProfileR12.run _, "similarity-trio phase profile (corpus/index/cands/verify/CC)"),
     "oracle-six" -> (ProfileOracleSix.run _, "sketch-cut margin for the 0.45 semantic threshold"),
     "r9" -> (ProfileR9.run _, "round-9 query timings"),
     "r9b" -> (ProfileR9b.run _, "sketch est-cos floor over exact top-5 pairs (kNN-ANN operating point)"),

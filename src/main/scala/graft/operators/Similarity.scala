@@ -469,25 +469,109 @@ object Similarity {
   /** The product-cell co-residence relation of [[imiPairs]]. */
   private def imiCandidates(emb: DataFrame, idCol: String, vecCol: String,
       kPerHalf: Int, iters: Int, nAssign: Int): DataFrame = {
+    val (half, dim) = halfDims(emb, vecCol)
+    val kEff = resolveKPerHalf(emb, kPerHalf)
+    val cents = trainHalfCentroids(emb, idCol, vecCol, half, dim, kEff, iters)
+    // nAssign² product cells per vector; spilled for the same
+    // consumed-twice reason as the flat assignment
+    val product = assignHalfProduct(emb, idCol, vecCol, half, dim, cents,
+      nAssign, "imi_product")
+    product.as("x").join(product.as("y"), Seq("cl", "cr"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+  }
+
+  private def halfDims(emb: DataFrame, vecCol: String): (Int, Int) = {
     val firstRow = emb.select(size(col(vecCol)).as("d")).limit(1).collect()
     require(firstRow.nonEmpty, "imiPairs: empty embedding corpus")
     val dim = firstRow(0).getInt(0)
     require(dim >= 2, s"imiPairs needs at least 2 dims, got $dim")
-    val half = dim / 2
-    val kEff = if (kPerHalf > 0) kPerHalf
-      else math.max(4, math.ceil(math.sqrt(emb.count() / 20.0)).toInt)
-    val left = emb.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol))
-    val right = emb.select(col(idCol), slice(col(vecCol), half + 1, dim - half).as(vecCol))
-    val aL = multiAssign(left, idCol, vecCol, kEff, iters, nAssign, "imi_assign_l")
-      .select(col("id"), col("cell").as("cl"))
-    val aR = multiAssign(right, idCol, vecCol, kEff, iters, nAssign, "imi_assign_r")
-      .select(col("id"), col("cell").as("cr"))
-    // nAssign² product cells per vector; spilled for the same
-    // consumed-twice reason as the flat assignment
-    val product = Materialize.viaParquet(aL.join(aR, "id"), "imi_product")
-    product.as("x").join(product.as("y"), Seq("cl", "cr"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    (dim / 2, dim)
+  }
+
+  private def resolveKPerHalf(emb: DataFrame, kPerHalf: Int): Int =
+    if (kPerHalf > 0) kPerHalf
+    else math.max(4, math.ceil(math.sqrt(emb.count() / 20.0)).toInt)
+
+  /** (id, h, hvec) rows — vector split into its two IMI halves, h ∈ {0,1}. */
+  private def vecHalves(df: DataFrame, idCol: String, vecCol: String,
+      half: Int, dim: Int): DataFrame =
+    df.select(col(idCol).as("id"), posexplode(array(
+        slice(col(vecCol), 1, half), slice(col(vecCol), half + 1, dim - half)))
+      .as(Seq("h", "hvec")))
+
+  /**
+   * Train BOTH half-vector quantizers of the IMI in ONE (h, cell)-keyed
+   * Lloyd pipeline — the [[pqEncode]] vectorization applied to the coarse
+   * quantizer (round 12: two serial `trainCentroids` chains cost ~2× the
+   * index-build jobs for identical math; every stage below keys on
+   * (h, cell), so both halves ride each aggregate together). Seeding and
+   * iteration arithmetic match the serial form: per-half LSH signatures
+   * (16 sign projections of the HALF vector, half-local d) mod k, then
+   * `iters` rounds of means + broadcast-scored reassignment. Returns the
+   * spilled centroid table (h, cell, d, c).
+   */
+  private def trainHalfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      half: Int, dim: Int, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val halves = vecHalves(emb, idCol, vecCol, half, dim)
+    val parts = halves.select(col("id"), col("h"),
+        posexplode(col("hvec")).as(Seq("d", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val bits = 16
+    val projs = (0 until bits).map { j =>
+      sum(when(pmod(xxhash64(lit(42), lit(j) * 65537 + col("d")), lit(2)) === 0,
+        col("x")).otherwise(-col("x"))).as(s"p$j")
+    }
+    var assign = parts.groupBy(col("id"), col("h"))
+      .agg(projs.head, projs.tail: _*)
+      .select(col("id"), col("h"),
+        pmod((0 until bits).map(j => when(col(s"p$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, c) => a.bitwiseOR(c)), lit(k)).cast("int").as("cell"))
+    var cents: DataFrame = null
+    for (i <- 0 until math.max(1, iters)) {
+      cents = parts.join(assign, Seq("id", "h"))
+        .groupBy(col("h"), col("cell"), col("d")).agg(avg(col("x")).as("c"))
+      if (i < iters - 1)
+        assign = halves.join(broadcast(halfCentroidArrays(cents)), "h")
+          .select(col("id"), col("h"), col("cell"),
+            (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("hvec"), col("cvec")))
+              .as("dist"))
+          .groupBy(col("id"), col("h"))
+          .agg(min(struct(col("dist"), col("cell"))).as("m"))
+          .select(col("id"), col("h"), col("m.cell").as("cell"))
+    }
+    Materialize.viaParquet(cents, "imi_cents")
+  }
+
+  /** (h, cell, cvec, cc) broadcastable arrays from the (h, cell, d, c)
+    * centroid rows — [[centroidArrays]] keyed by half. */
+  private def halfCentroidArrays(cents: DataFrame): DataFrame =
+    cents.groupBy(col("h"), col("cell"))
+      .agg(sort_array(collect_list(struct(col("d"), col("c")))).as("dc"))
+      .select(col("h"), col("cell"),
+        transform(col("dc"), e => e.getField("c").cast("float")).as("cvec"),
+        aggregate(col("dc"), lit(0.0),
+          (acc, e) => acc + e.getField("c") * e.getField("c")).as("cc"))
+
+  /** Top-`nAssign` cells PER HALF against pre-trained half centroids,
+    * returned as the spilled (id, cl, cr) product relation (nAssign²
+    * rows per vector). One scoring pass + one window serve both halves. */
+  private def assignHalfProduct(df: DataFrame, idCol: String, vecCol: String,
+      half: Int, dim: Int, cents: DataFrame, nAssign: Int, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val scored = vecHalves(df, idCol, vecCol, half, dim)
+      .join(broadcast(halfCentroidArrays(cents)), "h")
+      .select(col("id"), col("h"), col("cell"),
+        (col("cc") - lit(2.0) * GraftExtensions.graftDot(spark, col("hvec"), col("cvec")))
+          .as("dist"))
+    val w = Window.partitionBy(col("id"), col("h")).orderBy(col("dist"), col("cell"))
+    val topn = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nAssign).select(col("id"), col("h"), col("cell"))
+    Materialize.viaParquet(
+      topn.filter(col("h") === 0).select(col("id"), col("cell").as("cl"))
+        .join(topn.filter(col("h") === 1).select(col("id"), col("cell").as("cr")), "id"),
+      tag)
   }
 
   /**
@@ -519,28 +603,15 @@ object Similarity {
       vecCol: String, k: Int = 1, kPerHalf: Int = 0, iters: Int = 2,
       nAssign: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
-    val firstRow = corpus.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(firstRow.nonEmpty, "imiIncrementalTopK: empty corpus")
-    val dim = firstRow(0).getInt(0)
-    require(dim >= 2, s"imiIncrementalTopK needs at least 2 dims, got $dim")
-    val half = dim / 2
-    val kEff = if (kPerHalf > 0) kPerHalf
-      else math.max(4, math.ceil(math.sqrt(corpus.count() / 20.0)).toInt)
-    def halves(df: DataFrame) = (
-      df.select(col(idCol), slice(col(vecCol), 1, half).as(vecCol)),
-      df.select(col(idCol), slice(col(vecCol), half + 1, dim - half).as(vecCol)))
-    val (corpL, corpR) = halves(corpus)
-    val (batL, batR) = halves(batch)
-    val centsL = trainCentroids(corpL, idCol, vecCol, kEff, iters)
-    val centsR = trainCentroids(corpR, idCol, vecCol, kEff, iters)
-    def product(l: DataFrame, r: DataFrame, tagL: String, tagR: String) =
-      multiAssignWith(l, idCol, vecCol, centsL, nAssign, tagL)
-        .select(col("id"), col("cell").as("cl"))
-        .join(multiAssignWith(r, idCol, vecCol, centsR, nAssign, tagR)
-          .select(col("id"), col("cell").as("cr")), "id")
-    val corpProduct = Materialize.viaParquet(
-      product(corpL, corpR, "inc_corp_l", "inc_corp_r"), "inc_corp_cells")
-    val batProduct = product(batL, batR, "inc_bat_l", "inc_bat_r")
+    val (half, dim) = halfDims(corpus, vecCol)
+    val kEff = resolveKPerHalf(corpus, kPerHalf)
+    // index state is a CORPUS artifact (train once, spilled); the batch is
+    // quantized by it through the same one-pass half-product assignment
+    val cents = trainHalfCentroids(corpus, idCol, vecCol, half, dim, kEff, iters)
+    val corpProduct = assignHalfProduct(corpus, idCol, vecCol, half, dim,
+      cents, nAssign, "inc_corp_cells")
+    val batProduct = assignHalfProduct(batch, idCol, vecCol, half, dim,
+      cents, nAssign, "inc_bat_cells")
     val cands = batProduct.as("q").join(corpProduct.as("c"), Seq("cl", "cr"))
       .filter(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("id"), col("c.id").as("nbr")).distinct()
