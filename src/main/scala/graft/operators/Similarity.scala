@@ -601,23 +601,48 @@ object Similarity {
    */
   def imiIncrementalTopK(corpus: DataFrame, batch: DataFrame, idCol: String,
       vecCol: String, k: Int = 1, kPerHalf: Int = 0, iters: Int = 2,
-      nAssign: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
+      nAssign: Int = 2): DataFrame =
+    imiQueryIndex(imiBuildIndex(corpus, idCol, vecCol, kPerHalf, iters, nAssign),
+      batch, idCol, vecCol, k)
+
+  /** The standing IMI index state: spilled half-centroid table, spilled
+    * corpus product-cell assignments, and the corpus vectors for the
+    * exact-verify stage. Build ONCE per corpus epoch with
+    * [[imiBuildIndex]]; every ingest batch then pays only its own
+    * assignment + cell join via [[imiQueryIndex]] — the streaming sink
+    * ([[graft.streaming.Streams.annEnrichSink]]) holds one of these
+    * across micro-batches. */
+  final case class ImiIndex(cents: DataFrame, corpusCells: DataFrame,
+      corpusVecs: DataFrame, half: Int, dim: Int, nAssign: Int)
+
+  /** Train the index state of [[imiIncrementalTopK]] — a corpus artifact,
+    * independent of any batch. */
+  def imiBuildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      kPerHalf: Int = 0, iters: Int = 2, nAssign: Int = 2): ImiIndex = {
     val (half, dim) = halfDims(corpus, vecCol)
     val kEff = resolveKPerHalf(corpus, kPerHalf)
-    // index state is a CORPUS artifact (train once, spilled); the batch is
-    // quantized by it through the same one-pass half-product assignment
     val cents = trainHalfCentroids(corpus, idCol, vecCol, half, dim, kEff, iters)
     val corpProduct = assignHalfProduct(corpus, idCol, vecCol, half, dim,
       cents, nAssign, "inc_corp_cells")
-    val batProduct = assignHalfProduct(batch, idCol, vecCol, half, dim,
-      cents, nAssign, "inc_bat_cells")
-    val cands = batProduct.as("q").join(corpProduct.as("c"), Seq("cl", "cr"))
+    ImiIndex(cents, corpProduct,
+      corpus.select(col(idCol).as("nbr"), col(vecCol).as("cvec")),
+      half, dim, nAssign)
+  }
+
+  /** Per new vector in `batch`, its top-`k` corpus neighbors through a
+    * pre-built [[ImiIndex]] — |Δ|-sized work only: batch assignment
+    * (|Δ|·2·√k broadcast dots), cell join against the spilled corpus
+    * assignments, exact verify, bounded per-id rank. */
+  def imiQueryIndex(index: ImiIndex, batch: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = batch.sparkSession
+    val batProduct = assignHalfProduct(batch, idCol, vecCol, index.half,
+      index.dim, index.cents, index.nAssign, "inc_bat_cells")
+    val cands = batProduct.as("q").join(index.corpusCells.as("c"), Seq("cl", "cr"))
       .filter(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("id"), col("c.id").as("nbr")).distinct()
     val qVecs = batch.select(col(idCol).as("id"), col(vecCol).as("qvec"))
-    val cVecs = corpus.select(col(idCol).as("nbr"), col(vecCol).as("cvec"))
-    val scored = cands.join(qVecs, "id").join(cVecs, "nbr")
+    val scored = cands.join(qVecs, "id").join(index.corpusVecs, "nbr")
       .withColumn("cos_sim",
         round(GraftExtensions.graftCosine(spark, col("qvec"), col("cvec")), 4))
     val w = Window.partitionBy(col("id"))

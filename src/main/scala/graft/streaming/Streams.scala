@@ -170,6 +170,33 @@ object Streams {
       }
       .start()
 
+  /**
+   * Streaming ANN enrichment (round 12): every micro-batch of NEW vectors
+   * gets its top-`k` corpus neighbors and lands as parquet — the
+   * ingest-time similarity join every embedding pipeline runs (tag each
+   * arriving document with its nearest standing neighbors for dedup /
+   * retrieval / labeling downstream). The IMI index is built ONCE at sink
+   * creation ([[graft.operators.Similarity.imiBuildIndex]] — a corpus
+   * artifact, spilled); each batch pays only its own assignment (|Δ|·2·√k
+   * broadcast dots) and the cell join — never |Δ|·n, and never a retrain.
+   * Rebuild the sink on a corpus compaction epoch to refresh the index.
+   */
+  def annEnrichSink(newVecs: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String, vecCol: String, k: Int = 3,
+      nAssign: Int = 2): StreamingQuery = {
+    val index = graft.operators.Similarity.imiBuildIndex(
+      corpus, idCol, vecCol, nAssign = nAssign)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity
+          .imiQueryIndex(index, batch.toDF(), idCol, vecCol, k)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** The generation directory `_CURRENT` points at, if the table exists. */
   def currentGeneration(tableDir: String): Option[String] = {
     val p = java.nio.file.Paths.get(s"$tableDir/_CURRENT")

@@ -687,6 +687,51 @@ class ImiPairsSpec extends AnyFunSuite {
   }
 }
 
+class StreamingAnnEnrichSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed micro-batch enrichment equals the exact top-k against the standing corpus") {
+    // same planted-cluster geometry as ImiIncrementalSpec; the new vectors
+    // arrive as TWO micro-batch files instead of one batch DataFrame
+    val rnd = new scala.util.Random(23)
+    val centers = Seq.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val all = for (c <- 0 until 10; i <- 0 until 20) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 20 + i).toLong, v.toSeq)
+    }
+    val (batch, corpus) = all.partition(_._1 % 20 >= 18)
+    val base = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    val (b1, b2) = batch.splitAt(batch.size / 2)
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f0")
+    b2.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = graft.streaming.Streams.annEnrichSink(stream,
+      corpus.toDF("vec_id", "embedding"), s"$base/out", s"$base/ckpt",
+      "vec_id", "embedding", k = 3)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      math.rint(1e4 * d / (math.sqrt(a.map(x => x.toDouble * x).sum)
+        * math.sqrt(b.map(x => x.toDouble * x).sum))) / 1e4
+    }
+    val exact = batch.map { case (qid, qv) =>
+      qid -> corpus.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy(r => (-r._2, r._1)).take(3).map(_._1).toSeq
+    }.toMap
+    assert(got.keySet == batch.map(_._1).toSet,
+      "every streamed vector gets enriched exactly once across micro-batches")
+    val hits = batch.count { case (qid, _) => got(qid) == exact(qid) }
+    assert(hits == batch.size,
+      s"streamed top-3 != exact for ${batch.size - hits} of ${batch.size}")
+  }
+}
+
 class ImiIncrementalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
