@@ -996,6 +996,29 @@ object PipelineQueries {
         .orderBy(col("id"), col("cos_sim").desc, col("nbr"))
     }),
 
+    "q_dedup_semantic_incremental" -> ((s, dir) => {
+      // incremental SEMANTIC dedup (round 12) — the SemDeDup decision at
+      // ingest time, the composition every embedding pipeline actually
+      // runs: each NEW vector (vec_id < 50 of the clustered corpus) is
+      // flagged against the STANDING corpus — is_dup = nearest corpus
+      // neighbor at cos ≥ 0.9, dup_of = that neighbor (ties to lowest
+      // id), NULL when nothing clears the threshold. Δ×corpus work via
+      // the IMI index (imiIncrementalTopK k=1); the text analogue is
+      // q_dedup_incremental. Oracle = exact brute-force top-1 with the
+      // same threshold.
+      val (corpus0, _) = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      val batch = corpus0.filter(col("vec_id") < 50)
+      val corpus = corpus0.filter(col("vec_id") >= 50)
+      val top1 = Similarity.imiIncrementalTopK(corpus, batch,
+        "vec_id", "embedding", k = 1)
+      batch.select(col("vec_id").as("id"))
+        .join(top1.filter(col("cos_sim") >= 0.9), Seq("id"), "left")
+        .select(col("id"),
+          col("nbr").isNotNull.cast("int").as("is_dup"),
+          col("nbr").as("dup_of"), col("cos_sim"))
+        .orderBy(col("id"))
+    }),
+
     // ── multimodal plumbing ─────────────────────────────────────────────
     "q_multimodal_features" -> ((s, dir) => {
       // REAL codec in the decode slot (round 11): a deterministic grayscale
@@ -2099,6 +2122,31 @@ object PipelineQueries {
            FROM scored)
          SELECT id, nbr, cos_sim FROM ranked WHERE rnk <= 3
          ORDER BY id, cos_sim DESC, nbr"""),
+    "q_dedup_semantic_incremental" ->
+      (s"WITH $ClusteredCorpusSql, " +
+        """btch AS (SELECT * FROM corpus WHERE vec_id < 50),
+         corp AS (SELECT * FROM corpus WHERE vec_id >= 50),
+         parts AS (
+           SELECT b.vec_id AS id, c.vec_id AS nbr,
+             UNNEST(b.embedding) AS x, UNNEST(c.embedding) AS y
+           FROM btch b, corp c),
+         comp AS (
+           SELECT id, nbr,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id, nbr),
+         scored AS (SELECT id, nbr, ROUND(dot / (na * nb), 4) AS cos_sim FROM comp),
+         ranked AS (
+           SELECT id, nbr, cos_sim,
+             row_number() OVER (PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rnk
+           FROM scored),
+         top1 AS (SELECT id, nbr, cos_sim FROM ranked WHERE rnk = 1 AND cos_sim >= 0.9)
+         SELECT b.vec_id AS id,
+           CAST(CASE WHEN t.nbr IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+           t.nbr AS dup_of, t.cos_sim
+         FROM btch b LEFT JOIN top1 t ON b.vec_id = t.id
+         ORDER BY id"""),
     "q_embed_quantize" ->
       """WITH b AS (
            SELECT vec_id, embedding AS v,

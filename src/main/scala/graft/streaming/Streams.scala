@@ -197,6 +197,39 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming SEMANTIC dedup (round 12): the SemDeDup decision at the
+   * ingest front door — each arriving vector is flagged against the
+   * standing corpus (is_dup = nearest corpus neighbor at cos ≥ `minCos`,
+   * dup_of = that neighbor, NULL when nothing clears) and the decisions
+   * land as parquet. Same one-index-many-batches contract as
+   * [[annEnrichSink]]; the batch analogue is the oracle-gated
+   * q_dedup_semantic_incremental, the text analogue
+   * [[contentDedupStream]].
+   */
+  def semanticDedupSink(newVecs: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String, vecCol: String, minCos: Double = 0.9,
+      nAssign: Int = 2): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val index = graft.operators.Similarity.imiBuildIndex(
+      corpus, idCol, vecCol, nAssign = nAssign)
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val top1 = graft.operators.Similarity
+          .imiQueryIndex(index, batch.toDF(), idCol, vecCol, k = 1)
+          .filter(col("cos_sim") >= lit(minCos))
+        batch.toDF().select(col(idCol).as("id"))
+          .join(top1, Seq("id"), "left")
+          .select(col("id"),
+            col("nbr").isNotNull.cast("int").as("is_dup"),
+            col("nbr").as("dup_of"), col("cos_sim"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** The generation directory `_CURRENT` points at, if the table exists. */
   def currentGeneration(tableDir: String): Option[String] = {
     val p = java.nio.file.Paths.get(s"$tableDir/_CURRENT")

@@ -732,6 +732,55 @@ class StreamingAnnEnrichSpec extends AnyFunSuite {
   }
 }
 
+class StreamingSemanticDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streamed semantic dedup flags arriving near-dups against the standing corpus") {
+    // corpus = 10 planted clusters; the stream delivers one NEAR-COPY of
+    // a corpus member per cluster (must flag, dup_of = a cluster-mate)
+    // and 5 far-from-everything vectors (must pass) across 2 micro-batches
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(10)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus = for (c <- 0 until 10; i <- 0 until 18) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val dups = (0 until 10).map { c =>
+      val src = corpus(c * 18)._2
+      ((10000 + c).toLong, src.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val fresh = (0 until 5).map { j =>
+      ((20000 + j).toLong, Seq.fill(32)(10f * rnd.nextGaussian().toFloat))
+    }
+    val arrivals = dups ++ fresh
+    val base = java.nio.file.Files.createTempDirectory("graft-ssd").toString
+    val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f0")
+    b2.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = graft.streaming.Streams.semanticDedupSink(stream,
+      corpus.toDF("vec_id", "embedding"), s"$base/out", s"$base/ckpt",
+      "vec_id", "embedding", minCos = 0.9)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").as[(Long, Int, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == arrivals.map(_._1).toSet, "one decision per arrival")
+    dups.foreach { case (id, _) =>
+      val (isDup, dupOf) = got(id)
+      assert(isDup == 1, s"near-copy $id must be flagged")
+      // dup_of must be a member of the SAME planted cluster
+      assert(dupOf.exists(n => n / 100 == (id - 10000)), s"$id flagged against $dupOf")
+    }
+    fresh.foreach { case (id, _) =>
+      assert(got(id) == ((0, None)), s"fresh vector $id must pass")
+    }
+  }
+}
+
 class ImiIncrementalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
