@@ -164,6 +164,20 @@ object ProfileScale100 {
       }
     }
 
+    if (which("trio")) {
+      // the REGISTERED scale path at 100×: the clustered-corpus IMI
+      // queries on 200k vectors (nC = 10k clusters, kPerHalf = 100 →
+      // 10k product cells; assignment n·2·√k = 4e7 dots, pair stage
+      // Σcell² ≈ 4e6). These are the queries whose 10× rows SCALE.md
+      // already carries — this extends the series a decade.
+      Seq("q_dedup_semantic", "q_knn_classify_ann", "q_ann_incremental",
+          "q_dedup_semantic_incremental").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        time(s"$name @sf10")(
+          fn(spark, Sf10Dir).write.format("noop").mode("overwrite").save())
+      }
+    }
+
     if (which("ann")) {
       val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
       // ONE quadratic pass, every cut's candidate count at once
