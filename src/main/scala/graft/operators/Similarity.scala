@@ -217,6 +217,30 @@ object Similarity {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** The DIRECTED exact neighbor relation (id, nbr, cos_sim) — every
+    * unordered pair emitted in both orientations inside the one
+    * block-matrix pass ([[exactCosinePairs]] arithmetic, same spilled
+    * per-vector norms), so no all-pairs table is ever materialized:
+    * downstream per-id rank cuts run as WindowGroupLimit partials
+    * directly on the join output. */
+  private def exactNeighborRows(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
+    val rows = Materialize.viaParquet(
+      emb.select(col(idCol).as("id"),
+        struct(col(vecCol).as("vec"),
+          sqrt(gd(col(vecCol), col(vecCol))).as("nrm")).as("p")),
+      "pair_vecs")
+    blockPairRows(rows, resolveBlocks(emb, 0))
+      .withColumn("cos_sim",
+        round(gd(col("xp.vec"), col("yp.vec")) / (col("xp.nrm") * col("yp.nrm")), 4))
+      .select(explode(array(
+        struct(col("xid").as("id"), col("yid").as("nbr")),
+        struct(col("yid").as("id"), col("xid").as("nbr")))).as("e"), col("cos_sim"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("cos_sim"))
+  }
+
   /**
    * The shared block-matrix unordered-pair relation. `rows` must carry
    * (`id`, payload `p`); each row lands in block hash(id) mod m, the
@@ -916,14 +940,23 @@ object Similarity {
   def knnClassify(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int = 5,
       candidates: Option[DataFrame] = None): DataFrame = {
-    // spilled: the symmetric union reads the pair relation TWICE — inline,
-    // the pair miner (exact block join OR a candidate generator's sketch
-    // pipeline) would execute once per union branch
-    val pairs = Materialize.viaParquet(
-      candidates.getOrElse(exactCosinePairs(emb, idCol, vecCol)), "knn_pairs")
-    // each unordered pair contributes a neighbor row in BOTH directions
-    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
-      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))
+    val sym = candidates match {
+      case Some(c) =>
+        // spilled: the symmetric union reads the candidate relation TWICE
+        // — inline, the generator's whole sketch/quantizer pipeline would
+        // execute once per union branch
+        val pairs = Materialize.viaParquet(c, "knn_pairs")
+        pairs.select(col("id_a").as("id"), col("id_b").as("nbr"), col("cos_sim"))
+          .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nbr"), col("cos_sim")))
+      case None =>
+        // exact path (round 12): emit BOTH orientations inside the one
+        // quadratic block-join pass instead of spilling the full n²/2
+        // pair relation to parquet and re-reading it twice — the
+        // all-pairs table never materializes anywhere, and the rank ≤ k
+        // cut below runs as WindowGroupLimit partials BEFORE the id
+        // exchange, so ≤ k rows per (id, task) ever shuffle
+        exactNeighborRows(emb, idCol, vecCol)
+    }
     val wNbr = Window.partitionBy(col("id")).orderBy(col("cos_sim").desc, col("nbr"))
     val topk = sym.withColumn("rnk", row_number().over(wNbr)).filter(col("rnk") <= k)
     val labels = emb.select(col(idCol).as("nbr"), col(labelCol).as("nbr_label"))
