@@ -1365,6 +1365,74 @@ object PipelineQueries {
           min(col("o_custkey")).as("ck_lo"), max(col("o_custkey")).as("ck_hi"),
           min(col("o_orderkey")).as("ok_lo"), max(col("o_orderkey")).as("ok_hi"))
         .orderBy(col("z"))
+    }),
+
+    "q_partition_prune" -> ((s, dir) => {
+      // hive-layout partition pruning, oracle-gated (round 12): orders
+      // round-trip through writePartitioned(o_orderpriority) — five value
+      // directories — and the filtered read touches exactly ONE of them
+      // (PartitionFilters on the scan; directory-level pruning asserted in
+      // PartitionPruningSpec). At 100 TB the partition column IS the
+      // primary I/O governor; this entry gates that the layout round-trip
+      // loses no rows and the pruned scan computes the right answer.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      ParquetIO.writePartitioned(rd(s, dir, "orders"), s"$tmp/t",
+        Seq("o_orderpriority"))
+      s.read.parquet(s"$tmp/t")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy((col("o_custkey") % 100).as("cust_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("cust_bucket"))
+    }),
+
+    "q_partition_overwrite" -> ((s, dir) => {
+      // DYNAMIC partition overwrite (round 12) — the daily-restatement
+      // primitive: base table partitioned by o_orderpriority, then the
+      // 1-URGENT partition alone is restated (repriced +1000) via
+      // ParquetIO.overwritePartitions. Dynamic mode rewrites ONLY the
+      // partitions present in the restatement frame; static mode would
+      // have deleted all five. The oracle reconstructs the expected table
+      // (urgent repriced, the other four partitions untouched), so both
+      // the overwrite scoping and the survivor bytes are gated.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+      ParquetIO.writePartitioned(orders, s"$tmp/t", Seq("o_orderpriority"))
+      val restated = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      ParquetIO.overwritePartitions(restated, s"$tmp/t", Seq("o_orderpriority"))
+      s.read.parquet(s"$tmp/t")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_join_dpp" -> ((s, dir) => {
+      // DYNAMIC PARTITION PRUNING, oracle-gated (round 12): customer
+      // partitioned by c_nationkey (25 directories), dimension filter on
+      // n_regionkey — NOT the partition column, so static pruning can't
+      // fire. DPP turns the dim's surviving n_nationkey set into a runtime
+      // PartitionFilter on the fact scan: 5 of 25 directories read
+      // (dynamicpruning asserted on this exact shape in
+      // PartitionPruningSpec). At 100 TB this is the difference between
+      // scanning the whole fact table and scanning the 20% the dim filter
+      // actually touches.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      ParquetIO.writePartitioned(rd(s, dir, "customer"), s"$tmp/t",
+        Seq("c_nationkey"))
+      val nation = rd(s, dir, "nation").filter(col("n_regionkey") === 1)
+      s.read.parquet(s"$tmp/t")
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
+        .orderBy(col("n_name"))
     }))
 
   // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
@@ -2515,5 +2583,27 @@ object PipelineQueries {
          SELECT ($ZTermsSql) AS z,
            COUNT(*) AS n, MIN(o_custkey) AS ck_lo, MAX(o_custkey) AS ck_hi,
            MIN(o_orderkey) AS ok_lo, MAX(o_orderkey) AS ok_hi
-         FROM bk GROUP BY z ORDER BY z""")
+         FROM bk GROUP BY z ORDER BY z""",
+    // hive-partitioned round-trip + pruned scan: the layout must preserve
+    // every 1-URGENT row, so the raw-table filter predicts it exactly
+    "q_partition_prune" ->
+      """SELECT o_custkey % 100 AS cust_bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY cust_bucket""",
+    // dynamic overwrite scoping: 1-URGENT restated (+1000), the other four
+    // partitions byte-untouched — the CASE reconstructs the final table
+    "q_partition_overwrite" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN o_totalprice + 1000.0 ELSE o_totalprice END
+               AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY 1 ORDER BY o_orderpriority""",
+    // DPP: the partitioned-fact join result equals the plain raw join
+    "q_join_dpp" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_regionkey = 1
+         GROUP BY 1 ORDER BY n_name""")
 }

@@ -628,6 +628,25 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "q_stream_join" -> ((s, dir) => {
+      // §2.10 round 12: STREAM-STREAM interval join through the same
+      // batch==stream transform (Streams.attributionJoin) — each purchase
+      // attributed to the views by the same user within the prior 6 h.
+      // In streaming both sides are watermarked and the event-time range
+      // condition bounds join state on BOTH sides (state ∝ rate × horizon,
+      // not stream length); in batch the watermarks erase and Catalyst
+      // runs the plain range join this oracle reproduces. StreamJoinSpec
+      // pins readStream==batch equality of the transform.
+      val ev = rd(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      graft.streaming.Streams.attributionJoin(views, purchases)
+        .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
     // ── batch mirror of streaming/StatefulSessions (§2.10) ──────────────
     "q_events_sessionize" -> ((s, dir) => {
       // batch sessionization with a 30-min inactivity gap: lag marks
@@ -1075,6 +1094,18 @@ object RelationalQueries {
            user_id, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // stream-stream interval join: purchase within (view_ts, view_ts+6h]
+    // per user; gap reported in µs (epoch_us on both engines, exact)
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us,
+           p.value
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+           AND v.event_type = 'view' AND p.event_type = 'purchase'
+           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+           AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+         ORDER BY v.user_id, view_id, purchase_id""",
     "q_events_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, value,

@@ -139,6 +139,32 @@ object ParquetIO {
   }
 
   /**
+   * DYNAMIC partition overwrite — the daily-restatement primitive: rewrite
+   * ONLY the partitions present in `df`, leave every other partition's
+   * files untouched. With the default STATIC overwrite mode, `mode
+   * ("overwrite")` on a partitioned root deletes the whole table first —
+   * at 100 TB that turns a one-partition restatement into a full-table
+   * rewrite (and a data-loss window). `partitionOverwriteMode=dynamic` is
+   * set as a per-write option so the session default is never mutated.
+   * `q_partition_overwrite` oracle-gates the semantics; the spec asserts
+   * untouched partitions keep their original files byte-for-byte.
+   */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String],
+      opts: WriteOptions = WriteOptions()): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs at least one partition column")
+    val w = df.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", opts.compression)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+      .partitionBy(partitionCols: _*)
+    (if (opts.maxRecordsPerFile > 0)
+       w.option("maxRecordsPerFile", opts.maxRecordsPerFile.toString)
+     else w)
+      .parquet(path)
+  }
+
+  /**
    * Bucketed external table write — the co-located-join layout. Both
    * sides of a recurring large-large equi-join pay their shuffle ONCE,
    * at write time: rows are hash-clustered into `numBuckets` files per

@@ -57,6 +57,35 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /**
+   * Stream-stream INTERVAL JOIN (round 12): attribute each `purchase` to
+   * the `view`s by the same user that preceded it within `maxGap` — the
+   * canonical two-stream correlation (ad attribution, request/response
+   * pairing, cause→effect windows). Both sides carry watermarks and the
+   * join condition bounds event-time distance, so Spark can expire
+   * buffered state on BOTH sides: state per side is O(rate × (watermark +
+   * maxGap)), never O(stream) — the property that makes the join runnable
+   * forever at 100 TB/day. The identical plan runs in batch (watermarks
+   * become no-ops, Catalyst picks a plain range-condition join), which is
+   * how `q_stream_join` oracle-gates the semantics and StreamJoinSpec
+   * pins batch==stream equality.
+   *
+   * Column contract: `views(user_id, view_id, view_ts)`,
+   * `purchases(p_user, purchase_id, purchase_ts, value)`.
+   */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+      maxGap: String = "6 hours", watermark: String = "12 hours"): DataFrame = {
+    val v = views.withWatermark("view_ts", watermark)
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"),
+        col("value"))
+  }
+
+  /**
    * Streaming INGEST dedup for a document corpus (round 4): drop any doc
    * whose content hash (sha-256 of the text, the same fixed-width key
    * trick as `Dedup.exactDedupFlags`) was already seen within the

@@ -430,6 +430,40 @@ class PartitionPruningSpec extends AnyFunSuite {
     assert(subdirs.exists(_.startsWith("l_returnflag=")))
   }
 
+  test("dynamic partition overwrite rewrites ONLY the restated partition") {
+    // the daily-restatement primitive: with static overwrite mode the
+    // whole-table delete would nuke all five partitions; dynamic mode must
+    // leave the four untouched partitions' files byte-identical (same
+    // names, same mtimes) and replace only the restated one.
+    def partFiles(root: String): Map[String, Set[String]] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}@${f.lastModified}").toSet
+      }.toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-dynow").toString + "/t"
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    ParquetIO.writePartitioned(orders, dir, Seq("o_orderpriority"))
+    val before = partFiles(dir)
+    assert(before.size == 5)
+    val restated = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    ParquetIO.overwritePartitions(restated, dir, Seq("o_orderpriority"))
+    val after = partFiles(dir)
+    val urgent = "o_orderpriority=1-URGENT"
+    for (p <- before.keys if p != urgent)
+      assert(after(p) == before(p), s"partition $p should be untouched")
+    assert(after(urgent) != before(urgent), "restated partition must be rewritten")
+    // no rows lost, restatement applied
+    assert(spark.read.parquet(dir).count() == orders.count())
+    val urgentSum = spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(sum(col("o_totalprice"))).collect()(0).getDouble(0)
+    val baseSum = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .agg(sum(col("o_totalprice") + 1000.0)).collect()(0).getDouble(0)
+    assert(math.abs(urgentSum - baseSum) < 1e-6)
+  }
+
   test("bucketed tables join and aggregate with ZERO shuffle exchanges") {
     // the co-located-join layout: both sides hash-clustered on the join
     // key at write time, so the recurring large-large join pays its
