@@ -561,6 +561,24 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    "q_unpivot" -> ((s, dir) => {
+      // wide→long melt (round 12) — the inverse of q_pivot, via
+      // Dataset.unpivot (ANSI UNPIVOT). The melt itself is a per-row
+      // Expand (no shuffle, no UDF); the only exchange is the aggregate
+      // after it, so the operator costs one extra projection at 100 TB.
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("val").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     "q_array_funcs" -> ((s, dir) => {
       // array surface (§2.8): split/size/contains/slice/sort + exact fold
       val t = split(col("text"), " +")
@@ -645,6 +663,27 @@ object RelationalQueries {
           col("ts").as("purchase_ts"), col("value"))
       graft.streaming.Streams.attributionJoin(views, purchases)
         .orderBy(col("user_id"), col("view_id"), col("purchase_id"))
+    }),
+
+    "q_stream_join_outer" -> ((s, dir) => {
+      // §2.10 round 12: the LEFT OUTER form of the interval join —
+      // unattributed views survive with null purchase columns. In
+      // streaming the null rows are held until the watermark proves no
+      // match can arrive (state-bounded, emitted late); in batch the
+      // watermarks erase and this is the plain left range join the oracle
+      // writes. Null sort position pinned explicitly on both engines
+      // (asc_nulls_first ≡ NULLS FIRST) because the driver compares rows
+      // in file order.
+      val ev = rd(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      graft.streaming.Streams.attributionJoin(views, purchases,
+          joinType = "left_outer")
+        .orderBy(col("user_id"), col("view_id"),
+          col("purchase_id").asc_nulls_first)
     }),
 
     // ── batch mirror of streaming/StatefulSessions (§2.10) ──────────────
@@ -1040,6 +1079,17 @@ object RelationalQueries {
       ("SELECT lang, " + (0 to 9).map(i =>
         s"CAST(COUNT(CASE WHEN source = 'src$i' THEN 1 END) AS BIGINT) AS src$i").mkString(", ") +
         " FROM documents GROUP BY lang ORDER BY lang"),
+    // wide→long melt: the three measure columns stacked, then aggregated
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+         SELECT l_returnflag, measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM m GROUP BY 1, 2 ORDER BY l_returnflag, measure""",
     "q_array_funcs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
          SELECT doc_id, CAST(len(l) AS INT) AS n,
@@ -1106,6 +1156,18 @@ object RelationalQueries {
            AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
            AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
          ORDER BY v.user_id, view_id, purchase_id""",
+    // left-outer form: unattributed views survive with null purchase
+    // columns; NULLS FIRST matches Spark's asc_nulls_first
+    "q_stream_join_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) AS gap_us,
+           p.value
+         FROM (SELECT * FROM events WHERE event_type = 'view') v
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON v.user_id = p.user_id
+           AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+           AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+         ORDER BY v.user_id, view_id, purchase_id NULLS FIRST""",
     "q_events_sessionize" ->
       """WITH e AS (
            SELECT user_id, event_id, value,

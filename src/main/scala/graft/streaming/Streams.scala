@@ -71,15 +71,24 @@ object Streams {
    *
    * Column contract: `views(user_id, view_id, view_ts)`,
    * `purchases(p_user, purchase_id, purchase_ts, value)`.
+   *
+   * `joinType = "left_outer"` keeps unattributed views (null purchase
+   * columns). In streaming, an outer null-row is emitted only once the
+   * watermark proves no match can still arrive — so the outer join's
+   * streaming output trails the batch result by the watermark horizon at
+   * the stream tail (StreamJoinSpec pins exactly this containment); the
+   * batch form — and therefore the oracle — is the plain LEFT JOIN.
    */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
-      maxGap: String = "6 hours", watermark: String = "12 hours"): DataFrame = {
+      maxGap: String = "6 hours", watermark: String = "12 hours",
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("view_ts", watermark)
     val p = purchases.withWatermark("purchase_ts", watermark)
     v.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"))
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $maxGap"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("gap_us"),
         col("value"))

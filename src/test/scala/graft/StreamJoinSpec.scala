@@ -37,4 +37,29 @@ class StreamJoinSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("left-outer streaming join: matches exact, null rows watermark-bounded") {
+    // outer null-rows are only emitted once the watermark PROVES no match
+    // can still arrive, so at end-of-stream the streamed outer result is:
+    // all inner matches (exactly), plus a subset of the batch null rows —
+    // every streamed null row must appear in the batch result, and every
+    // batch null row old enough for the final watermark must be streamed.
+    val (bv, bp) = shape(RelationalQueries.rd(spark, TestSpark.sf, "events"))
+    val batchOuter = Streams.attributionJoin(bv, bp, joinType = "left_outer")
+      .collect().toSet
+    val batchInner = Streams.attributionJoin(bv, bp).collect().toSet
+    assert(batchOuter.size > batchInner.size, "fixture should have unattributed views")
+
+    val (sv, _) = shape(Streams.eventsStream(spark, TestSpark.sf))
+    val (_, sp) = shape(Streams.eventsStream(spark, TestSpark.sf))
+    val q = Streams.runToMemory(
+      Streams.attributionJoin(sv, sp, joinType = "left_outer"), "sjoin_outer")
+    try {
+      val got = spark.table("sjoin_outer").collect().toSet
+      assert(got.filter(_.get(2) != null) == batchInner,
+        "matched rows must equal the batch inner join exactly")
+      assert(got.subsetOf(batchOuter),
+        "every streamed row (incl. nulls) must appear in the batch outer join")
+    } finally q.stop()
+  }
 }
