@@ -1433,6 +1433,52 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_cust"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("total_bal"))
         .orderBy(col("n_name"))
+    }),
+
+    "q_change_feed" -> ((s, dir) => {
+      // CDC CHANGE FEED (round 12): diff two snapshots of orders — every
+      // 10th key repriced (u), every (10k+1)th deleted (d), (10k+2)th
+      // re-inserted under shifted keys (i); unchanged keys are DROPPED.
+      // ParquetIO.changeFeed derives the delta from plain snapshots (one
+      // full-outer key join + null-safe struct compare), so any two
+      // upsertSink generations become a replayable changelog. The oracle
+      // constructs the expected i/u/d rows directly from the base table.
+      import graft.sources.ParquetIO
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val newSnap = orders.filter(col("o_orderkey") % 10 =!= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+      ParquetIO.changeFeed(orders, newSnap, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_incr_agg" -> ((s, dir) => {
+      // incremental materialized-view refresh (round 12): per-customer
+      // count+revenue state built from 80% of orders, then the remaining
+      // 20% folded in as a delta — Materialize.incrementalAgg merges
+      // Δ-aggregate into persisted state without re-reading the base.
+      // The oracle is the FROM-SCRATCH aggregate over all orders: equality
+      // proves the refresh algebra (decimal sums are merge-order-
+      // independent) — the contract that turns a 100 TB nightly rollup
+      // into a Δ×state job.
+      import graft.operators.Materialize
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val base = orders.filter(col("o_orderkey") % 10 < 8)
+      val delta = orders.filter(col("o_orderkey") % 10 >= 8)
+      val st0 = Materialize.viaParquet(
+        Materialize.incrementalAgg(None, base, Seq("o_custkey"), Seq("o_totalprice")),
+        "incr_state")
+      Materialize.incrementalAgg(Some(st0), delta, Seq("o_custkey"), Seq("o_totalprice"))
+        .select(col("o_custkey"), col("n"),
+          col("sum_o_totalprice").cast("double").as("total_price"))
+        .orderBy(col("o_custkey"))
     }))
 
   // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
@@ -2605,5 +2651,25 @@ object PipelineQueries {
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          WHERE n.n_regionkey = 1
-         GROUP BY 1 ORDER BY n_name""")
+         GROUP BY 1 ORDER BY n_name""",
+    // the expected i/u/d delta constructed directly from the base table;
+    // unchanged keys (%10 in 3..9) never appear
+    "q_change_feed" ->
+      """WITH chg AS (
+           SELECT o_orderkey, 'u' AS op, o_custkey, o_totalprice + 1000.0 AS p
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, 'd', o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 1
+           UNION ALL
+           SELECT o_orderkey + 900000000, 'i', o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 2)
+         SELECT o_orderkey, op, o_custkey,
+           CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+         FROM chg ORDER BY o_orderkey""",
+    // incremental refresh must converge to the from-scratch aggregate
+    "q_incr_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY 1 ORDER BY o_custkey""")
 }

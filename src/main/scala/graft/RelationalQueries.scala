@@ -132,6 +132,25 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
     }),
 
+    "q_profile" -> ((s, dir) => {
+      // ANALYZE-style ONE-PASS table profiling (round 12): row count,
+      // per-column non-null counts, exact NDVs, numeric and temporal
+      // min/max — the per-batch stats a 100 TB ingest pipeline logs and
+      // alerts on. Spark plans the mixed exact count-distincts as one
+      // Expand feeding a partial+final aggregate pair: a single scan,
+      // however many columns are profiled.
+      rd(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        countDistinct(col("o_orderpriority")).as("ndv_priority"),
+        min(dec(col("o_totalprice"))).cast("double").as("min_price"),
+        max(dec(col("o_totalprice"))).cast("double").as("max_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+    }),
+
     "q_percentile" -> ((s, dir) => {
       // exact interpolated percentiles (values are integral doubles, so
       // interpolation arithmetic is exact in both engines)
@@ -844,6 +863,18 @@ object RelationalQueries {
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
            COUNT(*) AS n_orders FROM orders""",
+    // one-pass profile; timestamps CAST for the µs fixture parity
+    "q_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS nn_custkey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_priority,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_date,
+           MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_date
+         FROM orders""",
     "q_percentile" ->
       """SELECT l_returnflag,
            quantile_cont(l_quantity, 0.25) AS p25,

@@ -58,4 +58,41 @@ object Materialize {
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
   }
+
+  /**
+   * Incremental AGGREGATE maintenance (round 12) — materialized-view
+   * refresh for the distributive aggregates (COUNT / SUM, and AVG as
+   * their quotient): fold a delta batch into a persisted per-key state
+   * table WITHOUT re-reading the base data. Each refresh costs
+   * aggregate(|Δ|) + merge(|state|) — at 100 TB the nightly rollup stops
+   * being a full-table scan and becomes Δ×state, the same contract as
+   * [[graft.operators.Dedup.incrementalDedupFlags]] for dedup and
+   * `Similarity.imiIncrementalTopK` for ANN.
+   *
+   * State schema: key columns, `n` (row count), `sum_<c>` per sum column
+   * as DECIMAL(18,2) — exact and order/merge-independent, so any refresh
+   * order converges to the from-scratch aggregate (`q_incr_agg` pins
+   * exactly that against the oracle). Merge is state ∪ Δ-agg → one
+   * re-aggregate: a single key-hash Exchange over state+Δ rows, with
+   * map-side partials doing most of the work.
+   */
+  def incrementalAgg(state: Option[DataFrame], delta: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "incrementalAgg needs at least one key column")
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    def norm(df: DataFrame): DataFrame =
+      df.select(keyCols.map(col) ++ Seq(col("n").cast("long").as("n")) ++
+        sumCols.map(c => col(s"sum_$c").cast("decimal(18,2)").as(s"sum_$c")): _*)
+    val dAgg = norm(delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sumCols.map(c => sum(col(c).cast("decimal(18,2)")).as(s"sum_$c")): _*))
+    state match {
+      case None => dAgg
+      case Some(st) =>
+        norm(norm(st).unionByName(dAgg)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n")).as("n"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
+    }
+  }
 }

@@ -394,6 +394,45 @@ object ParquetIO {
   }
 
   /**
+   * CDC CHANGE FEED between two table snapshots (round 12) — the read
+   * side of the MERGE contract [[upsertWrite]] is the write side of:
+   * diff `oldDf` → `newDf` by key and emit one row per changed key with
+   * `op ∈ {i, u, d}` (insert / update / delete) and the surviving payload
+   * (new values for i/u, last-known old values for d). Unchanged keys are
+   * dropped, so downstream consumers replay deltas, not snapshots — the
+   * Delta Lake "change data feed" / Iceberg changelog-scan capability,
+   * derived from plain snapshots so it works on any two generations
+   * ([[graft.streaming.Streams.readGeneration]]) with no write-path
+   * cooperation.
+   *
+   * One shuffle: the full-outer join key-hashes both sides once; payload
+   * comparison is a null-safe struct equality (codegen'd, no
+   * serialization). On bucketed generations even that exchange vanishes.
+   */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val payload = newDf.columns.filterNot(keyCols.contains).toSeq
+    require(payload.nonEmpty, "changeFeed: no payload columns besides the key")
+    require(oldDf.columns.sorted.sameElements(newDf.columns.sorted),
+      "changeFeed expects both snapshots to share a schema " +
+        s"(old: ${oldDf.columns.sorted.mkString(",")}; new: ${newDf.columns.sorted.mkString(",")})")
+    val o = oldDf.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__old"): _*)
+    val n = newDf.select(keyCols.map(col) :+ struct(payload.map(col): _*).as("__new"): _*)
+    val diffed = o.join(n, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__old").isNull, lit("i"))
+          .when(col("__new").isNull, lit("d"))
+          .when(col("__old") <=> col("__new"), lit(null)) // unchanged → drop
+          .otherwise(lit("u")))
+      .filter(col("op").isNotNull)
+      .withColumn("__p", when(col("op") === "d", col("__old")).otherwise(col("__new")))
+    diffed.select(keyCols.map(col) ++ Seq(col("op")) ++
+      payload.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
+  /**
    * Attach the Morton z-value of `zCols` as column `out`. Shared by
    * [[compactZOrder]] (layout pass) and the `q_compact_zorder` correctness
    * query (which recomputes z over the compacted files and checks the
