@@ -1479,6 +1479,63 @@ object PipelineQueries {
         .select(col("o_custkey"), col("n"),
           col("sum_o_totalprice").cast("double").as("total_price"))
         .orderBy(col("o_custkey"))
+    }),
+
+    "q_jsonl_ingest" -> ((s, dir) => {
+      // raw-crawl landing (round 12): documents → GZIPPED JSONL →
+      // explicit-schema PERMISSIVE read-back → per-lang volume stats.
+      // The oracle computes the same stats from the parquet table, so
+      // equality proves the JSON round-trip is lossless on real text
+      // (quotes, unicode, whitespace). Gzip text is not splittable —
+      // parallelism comes from file count, kept from the upstream
+      // partitioning (doc'd in IngestIO).
+      import graft.sources.IngestIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      IngestIO.writeJsonl(docs, s"$tmp/jl")
+      IngestIO.readJsonl(s, s"$tmp/jl", docs.schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_csv_ingest" -> ((s, dir) => {
+      // vendor-file landing (round 12): orders → gzipped CSV with header
+      // → explicit-schema read-back → per-status rollup incl. µs-exact
+      // timestamp min/max (the timestampFormat is pinned on both write
+      // and read — CSV's classic silent-precision-loss trap, gated here).
+      import graft.sources.IngestIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val orders = rd(s, dir, "orders")
+      IngestIO.writeCsv(orders, s"$tmp/csv")
+      IngestIO.readCsv(s, s"$tmp/csv", orders.schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+          min(col("o_orderdate")).as("first_date"),
+          max(col("o_orderdate")).as("last_date"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_orc_roundtrip" -> ((s, dir) => {
+      // the OTHER columnar lake format (round 12): orders → zstd ORC →
+      // native read with a pushed filter → rollup. Same pushdown/stripe-
+      // stats tier as parquet (IngestSpec asserts the ORC scan carries
+      // PushedFilters); the oracle aggregates the parquet table, so
+      // equality proves the ORC round-trip is value-exact for int64,
+      // double, string, and µs timestamps.
+      import graft.sources.IngestIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      IngestIO.writeOrc(rd(s, dir, "orders"), s"$tmp/orc")
+      IngestIO.readOrc(s, s"$tmp/orc")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderstatus"))
     }))
 
   // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
@@ -2671,5 +2728,24 @@ object PipelineQueries {
     "q_incr_agg" ->
       """SELECT o_custkey, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-         FROM orders GROUP BY 1 ORDER BY o_custkey""")
+         FROM orders GROUP BY 1 ORDER BY o_custkey""",
+    // JSONL round-trip must be lossless: stats from the parquet table
+    "q_jsonl_ingest" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    // CSV round-trip incl. µs-exact timestamps
+    "q_csv_ingest" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_date,
+           MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_date
+         FROM orders GROUP BY 1 ORDER BY o_orderstatus""",
+    // ORC round-trip with a pushed filter
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders WHERE o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY o_orderstatus""")
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.IngestIO
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Raw-ingest surface: PERMISSIVE corrupt-record capture (a broken line
+  * must not kill a 100 TB landing job), gzip codec on text formats, and
+  * ORC predicate pushdown parity with parquet. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("PERMISSIVE JSONL: broken lines land in the corrupt column, good rows parse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ing").toString
+    val lines = Seq(
+      """{"id": 1, "text": "ok one"}""",
+      """{"id": 2, "text": "ok two"}""",
+      """{"id": oops not json""",
+      """{"id": 3, "text": "ok three"}""",
+      """not even close""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    // Spark disallows plans touching ONLY the corrupt column on raw text
+    // scans (the parser would need a second pass) — the production move is
+    // land-then-split, so collect the landed batch once and assert on it
+    val rows = IngestIO.readJsonl(spark, s"$dir/part0.jsonl", schema,
+      corruptCol = Some("_bad")).collect()
+    val (bad, good) = rows.partition(r => r.getAs[String]("_bad") != null)
+    assert(good.length == 3 && bad.length == 2)
+    // good rows parsed with values intact
+    assert(good.map(_.getAs[Long]("id")).sum == 6L)
+    // the corrupt column preserves the raw line for quarantine/debugging
+    assert(bad.map(_.getAs[String]("_bad")).toSet.contains("not even close"))
+  }
+
+  test("JSONL and CSV writers emit gzip files; read-back is exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gz").toString
+    val df = Seq((1L, "a,b \"quoted\""), (2L, "unicode ✓ text")).toDF("id", "text")
+    IngestIO.writeJsonl(df, s"$dir/jl")
+    IngestIO.writeCsv(df, s"$dir/csv")
+    def exts(p: String) = new java.io.File(p).listFiles()
+      .map(_.getName).filter(_.startsWith("part")).toSeq
+    assert(exts(s"$dir/jl").nonEmpty && exts(s"$dir/jl").forall(_.endsWith(".gz")))
+    assert(exts(s"$dir/csv").nonEmpty && exts(s"$dir/csv").forall(_.endsWith(".gz")))
+    val schema = df.schema
+    assert(IngestIO.readJsonl(spark, s"$dir/jl", schema).collect().toSet ==
+      df.collect().toSet)
+    assert(IngestIO.readCsv(spark, s"$dir/csv", schema).collect().toSet ==
+      df.collect().toSet)
+  }
+
+  test("ORC scan pushes predicates like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
+    IngestIO.writeOrc(orders, s"$dir/o")
+    val q = IngestIO.readOrc(spark, s"$dir/o").filter(col("o_orderkey") === 42L)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_orderkey"),
+      s"expected pushed filter on the ORC scan:\n$scan")
+    assert(q.count() == orders.filter(col("o_orderkey") === 42L).count())
+  }
+}
