@@ -101,8 +101,16 @@ object Bench {
     // the full per-query medians to a sidecar file + stderr.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","runs":$runs,"queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
     System.err.println(s"[bench] full $full")
+    // a FILTERED run lands in a _partial sidecar: neither the shared nor
+    // the round-stamped full-battery record may be replaced by a targeted
+    // re-measurement (r11 advice closed the stamped copy; the shared one
+    // had the same hole — found in round 12 when a 1-query rerun clobbered
+    // the 133-query record)
+    val sharedPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "/root/repo/BENCH_QUERIES.json")
     val sidecar = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "/root/repo/BENCH_QUERIES.json"))
+      if (only.isEmpty) sharedPath
+      else sharedPath.replaceAll("\\.json$", "") + "_partial.json")
     try java.nio.file.Files.write(sidecar, (full + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException => System.err.println(s"[bench] sidecar write failed: $e") }
     // round-stamped copy (judge ask, r9 #5 / r10 #6): the shared path above
