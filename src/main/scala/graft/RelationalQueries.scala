@@ -132,6 +132,28 @@ object RelationalQueries {
           count(lit(1)).as("n_orders"))
     }),
 
+    "q_corr_exact" -> ((s, dir) => {
+      // Pearson correlation from EXACT decimal sums (round 12): the
+      // built-in corr() aggregate is not reproducible across engines (its
+      // running-update order differs per partitioning), but the five-sum
+      // form is — decimal Σx/Σy/Σxy/Σx²/Σy² are order-independent, and
+      // the final double expression is the identical IEEE tree on both
+      // sides. Still ONE partial+final hash aggregate.
+      val x = col("l_quantity").cast("decimal(18,2)")
+      val y = col("l_extendedprice").cast("decimal(18,2)")
+      val d = (c: String) => col(c).cast("double")
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+              (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_profile" -> ((s, dir) => {
       // ANALYZE-style ONE-PASS table profiling (round 12): row count,
       // per-column non-null counts, exact NDVs, numeric and temporal
@@ -439,6 +461,21 @@ object RelationalQueries {
         .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
           col("rnk"), col("drnk"), col("quartile"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    }),
+
+    "q_window_dist" -> ((s, dir) => {
+      // distribution windows (round 12): percent_rank and cume_dist over a
+      // TIE-FREE total order (custkey breaks acctbal ties), so both are
+      // exact rational arithmetic — (rank−1)/(n−1) and rank/n of integer
+      // positions — and the doubles are bit-identical across engines. The
+      // curriculum-bucketing primitive (train on the top X% by score).
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      rd(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
 
     // ── sort / top-k (§2.6) ─────────────────────────────────────────────
@@ -863,6 +900,21 @@ object RelationalQueries {
       """SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
            COUNT(*) AS n_orders FROM orders""",
+    // five exact decimal sums, identical final double tree on both engines
+    "q_corr_exact" ->
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+           (CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+         FROM s ORDER BY l_returnflag""",
     // one-pass profile; timestamps CAST for the µs fixture parity
     "q_profile" ->
       """SELECT COUNT(*) AS n_rows,
@@ -1054,6 +1106,12 @@ object RelationalQueries {
            CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INT) AS drnk,
            CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
          FROM customer ORDER BY c_mktsegment, rnk, c_custkey""",
+    // tie-free order ⇒ (rank−1)/(n−1) and rank/n are exact in both engines
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS pr,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+         FROM customer ORDER BY c_mktsegment, c_custkey""",
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
