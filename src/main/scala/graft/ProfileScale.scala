@@ -72,6 +72,23 @@ object ProfileScale {
       println(s"[scale] wrote $Sf1Dir lineitem+orders")
     }
 
+    if (!new java.io.File(s"$Sf1Dir/customer.parquet").exists()) {
+      // customer scales with the fact side (disjoint custkey spaces);
+      // nation/region are DIMENSIONS — they do not grow with the corpus,
+      // so they are copied as-is (exactly the 100 TB shape: a 25-row dim
+      // against a 10× fact)
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      (0 until 10).map { r =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$Sf1Dir/customer.parquet")
+      Seq("nation", "region").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$Sf1Dir/$t.parquet")
+      }
+      println(s"[scale] wrote $Sf1Dir customer+dims")
+    }
+
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q_dedup_exact", "q_dedup_jaccard", "q_dedup_clusters", "q_dedup_prefix",
         "q_dedup_minhash", "q_dedup_simhash", "q_embed_ann", "q_embed_ivf",

@@ -70,6 +70,18 @@ object ProfileScale100 {
         .write.mode("overwrite").parquet(s"$Sf10Dir/embeddings.parquet")
       println(s"[scale100] wrote $Sf10Dir/embeddings.parquet")
     }
+    if (!new java.io.File(s"$Sf10Dir/orders.parquet").exists()) {
+      // orders at 100×: disjoint orderkey/custkey spaces, ~15M rows — the
+      // CDC/MV tier's fact table (round 12 cdc probe)
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      (0 until Replicas).map { r =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(r * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(r * 1000000L))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$Sf10Dir/orders.parquet")
+      println(s"[scale100] wrote $Sf10Dir/orders.parquet")
+    }
   }
 
   private def time[A](tag: String)(f: => A): A = {
@@ -202,6 +214,21 @@ object ProfileScale100 {
         cut -> rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
       }
       println(s"[scale100] top100 identical across cuts: ${tops.map(_._2).distinct.size == 1}")
+    }
+
+    if (which("cdc")) {
+      // the round-12 CDC/MV/layout tier at 100× (registered queries run
+      // verbatim against the sf10 orders replica set): each is one or two
+      // key-hash exchanges over the fact, so the expectation is ~linear
+      // wall — this probe is the evidence
+      Seq("q_change_feed", "q_incr_agg", "q_partition_overwrite",
+          "q_csv_ingest", "q_orc_roundtrip").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        time(s"$name @sf0.1")(
+          fn(spark, src).write.format("noop").mode("overwrite").save())
+        time(s"$name @sf10 (100x)")(
+          fn(spark, Sf10Dir).write.format("noop").mode("overwrite").save())
+      }
     }
     spark.stop()
   }

@@ -51,6 +51,24 @@ object IngestIO {
       .option("compression", compression)
       .csv(path)
 
+  /** STREAMING JSONL landing — tail a drop directory of (possibly
+    * gzipped) JSONL files and land each micro-batch; the crawl-ingest
+    * front door. Same explicit-schema + corrupt-column posture as the
+    * batch reader: a broken line quarantines, the stream never dies.
+    * Compose with `Streams.parquetSink` (columnar landing),
+    * `Streams.contentDedupStream`/`qualityGateStream` (front-door
+    * filtering), or `Streams.upsertSink` (keyed CDC). */
+  def streamJsonl(spark: SparkSession, dir: String, schema: StructType,
+      corruptCol: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val withCorrupt = corruptCol.map(c =>
+      schema.add(c, org.apache.spark.sql.types.StringType)).getOrElse(schema)
+    val base = spark.readStream.schema(withCorrupt).option("mode", "PERMISSIVE")
+    val withCc = corruptCol.fold(base)(c => base.option("columnNameOfCorruptRecord", c))
+    maxFilesPerTrigger.fold(withCc)(n => withCc.option("maxFilesPerTrigger", n.toString))
+      .json(dir)
+  }
+
   /** ORC — the other columnar lake format; a reference user migrating an
     * ORC warehouse reads it natively, same pushdown/pruning tier as
     * parquet (predicate pushdown + stripe stats). */

@@ -53,6 +53,25 @@ class IngestSpec extends AnyFunSuite {
       df.collect().toSet)
   }
 
+  test("streaming JSONL landing: two micro-batches drain to the batch result, bad lines quarantined") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sjl").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/b0.jsonl"),
+      Seq("""{"id": 1, "text": "one"}""", """broken line""").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/b1.jsonl"),
+      Seq("""{"id": 2, "text": "two"}""", """{"id": 3, "text": "three"}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val stream = IngestIO.streamJsonl(spark, s"$dir/in", schema,
+      corruptCol = Some("_bad"), maxFilesPerTrigger = Some(1))
+    val q = graft.streaming.Streams.parquetSink(stream, s"$dir/out", s"$dir/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val landed = spark.read.parquet(s"$dir/out").collect()
+    assert(landed.count(_.getAs[String]("_bad") == null) == 3)
+    assert(landed.count(_.getAs[String]("_bad") != null) == 1)
+    assert(landed.filter(_.getAs[String]("_bad") == null).map(_.getAs[Long]("id")).sum == 6L)
+  }
+
   test("ORC scan pushes predicates like parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val orders = spark.read.parquet(s"${TestSpark.sf}/orders.parquet")
