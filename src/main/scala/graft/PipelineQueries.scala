@@ -1536,6 +1536,28 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_expectations" -> ((s, dir) => {
+      // data-quality EXPECTATIONS gate (round 12): the check a pipeline
+      // runs before promoting a landed batch. Four scalar rules fold into
+      // ONE aggregate pass (including `price_above_50k`, planted to FAIL
+      // so the violation counting itself is gated); key uniqueness is a
+      // key-grouped aggregate; referential integrity is a broadcast
+      // anti-join against the customer dim. Three plan shapes, one report.
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      val orders = rd(s, dir, "orders")
+      val scalar = Expectations.check(orders, Seq(
+        Rule("orderkey_not_null", col("o_orderkey").isNotNull),
+        Rule("price_positive", col("o_totalprice") > 0.0),
+        Rule("priority_in_domain", col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+        Rule("price_above_50k", col("o_totalprice") > 50000.0)))
+      val uniq = Expectations.checkUnique(orders, Seq("o_orderkey"))
+      val refi = Expectations.checkReferential(orders, "o_custkey",
+        rd(s, dir, "customer"), "c_custkey")
+      scalar.unionByName(uniq).unionByName(refi).orderBy(col("rule"))
     }))
 
   // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
@@ -2747,5 +2769,37 @@ object PipelineQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders WHERE o_orderpriority = '1-URGENT'
-         GROUP BY 1 ORDER BY o_orderstatus""")
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    // per-rule violation counts; null predicate counts as a violation
+    "q_expectations" ->
+      """WITH base AS (SELECT COUNT(*) AS n FROM orders),
+         rpt AS (
+           SELECT 'orderkey_not_null' AS rule, n AS n_rows,
+             (SELECT SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) FROM orders) AS n_violations
+           FROM base
+           UNION ALL
+           SELECT 'price_positive', n,
+             (SELECT SUM(CASE WHEN COALESCE(o_totalprice > 0.0, FALSE) THEN 0 ELSE 1 END) FROM orders)
+           FROM base
+           UNION ALL
+           SELECT 'priority_in_domain', n,
+             (SELECT SUM(CASE WHEN o_orderpriority IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 0 ELSE 1 END) FROM orders)
+           FROM base
+           UNION ALL
+           SELECT 'price_above_50k', n,
+             (SELECT SUM(CASE WHEN COALESCE(o_totalprice > 50000.0, FALSE) THEN 0 ELSE 1 END) FROM orders)
+           FROM base
+           UNION ALL
+           SELECT 'unique_key', n,
+             (SELECT SUM(k - 1) FROM (SELECT COUNT(*) AS k FROM orders GROUP BY o_orderkey))
+           FROM base
+           UNION ALL
+           SELECT 'referential', n,
+             (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+           FROM base)
+         SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS pass
+         FROM rpt ORDER BY rule""")
 }
