@@ -20,6 +20,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      // an empty/whitespace filter (CI templating slip) would select ZERO
+      // queries and print a success-looking zero-total JSON — fail fast
+      // like an unknown name does (round-12 review)
+      if (names.isEmpty) {
+        System.err.println(
+          "[bench] SPARK_GRAFT_BENCH_QUERIES is set but empty — unset it for the full battery")
+        sys.exit(2)
+      }
       val unknown = names.diff(SparkEntry.queries.keySet)
       if (unknown.nonEmpty) {
         System.err.println(

@@ -25,6 +25,8 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
+      require(names.nonEmpty,
+        "SPARK_GRAFT_VERIFY_QUERIES is set but empty — unset it to dump the full battery")
       val unknown = names.diff(SparkEntry.queries.keySet)
       require(unknown.isEmpty,
         s"unknown query names in SPARK_GRAFT_VERIFY_QUERIES: ${unknown.toSeq.sorted.mkString(", ")}")

@@ -26,13 +26,23 @@ object Expectations {
     * checking 50 rules costs the same scan as checking one. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Expectations.check needs at least one rule")
-    val aggs = Seq(count(lit(1)).as("__n")) ++ rules.map(r =>
-      sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L)).as(s"__v_${r.name}"))
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).diff(rules.map(_.name).distinct).mkString(", ")}")
+    // violation columns are referenced POSITIONALLY (not by interpolated
+    // name), so rule names are free text — dots, spaces, anything
+    // (round-12 review); coalesce makes an EMPTY batch a vacuous PASS
+    // (sum over zero rows is null, and null pass would fail a valid
+    // empty batch's gate)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ rules.zipWithIndex.map { case (r, i) =>
+      coalesce(sum(when(coalesce(r.pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v_$i")
+    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // melt to the report shape: (rule, n_rows, n_violations, pass)
-    val stacked = rules.map(r =>
+    val stacked = rules.zipWithIndex.map { case (r, i) =>
       struct(lit(r.name).as("rule"), col("__n").as("n_rows"),
-        col(s"__v_${r.name}").as("n_violations")))
+        col(s"__v_$i").as("n_violations"))
+    }
     wide.select(explode(array(stacked: _*)).as("r"))
       .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"),
         (col("r.n_violations") === 0L).as("pass"))
@@ -44,8 +54,8 @@ object Expectations {
       name: String = "unique_key"): DataFrame = {
     require(keyCols.nonEmpty, "checkUnique needs at least one key column")
     df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__k"))
-      .agg(sum(col("__k")).as("n_rows"),
-        sum(col("__k") - 1L).as("n_violations"))
+      .agg(coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("__k") - 1L), lit(0L)).as("n_violations"))
       .select(lit(name).as("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations") === 0L).as("pass"))
   }

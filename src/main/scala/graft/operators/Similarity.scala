@@ -121,52 +121,52 @@ object Similarity {
 
   /** The sketch-stage candidate relation (id_a, id_b) of [[annPairs]]. */
   private def sketchCandidates(emb: DataFrame, idCol: String, vecCol: String,
-      bits: Int, minEstCos: Double, seed: Long, numBlocks: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val words = bits / 64
-    // the sketch table is SPILLED before the block-pair replication: left
-    // inline, the O(bits·dim) graft_simsig expression lands below the
-    // replicating join and its inferred isnotnull filter, and executes
-    // ~2·numBlocks× per vector (measured round 6: 6.6 s vs 2.0 s for
-    // q_embed_ann at sf0.1 — the sig recomputation, not the shuffle, was
-    // the whole round-5 "block-matrix regression"). Writing sketches once
-    // is also the 100 TB shape: the quadratic stage re-reads 72 B/row
-    // instead of re-deriving 512 projections per replica.
-    val sigs = Materialize.viaParquet(
-      emb.select(col(idCol).as("id"),
-        GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("p")),
-      "ann_sigs")
-    val hamming = (0 until words).map(w =>
-        bit_count(element_at(col("xp"), w + 1).bitwiseXOR(element_at(col("yp"), w + 1))))
-      .reduce(_ + _)
-    blockPairRows(sigs, resolveBlocks(emb, numBlocks))
-      .withColumn("est_cos", cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble)))
+      bits: Int, minEstCos: Double, seed: Long, numBlocks: Int): DataFrame =
+    sketchEstRows(emb, idCol, vecCol, bits, seed, numBlocks, "ann_sigs")
       .filter(col("est_cos") >= minEstCos)
       .select(least(col("xid"), col("yid")).as("id_a"),
         greatest(col("xid"), col("yid")).as("id_b"))
-  }
 
   /** Measurement companion to [[annPairs]] (SCALE.md 100× rehearsal): one
     * quadratic sketch pass binning est-cos into `binWidth` buckets —
     * every `minEstCos` operating point's candidate count from a SINGLE
-    * block-matrix scan, instead of one quadratic run per cut. Returns
+    * block-matrix scan, instead of one quadratic run per cut. Shares
+    * [[sketchEstRows]] with the operator it measures, so it can never
+    * silently measure a different estimator (round-12 review). Returns
     * (bin, pairs) where bin is the inclusive lower est-cos edge. */
   private[graft] def sketchEstHistogram(emb: DataFrame, idCol: String,
       vecCol: String, bits: Int = 512, binWidth: Double = 0.05,
-      seed: Long = 42L, numBlocks: Int = 0): DataFrame = {
+      seed: Long = 42L, numBlocks: Int = 0): DataFrame =
+    sketchEstRows(emb, idCol, vecCol, bits, seed, numBlocks, "ann_hist_sigs")
+      .select((floor(col("est_cos") / lit(binWidth)) * lit(binWidth)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("pairs"))
+
+  /** ONE estimated-cosine block pass — the shared sketch core of
+    * [[sketchCandidates]] and [[sketchEstHistogram]]: (xid, yid, est_cos)
+    * for every unordered pair. The sketch table is SPILLED before the
+    * block-pair replication: left inline, the O(bits·dim) graft_simsig
+    * expression lands below the replicating join and its inferred
+    * isnotnull filter, and executes ~2·numBlocks× per vector (measured
+    * round 6: 6.6 s vs 2.0 s for q_embed_ann at sf0.1 — the sig
+    * recomputation, not the shuffle, was the whole round-5 "block-matrix
+    * regression"). Writing sketches once is also the 100 TB shape: the
+    * quadratic stage re-reads 72 B/row instead of re-deriving 512
+    * projections per replica. */
+  private def sketchEstRows(emb: DataFrame, idCol: String, vecCol: String,
+      bits: Int, seed: Long, numBlocks: Int, tag: String): DataFrame = {
     val spark = emb.sparkSession
     val words = bits / 64
     val sigs = Materialize.viaParquet(
       emb.select(col(idCol).as("id"),
         GraftExtensions.graftSimSig(spark, col(vecCol), bits, seed).as("p")),
-      "ann_hist_sigs")
+      tag)
     val hamming = (0 until words).map(w =>
         bit_count(element_at(col("xp"), w + 1).bitwiseXOR(element_at(col("yp"), w + 1))))
       .reduce(_ + _)
     blockPairRows(sigs, resolveBlocks(emb, numBlocks))
-      .select((floor(cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble))
-        / lit(binWidth)) * lit(binWidth)).as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("pairs"))
+      .withColumn("est_cos",
+        cos(lit(math.Pi) * hamming.cast("double") / lit(bits.toDouble)))
+      .select(col("xid"), col("yid"), col("est_cos"))
   }
 
   /** Shared exact-verification stage: join the candidate relation
@@ -198,47 +198,46 @@ object Similarity {
    * which side of the block pair a vector lands on.
    */
   def exactCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      minCos: Double = -1.0, numBlocks: Int = 0): DataFrame = {
+      minCos: Double = -1.0, numBlocks: Int = 0): DataFrame =
+    scoredBlockPairs(emb, idCol, vecCol, numBlocks)
+      .select(least(col("xid"), col("yid")).as("id_a"),
+        greatest(col("xid"), col("yid")).as("id_b"), col("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+
+  /** The DIRECTED exact neighbor relation (id, nbr, cos_sim) — every
+    * unordered pair emitted in both orientations inside the one
+    * block-matrix pass ([[scoredBlockPairs]]), so no all-pairs table is
+    * ever materialized: downstream per-id rank cuts run as
+    * WindowGroupLimit partials directly on the join output. */
+  private def exactNeighborRows(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    scoredBlockPairs(emb, idCol, vecCol, 0)
+      .select(explode(array(
+        struct(col("xid").as("id"), col("yid").as("nbr")),
+        struct(col("yid").as("id"), col("xid").as("nbr")))).as("e"), col("cos_sim"))
+      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("cos_sim"))
+
+  /** ONE scored block-matrix pass — the shared core of the two exact
+    * paths (round-12 review: they had drifted into near-identical
+    * copies): every unordered pair meets exactly once as (xid, yid,
+    * cos_sim). Norms are hoisted and SPILLED per vector (same reason as
+    * annPairs' sketch table: inline, the norm expression slides below
+    * the replicating block join and recomputes per replica); the dot
+    * accumulates by index, so the score is identical whichever side of
+    * the block pair a vector lands on. */
+  private def scoredBlockPairs(emb: DataFrame, idCol: String, vecCol: String,
+      numBlocks: Int): DataFrame = {
     val spark = emb.sparkSession
     val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
-    // spilled for the same reason as annPairs' sketch table: the hoisted
-    // norm must be computed once per VECTOR, not once per block replica —
-    // inline, the norm expression slides below the replicating join
     val rows = Materialize.viaParquet(
       emb.select(col(idCol).as("id"),
         struct(col(vecCol).as("vec"),
           sqrt(gd(col(vecCol), col(vecCol))).as("nrm")).as("p")),
       "pair_vecs")
     blockPairRows(rows, resolveBlocks(emb, numBlocks))
-      .select(least(col("xid"), col("yid")).as("id_a"),
-        greatest(col("xid"), col("yid")).as("id_b"),
+      .select(col("xid"), col("yid"),
         round(gd(col("xp.vec"), col("yp.vec")) /
           (col("xp.nrm") * col("yp.nrm")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= minCos)
-  }
-
-  /** The DIRECTED exact neighbor relation (id, nbr, cos_sim) — every
-    * unordered pair emitted in both orientations inside the one
-    * block-matrix pass ([[exactCosinePairs]] arithmetic, same spilled
-    * per-vector norms), so no all-pairs table is ever materialized:
-    * downstream per-id rank cuts run as WindowGroupLimit partials
-    * directly on the join output. */
-  private def exactNeighborRows(emb: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
-    val spark = emb.sparkSession
-    val gd = GraftExtensions.graftDot(spark, _: Column, _: Column)
-    val rows = Materialize.viaParquet(
-      emb.select(col(idCol).as("id"),
-        struct(col(vecCol).as("vec"),
-          sqrt(gd(col(vecCol), col(vecCol))).as("nrm")).as("p")),
-      "pair_vecs")
-    blockPairRows(rows, resolveBlocks(emb, 0))
-      .withColumn("cos_sim",
-        round(gd(col("xp.vec"), col("yp.vec")) / (col("xp.nrm") * col("yp.nrm")), 4))
-      .select(explode(array(
-        struct(col("xid").as("id"), col("yid").as("nbr")),
-        struct(col("yid").as("id"), col("xid").as("nbr")))).as("e"), col("cos_sim"))
-      .select(col("e.id").as("id"), col("e.nbr").as("nbr"), col("cos_sim"))
   }
 
   /**
@@ -582,7 +581,8 @@ object Similarity {
     * returned as the spilled (id, cl, cr) product relation (nAssign²
     * rows per vector). One scoring pass + one window serve both halves. */
   private def assignHalfProduct(df: DataFrame, idCol: String, vecCol: String,
-      half: Int, dim: Int, cents: DataFrame, nAssign: Int, tag: String): DataFrame = {
+      half: Int, dim: Int, cents: DataFrame, nAssign: Int, tag: String,
+      spill: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val scored = vecHalves(df, idCol, vecCol, half, dim)
       .join(broadcast(halfCentroidArrays(cents)), "h")
@@ -592,10 +592,14 @@ object Similarity {
     val w = Window.partitionBy(col("id"), col("h")).orderBy(col("dist"), col("cell"))
     val topn = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nAssign).select(col("id"), col("h"), col("cell"))
-    Materialize.viaParquet(
-      topn.filter(col("h") === 0).select(col("id"), col("cell").as("cl"))
-        .join(topn.filter(col("h") === 1).select(col("id"), col("cell").as("cr")), "id"),
-      tag)
+    val product = topn.filter(col("h") === 0).select(col("id"), col("cell").as("cl"))
+      .join(topn.filter(col("h") === 1).select(col("id"), col("cell").as("cr")), "id")
+    // spill when the product is consumed repeatedly (imiCandidates
+    // self-joins it; the corpus index is read every batch) — but a
+    // MICRO-BATCH assignment feeds exactly one join, and a per-batch
+    // parquet round-trip on the streaming hot path is pure latency
+    // (round-12 review): the caller picks
+    if (spill) Materialize.viaParquet(product, tag) else product
   }
 
   /**
@@ -661,7 +665,7 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val spark = batch.sparkSession
     val batProduct = assignHalfProduct(batch, idCol, vecCol, index.half,
-      index.dim, index.cents, index.nAssign, "inc_bat_cells")
+      index.dim, index.cents, index.nAssign, "inc_bat_cells", spill = false)
     val cands = batProduct.as("q").join(index.corpusCells.as("c"), Seq("cl", "cr"))
       .filter(col("q.id") =!= col("c.id"))
       .select(col("q.id").as("id"), col("c.id").as("nbr")).distinct()

@@ -241,6 +241,16 @@ object ParquetIO {
     import org.apache.spark.sql.functions.col
     val tmpName = tableName + "__compacting"
     val oldName = tableName + "__old"
+    val catalog = spark.sessionState.catalog
+    def exists(n: String) =
+      catalog.tableExists(spark.sessionState.sqlParser.parseTableIdentifier(n))
+    // crash recovery BEFORE cleanup (round-12 review): if a previous run
+    // died between the two renames, the live generation's only catalog
+    // entry is `tableName__old` — restore it first; dropping it here would
+    // destroy exactly the recovery pointer the rename-rename-drop swap
+    // exists to provide. Only then is a leftover __old truly stale.
+    if (!exists(tableName) && exists(oldName))
+      spark.sql(s"ALTER TABLE $oldName RENAME TO $tableName")
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     spark.sql(s"DROP TABLE IF EXISTS $oldName")
     // Read the old generation as PLAIN parquet, not through the catalog

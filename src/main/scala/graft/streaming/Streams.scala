@@ -328,13 +328,21 @@ object Streams {
       !cur.contains(java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString) &&
         curId.forall(id < _)
     }
-    deletable.map { case (_, path) =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+    deletable.flatMap { case (_, path) =>
+      // a failed delete (open handle, permission) must NOT be reported as
+      // vacuumed: a half-deleted generation still lists, and silently
+      // claiming success would let readGeneration serve a corrupt dir
+      // without any signal (round-12 review)
+      def rm(f: java.io.File): Boolean = {
+        val childrenOk =
+          if (f.isDirectory) f.listFiles().forall(rm) else true
+        childrenOk && f.delete()
       }
-      rm(new java.io.File(path))
-      path
+      if (rm(new java.io.File(path))) Some(path)
+      else {
+        System.err.println(s"[vacuum] FAILED to fully delete $path — generation left partially present")
+        None
+      }
     }
   }
 

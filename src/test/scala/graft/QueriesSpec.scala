@@ -133,7 +133,8 @@ class PlanAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
     "q_events_gapfill" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast span onto the |series| list
     "q_token_pmi" -> Seq("BroadcastNestedLoopJoin"),   // two 1-row broadcast totals (N1, N2)
     "q_source_mix" -> Seq("BroadcastNestedLoopJoin"),  // 1-row broadcast corpus token total
-    "q_compact_zorder" -> Seq("BroadcastNestedLoopJoin")) // 1-row broadcast per-key min/max bounds (withZValue)
+    "q_compact_zorder" -> Seq("BroadcastNestedLoopJoin"), // 1-row broadcast per-key min/max bounds (withZValue)
+    "q_expectations" -> Seq("BroadcastNestedLoopJoin")) // 1-row × 1-row cross join (total count × orphan count in checkReferential)
   // q_embed_pairs / q_embed_ann carry NO exemption since round 6: both
   // enumerate pairs with the block-matrix self-join (no full-table
   // broadcast) — a BNLJ reappearing there must fail this audit
