@@ -1279,7 +1279,7 @@ object PipelineQueries {
     "q_upsert" -> ((s, dir) => {
       // MERGE-INTO lifecycle, oracle-gated (round 11): base = orders at
       // version 0; updates = every 10th order re-priced at version 1 plus
-      // a batch of NEW orders under shifted keys. ParquetIO.upsert keeps
+      // a batch of NEW orders under NEGATED keys (collision-proof in any positive key space — the 10x replica fixture collides with additive shifts). ParquetIO.upsert keeps
       // latest-wins per key and writes a compacted generation; reading it
       // back and aggregating proves per-key survivor selection against
       // the oracle's reconstruction. Everything rides ONE key-hash
@@ -1292,7 +1292,7 @@ object PipelineQueries {
       val repriced = orders.filter(col("o_orderkey") % 10 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       val inserted = orders.filter(col("o_orderkey") % 10 === 1)
-        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1L)
       repriced.unionByName(inserted).withColumn("version", lit(1L))
         .write.parquet(s"$tmp/upd")
       ParquetIO.upsert(s, Seq(s"$tmp/base"), Seq(s"$tmp/upd"), s"$tmp/out",
@@ -1308,7 +1308,7 @@ object PipelineQueries {
       // FULL CDC MERGE lifecycle (round 12): q_upsert's base/update fixture
       // plus an op column — every 10th order (% 10 = 5) arrives as a
       // version-1 DELETE tombstone, repriced (% 10 = 0) and inserted
-      // (% 10 = 1, shifted keys) rows as version-1 upserts. Latest-wins
+      // (% 10 = 1, negated keys) rows as version-1 upserts. Latest-wins
       // winner selection is unchanged; a winning tombstone DROPS its key
       // (WHEN MATCHED THEN DELETE), so replaying a delete-bearing CDC
       // stream cannot resurrect rows. The oracle reconstructs the table
@@ -1323,7 +1323,7 @@ object PipelineQueries {
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
         .withColumn("op", lit("u"))
       val inserted = orders.filter(col("o_orderkey") % 10 === 1)
-        .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1L)
         .withColumn("op", lit("u"))
       val deleted = orders.filter(col("o_orderkey") % 10 === 5)
         .withColumn("op", lit("d"))
@@ -1438,7 +1438,7 @@ object PipelineQueries {
     "q_change_feed" -> ((s, dir) => {
       // CDC CHANGE FEED (round 12): diff two snapshots of orders — every
       // 10th key repriced (u), every (10k+1)th deleted (d), (10k+2)th
-      // re-inserted under shifted keys (i); unchanged keys are DROPPED.
+      // re-inserted under negated keys (i); unchanged keys are DROPPED.
       // ParquetIO.changeFeed derives the delta from plain snapshots (one
       // full-outer key join + null-safe struct compare), so any two
       // upsertSink generations become a replayable changelog. The oracle
@@ -1451,7 +1451,7 @@ object PipelineQueries {
           when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0)
             .otherwise(col("o_totalprice")))
         .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
-          .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+          .withColumn("o_orderkey", -col("o_orderkey") - 1L))
       ParquetIO.changeFeed(orders, newSnap, Seq("o_orderkey"))
         .select(col("o_orderkey"), col("op"), col("o_custkey"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
@@ -2638,7 +2638,7 @@ object PipelineQueries {
              CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
            FROM orders
            UNION ALL
-           SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 1
            FROM orders WHERE o_orderkey % 10 = 1)
          SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
@@ -2654,7 +2654,7 @@ object PipelineQueries {
              CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
            FROM orders WHERE o_orderkey % 10 <> 5
            UNION ALL
-           SELECT o_orderkey + 900000000, o_custkey, o_totalprice, 1
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 1
            FROM orders WHERE o_orderkey % 10 = 1)
          SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
@@ -2741,7 +2741,7 @@ object PipelineQueries {
            SELECT o_orderkey, 'd', o_custkey, o_totalprice
            FROM orders WHERE o_orderkey % 10 = 1
            UNION ALL
-           SELECT o_orderkey + 900000000, 'i', o_custkey, o_totalprice
+           SELECT -o_orderkey - 1, 'i', o_custkey, o_totalprice
            FROM orders WHERE o_orderkey % 10 = 2)
          SELECT o_orderkey, op, o_custkey,
            CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice

@@ -148,9 +148,13 @@ object RelationalQueries {
           sum(x).as("sx"), sum(y).as("sy"),
           sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
         .select(col("l_returnflag"), col("n"),
-          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+          // rounded to 9 dp: the numerator is a catastrophic cancellation
+          // of ~1e15-scale terms, so the raw ratio can differ by 1 ulp
+          // across engines (DuckDB may fuse the multiply-subtract);
+          // measured at the 10x corpus — sf0.01 agreed bit-for-bit by luck
+          round((d("n") * d("sxy") - d("sx") * d("sy")) /
             sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
-              (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qty_price"))
+              (d("n") * d("syy") - d("sy") * d("sy"))), 9).as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -911,9 +915,9 @@ object RelationalQueries {
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-           (CAST(n AS DOUBLE) * sxy - sx * sy)
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                  * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_price
+                  * (CAST(n AS DOUBLE) * syy - sy * sy)), 9) AS corr_qty_price
          FROM s ORDER BY l_returnflag""",
     // one-pass profile; timestamps CAST for the µs fixture parity
     "q_profile" ->
