@@ -1558,6 +1558,30 @@ object PipelineQueries {
       val refi = Expectations.checkReferential(orders, "o_custkey",
         rd(s, dir, "customer"), "c_custkey")
       scalar.unionByName(uniq).unionByName(refi).orderBy(col("rule"))
+    }),
+
+    "q_text_normalize" -> ((s, dir) => {
+      // unicode NFC canonicalization (round 12): `graft_nfc` — a native
+      // codegen'd Catalyst Expression (java.text.Normalizer, quick-check
+      // fast path) — against DuckDB's nfc_normalize, so engine parity is
+      // pinned on the actual Unicode composition tables. The fixture text
+      // is ASCII (already NFC), so each doc gets a deterministic
+      // DENORMALIZED suffix appended ("e" + combining acute U+0301);
+      // NFC must compose it to "é" (one code point shorter) while the
+      // untouched text round-trips identical. This is ingest hygiene for
+      // every content-addressed op downstream: sha dedup, shingles,
+      // vocabulary, and BPE all see bytes, and mixed composition forms
+      // silently split identical text without this pass.
+      import graft.plans.GraftExtensions
+      val raw = concat(col("text"), lit("e\u0301")) // decomposed: e + combining acute
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        length(raw).as("len_raw"),
+        length(GraftExtensions.graftNfc(s, raw)).as("len_nfc"),
+        substring(GraftExtensions.graftNfc(s, raw), -1, 1).as("last_ch"),
+        (GraftExtensions.graftNfc(s, col("text")) === col("text"))
+          .cast("int").as("ascii_fixed"))
+        .orderBy(col("doc_id"))
     }))
 
   // Morton interleave for the q_compact_zorder oracle: bit b of bucket i
@@ -2801,5 +2825,14 @@ object PipelineQueries {
            FROM base)
          SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
            n_violations = 0 AS pass
-         FROM rpt ORDER BY rule""")
+         FROM rpt ORDER BY rule""",
+    // NFC parity on the real Unicode tables: chr(769) is the combining
+    // acute; composition must shorten by one code point and end in é
+    "q_text_normalize" ->
+      """SELECT doc_id,
+           CAST(length(text || chr(101) || chr(769)) AS INT) AS len_raw,
+           CAST(length(nfc_normalize(text || chr(101) || chr(769))) AS INT) AS len_nfc,
+           right(nfc_normalize(text || chr(101) || chr(769)), 1) AS last_ch,
+           CAST(CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END AS INT) AS ascii_fixed
+         FROM documents ORDER BY doc_id""")
 }

@@ -61,7 +61,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => QuantMergeAgg(es(0))),
     ("graft_quant_q",
       new ExpressionInfo(classOf[QuantQuery].getName, "graft_quant_q"),
-      (es: Seq[Expression]) => QuantQuery(es(0), es(1))))
+      (es: Seq[Expression]) => QuantQuery(es(0), es(1))),
+    ("graft_nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))))
 
   /** Idempotent: make graft_* functions available in `spark`'s registry. */
   def register(spark: SparkSession): Unit =
@@ -82,5 +85,9 @@ object GraftExtensions {
     register(spark)
     call_function("graft_simsig", vec,
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(seed))
+  }
+
+  def graftNfc(spark: SparkSession, s: Column): Column = {
+    register(spark); call_function("graft_nfc", s)
   }
 }
