@@ -507,7 +507,7 @@ object RelationalQueries {
       val a = rd(s, dir, "customer")
         .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
       val b = rd(s, dir, "supplier")
-        .select((col("s_suppkey") + 1000000L).as("id"), col("s_acctbal").as("bal"))
+        .select((-col("s_suppkey") - 1L).as("id"), col("s_acctbal").as("bal")) // strictly negative: collision-proof in any non-negative key space
       a.unionByName(b, allowMissingColumns = true)
         .orderBy(col("id"))
     }),
@@ -1127,7 +1127,7 @@ object RelationalQueries {
     "q_union_byname" ->
       """SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS seg FROM customer
          UNION ALL
-         SELECT s_suppkey + 1000000 AS id, s_acctbal AS bal, CAST(NULL AS VARCHAR) AS seg FROM supplier
+         SELECT -s_suppkey - 1 AS id, s_acctbal AS bal, CAST(NULL AS VARCHAR) AS seg FROM supplier
          ORDER BY id""",
     "q_union_distinct" ->
       """SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nk""",
