@@ -165,6 +165,85 @@ object ParquetIO {
   }
 
   /**
+   * Partition RETENTION (round 12) — drop whole partition directories
+   * whose (string-encoded) partition value sorts strictly below
+   * `cutoff`: the TTL job every date-partitioned 100 TB table runs
+   * nightly. Deleting a partition is a DIRECTORY remove — zero data
+   * read, zero rewrite — which is precisely why retention policies are
+   * expressed on the partition column and not on row predicates (a
+   * row-level delete would be a full-table rewrite). Lexicographic
+   * compare matches ISO dates (`dt=2024-01-31` < `dt=2024-02-01`);
+   * returns the dropped partition values. A partition whose delete
+   * fails midway is NOT reported dropped (same contract as
+   * [[graft.streaming.Streams.vacuumGenerations]]).
+   */
+  def dropPartitionsBelow(path: String, partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"dropPartitionsBelow: $path is not a directory")
+    val prefix = s"$partitionCol="
+    val victims = root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .filter(d => decodePartitionValue(d.getName.stripPrefix(prefix)) < cutoff)
+    victims.flatMap { d =>
+      def rm(f: java.io.File): Boolean = {
+        val ok = if (f.isDirectory) f.listFiles().forall(rm) else true
+        ok && f.delete()
+      }
+      if (rm(d)) Some(decodePartitionValue(d.getName.stripPrefix(prefix)))
+      else {
+        System.err.println(s"[retention] FAILED to fully delete ${d.getPath}")
+        None
+      }
+    }.sorted
+  }
+
+  /** Hive partition-dir values are URL-escaped (space → %20 etc.). */
+  private def decodePartitionValue(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  /**
+   * Fragmented-partition COMPACTION (round 12) — the nightly small-files
+   * job on a partitioned lake: streaming appends leave hot partitions
+   * with hundreds of tiny files, and ONLY those partitions should be
+   * rewritten. Partitions with more than `maxFiles` data files are read
+   * back (partition-pruned scan: untouched partitions contribute zero
+   * I/O), coalesced to sized files, and swapped in via DYNAMIC partition
+   * overwrite — cold partitions keep their bytes. Returns the compacted
+   * partition values. Driver-side directory listing is per-PARTITION
+   * (not per-file-content); at real scale the same listing comes from
+   * the catalog/manifest instead.
+   */
+  def compactFragmentedPartitions(spark: SparkSession, path: String,
+      partitionCol: String, maxFiles: Int = 8,
+      opts: WriteOptions = WriteOptions()): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"compactFragmentedPartitions: $path is not a directory")
+    val prefix = s"$partitionCol="
+    val fragmented = root.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+      .filter(_.listFiles().count(f => f.getName.endsWith(".parquet")) > maxFiles)
+      .map(d => decodePartitionValue(d.getName.stripPrefix(prefix)))
+      .sorted
+    if (fragmented.nonEmpty) {
+      // compare as string: partition-column TYPE is inferred from dir
+      // names (an int-valued partition infers IntegerType), and the
+      // listed values are strings; the cast-only-on-the-partition-column
+      // predicate still prunes directories
+      val hot = spark.read.parquet(path)
+        .filter(col(partitionCol).cast("string").isInCollection(fragmented))
+      // cluster on the partition column: each partition value lands in
+      // ONE writer task ⇒ one sized file per compacted partition
+      // (coalesce(n) would scatter every value across all n tasks)
+      overwritePartitions(
+        hot.repartition(math.max(1, fragmented.size), col(partitionCol)),
+        path, Seq(partitionCol), opts)
+    }
+    fragmented
+  }
+
+  /**
    * Bucketed external table write — the co-located-join layout. Both
    * sides of a recurring large-large equi-join pay their shuffle ONCE,
    * at write time: rows are hash-clustered into `numBuckets` files per

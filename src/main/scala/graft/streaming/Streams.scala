@@ -346,6 +346,43 @@ object Streams {
     }
   }
 
+  /**
+   * Streaming OBSERVABILITY (round 12): a StreamingQueryListener that
+   * collects per-micro-batch progress — batch id, input rows,
+   * processed-rows/sec, state rows, watermark — into a bounded in-memory
+   * buffer the operator can read as a DataFrame. This is the ops
+   * dashboard feed every production stream needs (lag detection, state
+   * growth alarms, watermark stall diagnosis); at scale the same rows
+   * land in a metrics sink instead of memory, but the LISTENER contract
+   * is identical. Remove with `spark.streams.removeListener(l)`.
+   */
+  final class ProgressCollector(maxEntries: Int = 1024)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val buf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double, Long, String)]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val stateRows = Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsTotal).sum
+      val watermark = Option(p.eventTime).map(_.get("watermark")).map(String.valueOf)
+        .getOrElse("")
+      buf.add((p.name, p.batchId, p.numInputRows,
+        p.processedRowsPerSecond, stateRows, watermark))
+      while (buf.size > maxEntries) buf.poll() // bounded: drop oldest
+      ()
+    }
+    def toDF(spark: SparkSession): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      buf.iterator().asScala.toSeq
+        .toDF("query_name", "batch_id", "input_rows", "rows_per_sec",
+          "state_rows", "watermark")
+    }
+  }
+
   /** Drive a streaming DF to completion against a memory sink (local smoke:
     * a batch of parquet fully drains through the streaming engine). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

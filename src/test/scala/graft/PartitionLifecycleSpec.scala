@@ -1,0 +1,96 @@
+package graft
+
+import graft.sources.ParquetIO
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition lifecycle: date-cutoff retention drops whole directories
+  * without reading data; fragmented-partition compaction rewrites ONLY
+  * the hot partitions (cold partitions keep their exact bytes) and
+  * collapses each to one sized file. Plus the streaming progress
+  * listener's observability contract. */
+class PartitionLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def partDirs(root: String): Map[String, Int] =
+    new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+    }.toMap
+
+  test("dropPartitionsBelow removes only partitions sorting below the cutoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl").toString + "/t"
+    val rows = Seq(
+      ("2024-01-30", 1L), ("2024-01-31", 2L), ("2024-02-01", 3L),
+      ("2024-02-02", 4L)).flatMap { case (dt, base) =>
+      (1L to 5L).map(i => (dt, base * 100 + i))
+    }.toDF("dt", "v")
+    ParquetIO.writePartitioned(rows, dir, Seq("dt"))
+    val dropped = ParquetIO.dropPartitionsBelow(dir, "dt", "2024-02-01")
+    assert(dropped == Seq("2024-01-30", "2024-01-31"))
+    val back = spark.read.parquet(dir)
+    assert(back.select("dt").distinct().as[String].collect().sorted.toSeq ==
+      Seq("2024-02-01", "2024-02-02"))
+    assert(back.count() == 10)
+  }
+
+  test("compactFragmentedPartitions rewrites only hot partitions, cold bytes untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frag").toString + "/t"
+    val base = (1L to 40L).map(i => (s"p${i % 4}", i)).toDF("pc", "v")
+    ParquetIO.writePartitioned(base, dir, Seq("pc"))
+    // fragment partitions p0 and p1 with ten 1-row appends each
+    for (i <- 100L to 109L) {
+      Seq(("p0", i)).toDF("pc", "v").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+      Seq(("p1", i + 50)).toDF("pc", "v").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+    }
+    val before = partDirs(dir)
+    assert(before("pc=p0") > 8 && before("pc=p1") > 8)
+    val coldFiles = new java.io.File(s"$dir/pc=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getName}@${f.lastModified}").toSet
+    val totalBefore = spark.read.parquet(dir).count()
+
+    val compacted = ParquetIO.compactFragmentedPartitions(spark, dir, "pc", maxFiles = 8)
+    assert(compacted == Seq("p0", "p1"))
+    val after = partDirs(dir)
+    assert(after("pc=p0") == 1 && after("pc=p1") == 1, s"after=$after")
+    // cold partitions keep byte-identical files
+    val coldAfter = new java.io.File(s"$dir/pc=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => s"${f.getName}@${f.lastModified}").toSet
+    assert(coldAfter == coldFiles)
+    // no rows lost anywhere
+    assert(spark.read.parquet(dir).count() == totalBefore)
+    // idempotent: nothing left to compact
+    assert(ParquetIO.compactFragmentedPartitions(spark, dir, "pc", maxFiles = 8).isEmpty)
+  }
+
+  test("progress listener captures per-batch rows and bounded state") {
+    val collector = new graft.streaming.Streams.ProgressCollector()
+    spark.streams.addListener(collector)
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-obs").toString
+      (1L to 30L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .coalesce(1).write.parquet(s"$base/in/f0")
+      (31L to 50L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .coalesce(1).write.parquet(s"$base/in/f1")
+      val schema = spark.read.parquet(s"$base/in/f0").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+      val q = stream.writeStream.format("memory").queryName("obs_q")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are async — wait for the bus to drain
+      var tries = 0
+      def rows() = collector.toDF(spark)
+      while (tries < 50 && rows().agg(sum(col("input_rows"))).collect()(0).isNullAt(0)) {
+        Thread.sleep(100); tries += 1
+      }
+      val progress = rows().filter(col("input_rows") > 0)
+      assert(progress.agg(sum(col("input_rows"))).collect()(0).getLong(0) == 50L)
+      assert(progress.select("batch_id").distinct().count() >= 2)
+    } finally spark.streams.removeListener(collector)
+  }
+}
