@@ -48,6 +48,19 @@ object Expectations {
         (col("r.n_violations") === 0L).as("pass"))
   }
 
+  /** Row-level QUARANTINE split on the same rules as [[check]]: (good,
+    * bad) — good rows satisfy EVERY rule, bad rows violate at least one
+    * (a null predicate is a violation). The enforcement half of the
+    * expectations gate: promote `good` to the lake, land `bad` in the
+    * quarantine table with the report from [[check]] as its context.
+    * Both frames are plain filters over the batch — no extra pass, no
+    * shuffle. */
+  def quarantine(df: DataFrame, rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    require(rules.nonEmpty, "Expectations.quarantine needs at least one rule")
+    val allPass = rules.map(r => coalesce(r.pred, lit(false))).reduce(_ && _)
+    (df.filter(allPass), df.filter(!allPass))
+  }
+
   /** Key-uniqueness expectation: violations = rows beyond the first per
     * key (so a key seen k times contributes k−1). One key-hash aggregate. */
   def checkUnique(df: DataFrame, keyCols: Seq[String],

@@ -35,13 +35,22 @@ object IngestIO {
   def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
 
-  /** CSV with explicit schema; header on by default (vendor-file reality). */
+  /** CSV with explicit schema; header on by default (vendor-file
+    * reality). Same PERMISSIVE + corrupt-column posture as
+    * [[readJsonl]]: a malformed line (wrong column count, unparseable
+    * type) quarantines instead of killing the landing job. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true, delimiter: String = ","): DataFrame =
-    spark.read.schema(schema)
+      header: Boolean = true, delimiter: String = ",",
+      corruptCol: Option[String] = None): DataFrame = {
+    val withCorrupt = corruptCol.map(c =>
+      schema.add(c, org.apache.spark.sql.types.StringType)).getOrElse(schema)
+    val r = spark.read.schema(withCorrupt)
       .option("header", header.toString).option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    corruptCol.fold(r)(c => r.option("columnNameOfCorruptRecord", c))
       .csv(path)
+  }
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       compression: String = "gzip"): Unit =

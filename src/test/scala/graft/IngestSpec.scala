@@ -53,6 +53,24 @@ class IngestSpec extends AnyFunSuite {
       df.collect().toSet)
   }
 
+  test("PERMISSIVE CSV: malformed lines land in the corrupt column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvq").toString
+    val lines = Seq(
+      "id,x",
+      "1,1.5",
+      "2,not_a_number",
+      "3,3.5")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/f.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
+    val rows = IngestIO.readCsv(spark, s"$dir/f.csv", schema,
+      corruptCol = Some("_bad")).collect()
+    val (bad, good) = rows.partition(r => r.getAs[String]("_bad") != null)
+    assert(good.length == 2 && bad.length == 1)
+    assert(bad.head.getAs[String]("_bad").contains("not_a_number"))
+  }
+
   test("streaming JSONL landing: two micro-batches drain to the batch result, bad lines quarantined") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sjl").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))

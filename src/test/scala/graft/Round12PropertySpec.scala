@@ -85,6 +85,22 @@ class Round12PropertySpec extends AnyFunSuite {
     assert(m1.size == 6)
   }
 
+  test("quarantine partitions the batch consistently with the report") {
+    val df = (1L to 200L).map(k => (k, if (k % 7 == 0) -1.0 else k * 1.0)).toDF("k", "x")
+    val rules = Seq(
+      Expectations.Rule("x_positive", col("x") > 0.0),
+      Expectations.Rule("k_below_190", col("k") < 190L))
+    val (good, bad) = Expectations.quarantine(df, rules)
+    assert(good.count() + bad.count() == df.count())
+    // good satisfies every rule; bad violates at least one
+    assert(good.filter(!(col("x") > 0.0) || !(col("k") < 190L)).count() == 0)
+    assert(bad.filter(col("x") > 0.0 && col("k") < 190L).count() == 0)
+    // the report's per-rule counts bound the quarantine size
+    val report = Expectations.check(df, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(bad.count() <= report.values.sum && bad.count() >= report.values.max)
+  }
+
   test("expectations violation counts equal direct filter counts") {
     val df = (1L to 300L).map(k => (k, k * 1.5)).toDF("k", "x")
     for (seed <- 1L to 3L) {
