@@ -508,6 +508,44 @@ class SkewSpec extends AnyFunSuite {
       .saltedJoin(li, sup, "l_suppkey", salts = 8, spreadCol = "l_orderkey").count()
     assert(salted == plain && plain == 6000L)
   }
+
+  test("AQE splits a skewed sort-merge-join partition at runtime (skew=true)") {
+    // the RUNTIME complement to salting (round 12): salting rewrites the
+    // plan ahead of time; AQE detects the skewed shuffle partition from
+    // actual map output sizes and splits it, no code change. Thresholds
+    // forced low so the planted 90%-one-key skew trips detection at
+    // fixture scale; production keeps the defaults and the same machinery
+    // engages at real skew. The join must NOT be broadcast (SMJ only) and
+    // the result must be unchanged.
+    import spark.implicits._
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 90k rows on ONE key + 100 on each of 100 others vs a 101-key dim
+      val fact = ((1L to 90000L).map(i => (7L, i)) ++
+        (1L to 10000L).map(i => (i % 100 + 100L, i))).toDF("k", "v")
+      val dim = (Seq(7L) ++ (100L until 200L)).map(k => (k, s"d$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // execute THIS frame's plan (count() would build a separate query
+      // execution and the adaptive final plan would never materialize
+      // on `joined`), then read the post-AQE physical plan back
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ side:\n$finalPlan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
 
 class VectorAvgAggregatorSpec extends AnyFunSuite {
