@@ -1560,6 +1560,30 @@ object PipelineQueries {
       scalar.unionByName(uniq).unionByName(refi).orderBy(col("rule"))
     }),
 
+    "q_quarantine" -> ((s, dir) => {
+      // the ENFORCEMENT half of the expectations gate (round 12):
+      // Expectations.quarantine splits the batch into promote/quarantine
+      // on the same rules q_expectations reports on — good rows satisfy
+      // EVERY rule, bad rows violate at least one (null predicate =
+      // violation). Both sides are plain filters (no extra pass); the
+      // gate aggregates each side per priority so the split line itself
+      // is oracle-checked, not just the counts.
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val (good, bad) = Expectations.quarantine(orders, Seq(
+        Rule("price_above_1k", col("o_totalprice") > 1000.0),
+        Rule("urgent_or_high",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH"))))
+      good.withColumn("side", lit("good"))
+        .unionByName(bad.withColumn("side", lit("bad")))
+        .groupBy(col("side"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("side"), col("o_orderpriority"))
+    }),
+
     "q_text_normalize" -> ((s, dir) => {
       // unicode NFC canonicalization (round 12): `graft_nfc` — a native
       // codegen'd Catalyst Expression (java.text.Normalizer, quick-check
@@ -2826,6 +2850,18 @@ object PipelineQueries {
          SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
            n_violations = 0 AS pass
          FROM rpt ORDER BY rule""",
+    // the quarantine split line reproduced in SQL: good = every rule
+    // holds (null-safe), bad = anything else
+    "q_quarantine" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice, o_orderpriority,
+             CASE WHEN COALESCE(o_totalprice > 1000.0, FALSE)
+                   AND COALESCE(o_orderpriority IN ('1-URGENT','2-HIGH'), FALSE)
+               THEN 'good' ELSE 'bad' END AS side
+           FROM orders)
+         SELECT side, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM t GROUP BY 1, 2 ORDER BY side, o_orderpriority""",
     // NFC parity on the real Unicode tables: chr(769) is the combining
     // acute; composition must shorten by one code point and end in é
     "q_text_normalize" ->
