@@ -1603,7 +1603,10 @@ object PipelineQueries {
         length(raw).as("len_raw"),
         length(GraftExtensions.graftNfc(s, raw)).as("len_nfc"),
         substring(GraftExtensions.graftNfc(s, raw), -1, 1).as("last_ch"),
-        (GraftExtensions.graftNfc(s, col("text")) === col("text"))
+        // null-safe on BOTH engines: <=> ≡ IS NOT DISTINCT FROM, so a
+        // null text scores 1 (normalized(null) is null) instead of
+        // diverging NULL-vs-0 across engines (r12 review)
+        (GraftExtensions.graftNfc(s, col("text")) <=> col("text"))
           .cast("int").as("ascii_fixed"))
         .orderBy(col("doc_id"))
     }))
@@ -2869,6 +2872,6 @@ object PipelineQueries {
            CAST(length(text || chr(101) || chr(769)) AS INT) AS len_raw,
            CAST(length(nfc_normalize(text || chr(101) || chr(769))) AS INT) AS len_nfc,
            right(nfc_normalize(text || chr(101) || chr(769)), 1) AS last_ch,
-           CAST(CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END AS INT) AS ascii_fixed
+           CAST(CASE WHEN nfc_normalize(text) IS NOT DISTINCT FROM text THEN 1 ELSE 0 END AS INT) AS ascii_fixed
          FROM documents ORDER BY doc_id""")
 }

@@ -88,21 +88,26 @@ object ProfileScale {
       }
       println(s"[scale] wrote $Sf1Dir customer+dims")
     }
+    // supplier/part scale with SF in TPC-H; replicas with disjoint key
+    // spaces (lineitem's l_suppkey/l_partkey still reference replica 0 —
+    // fine for ORACLE-PARITY runs, where both engines see the same data).
+    // Each table guards on ITS OWN artifact (r12 review: a crash between
+    // the two writes must not leave part.parquet permanently missing).
     if (!new java.io.File(s"$Sf1Dir/supplier.parquet").exists()) {
-      // supplier/part scale with SF in TPC-H; replicas with disjoint key
-      // spaces (lineitem's l_suppkey/l_partkey still reference replica 0 —
-      // fine for ORACLE-PARITY runs, where both engines see the same data)
       val sup = spark.read.parquet(s"$src/supplier.parquet")
       (0 until 10).map { r =>
         sup.withColumn("s_suppkey", col("s_suppkey") + lit(r * 1000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$Sf1Dir/supplier.parquet")
+      println(s"[scale] wrote $Sf1Dir/supplier.parquet")
+    }
+    if (!new java.io.File(s"$Sf1Dir/part.parquet").exists()) {
       val part = spark.read.parquet(s"$src/part.parquet")
       (0 until 10).map { r =>
         part.withColumn("p_partkey", col("p_partkey") + lit(r * 1000000L))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$Sf1Dir/part.parquet")
-      println(s"[scale] wrote $Sf1Dir supplier+part")
+      println(s"[scale] wrote $Sf1Dir/part.parquet")
     }
 
     val names = if (args.nonEmpty) args.toSeq

@@ -198,9 +198,25 @@ object ParquetIO {
     }.sorted
   }
 
-  /** Hive partition-dir values are URL-escaped (space → %20 etc.). */
-  private def decodePartitionValue(v: String): String =
-    java.net.URLDecoder.decode(v, "UTF-8")
+  /** Hive partition-dir values are %XX-escaped (space → %20 etc.) by
+    * `escapePathName` — which, unlike URL encoding, leaves '+' LITERAL.
+    * java.net.URLDecoder would decode '+' as a space and mangle any
+    * value containing one (round-12 review), so only %XX sequences are
+    * unescaped here, the exact inverse of the writer's escaping. */
+  private def decodePartitionValue(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          Character.digit(v.charAt(i + 1), 16) >= 0 &&
+          Character.digit(v.charAt(i + 2), 16) >= 0) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /**
    * Fragmented-partition COMPACTION (round 12) — the nightly small-files
@@ -221,26 +237,31 @@ object ParquetIO {
     val root = new java.io.File(path)
     require(root.isDirectory, s"compactFragmentedPartitions: $path is not a directory")
     val prefix = s"$partitionCol="
-    val fragmented = root.listFiles().toSeq
+    val fragmentedDirs = root.listFiles().toSeq
       .filter(d => d.isDirectory && d.getName.startsWith(prefix))
       .filter(_.listFiles().count(f => f.getName.endsWith(".parquet")) > maxFiles)
-      .map(d => decodePartitionValue(d.getName.stripPrefix(prefix)))
-      .sorted
-    if (fragmented.nonEmpty) {
-      // compare as string: partition-column TYPE is inferred from dir
-      // names (an int-valued partition infers IntegerType), and the
-      // listed values are strings; the cast-only-on-the-partition-column
-      // predicate still prunes directories
-      val hot = spark.read.parquet(path)
-        .filter(col(partitionCol).cast("string").isInCollection(fragmented))
+      .sortBy(_.getName)
+    if (fragmentedDirs.nonEmpty) {
+      // read ONLY the fragmented directories (no value matching at all —
+      // round-12 review: matching decoded dir names against the
+      // type-INFERRED partition column silently misses values that don't
+      // round-trip inference, e.g. zero-padded ints), with an explicit
+      // schema that keeps the partition column a STRING so the rewrite
+      // emits byte-identical directory names
+      val dataSchema = spark.read
+        .parquet(fragmentedDirs.head.getPath).schema
+      val hot = spark.read
+        .schema(dataSchema.add(partitionCol, org.apache.spark.sql.types.StringType))
+        .option("basePath", path)
+        .parquet(fragmentedDirs.map(_.getPath): _*)
       // cluster on the partition column: each partition value lands in
       // ONE writer task ⇒ one sized file per compacted partition
       // (coalesce(n) would scatter every value across all n tasks)
       overwritePartitions(
-        hot.repartition(math.max(1, fragmented.size), col(partitionCol)),
+        hot.repartition(math.max(1, fragmentedDirs.size), col(partitionCol)),
         path, Seq(partitionCol), opts)
     }
-    fragmented
+    fragmentedDirs.map(d => decodePartitionValue(d.getName.stripPrefix(prefix)))
   }
 
   /**

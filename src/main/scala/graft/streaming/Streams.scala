@@ -367,8 +367,11 @@ object Streams {
       val p = e.progress
       val stateRows = Option(p.stateOperators).toSeq.flatten
         .map(_.numRowsTotal).sum
-      val watermark = Option(p.eventTime).map(_.get("watermark")).map(String.valueOf)
-        .getOrElse("")
+      // flatMap over the LOOKED-UP value: a query with no event-time
+      // watermark has an empty map, and wrapping the map (not the value)
+      // would yield Some(null) → the literal string "null" (r12 review)
+      val watermark = Option(p.eventTime)
+        .flatMap(m => Option(m.get("watermark"))).getOrElse("")
       buf.add((p.name, p.batchId, p.numInputRows,
         p.processedRowsPerSecond, stateRows, watermark))
       while (buf.size > maxEntries) buf.poll() // bounded: drop oldest

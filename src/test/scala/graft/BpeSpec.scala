@@ -47,6 +47,16 @@ class BpeSpec extends AnyFunSuite {
       Seq("n", "e", "w", "est" + Bpe.EndOfWord)))  // n-e-w never merged (max was 6 < cutoff reached)
   }
 
+  test("learns from the real documents fixture, deterministically") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").select("text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 8)
+    assert(merges.map(_._1) == (0 until 8))
+    // every learned merge's parts are non-empty and the result re-derives
+    // bit-identically (distributed argmax is deterministic on real text)
+    assert(merges.forall { case (_, a, b) => a.nonEmpty && b.nonEmpty })
+    assert(merges == Bpe.learnMerges(docs, "text", numMerges = 8))
+  }
+
   test("training exhausts gracefully when no pairs remain") {
     val tiny = Seq("a a a").toDF("text") // single char + </w>: one possible merge
     val merges = Bpe.learnMerges(tiny, "text", numMerges = 10)

@@ -67,6 +67,27 @@ class PartitionLifecycleSpec extends AnyFunSuite {
     assert(ParquetIO.compactFragmentedPartitions(spark, dir, "pc", maxFiles = 8).isEmpty)
   }
 
+  test("compaction handles partition values that don't round-trip type inference") {
+    // zero-padded hour partitions: inference would parse "00" as int 0
+    // and a cast-to-string match (or a typed rewrite) would miss /
+    // rename the directory — the r12 review scenario, locked in
+    val dir = java.nio.file.Files.createTempDirectory("graft-zp").toString + "/t"
+    val base = Seq(("00", 1L), ("00", 2L), ("07", 3L), ("12", 4L)).toDF("hh", "v")
+    ParquetIO.writePartitioned(base, dir, Seq("hh"))
+    for (i <- 10L to 19L)
+      Seq(("00", i)).toDF("hh", "v").coalesce(1)
+        .write.mode("append").partitionBy("hh").parquet(dir)
+    assert(partDirs(dir)("hh=00") > 8)
+    val compacted = ParquetIO.compactFragmentedPartitions(spark, dir, "hh", maxFiles = 8)
+    assert(compacted == Seq("00"))
+    val after = partDirs(dir)
+    assert(after("hh=00") == 1, s"after=$after") // same dir NAME, one file
+    assert(!after.contains("hh=0"), "must not have written a renamed hh=0 dir")
+    assert(spark.read.parquet(dir).count() == 14)
+    // second run: nothing fragmented
+    assert(ParquetIO.compactFragmentedPartitions(spark, dir, "hh", maxFiles = 8).isEmpty)
+  }
+
   test("progress listener captures per-batch rows and bounded state") {
     val collector = new graft.streaming.Streams.ProgressCollector()
     spark.streams.addListener(collector)
