@@ -1560,6 +1560,27 @@ object PipelineQueries {
       scalar.unionByName(uniq).unionByName(refi).orderBy(col("rule"))
     }),
 
+    "q_retention" -> ((s, dir) => {
+      // partition TTL, oracle-gated (round 12): orders land partitioned by
+      // month (80 directories), then ParquetIO.dropPartitionsBelow removes
+      // every month before 1998-01 — whole-directory deletes, zero data
+      // read, the nightly retention job of any date-partitioned 100 TB
+      // table. The read-back rollup proves exactly the sub-cutoff months
+      // are gone and every surviving month's rows are untouched; the
+      // oracle is the same rollup with a WHERE on the raw table.
+      import graft.sources.ParquetIO
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val orders = rd(s, dir, "orders")
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      ParquetIO.writePartitioned(orders, s"$tmp/t", Seq("month"))
+      ParquetIO.dropPartitionsBelow(s"$tmp/t", "month", "1998-01")
+      s.read.parquet(s"$tmp/t")
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("month"))
+    }),
+
     "q_quarantine" -> ((s, dir) => {
       // the ENFORCEMENT half of the expectations gate (round 12):
       // Expectations.quarantine splits the batch into promote/quarantine
@@ -2853,6 +2874,14 @@ object PipelineQueries {
          SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
            n_violations = 0 AS pass
          FROM rpt ORDER BY rule""",
+    // only months >= the cutoff survive the directory-level TTL
+    "q_retention" ->
+      """SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders
+         WHERE strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') >= '1998-01'
+         GROUP BY 1 ORDER BY month""",
     // the quarantine split line reproduced in SQL: good = every rule
     // holds (null-safe), bad = anything else
     "q_quarantine" ->
