@@ -16,15 +16,20 @@ import org.apache.spark.sql.functions._
  * frequencies (one explode + hash aggregate — the corpus is never touched
  * again, and the vocab is orders of magnitude smaller: Heaps' law, ~1e6–
  * 1e8 distinct words at 100 TB, well inside distributed-aggregate range).
- * Each merge iteration is then two vocab-sized distributed steps:
+ * Each merge ROUND is then two vocab-sized distributed steps:
  * (1) pair counting — explode adjacent token pairs weighted by word
- * frequency, one partial+final hash aggregate; (2) the argmax pair
- * (ONE row) is collected to the driver and folded into every word's
- * token array with a codegen'd `aggregate` higher-order function (greedy
- * left-to-right, exactly the paper's merge semantics). Nothing
- * driver-side ever holds more than the single best pair and the merge
- * table (numMerges rows); the vocab is re-materialized to parquet every
- * [[checkpointEvery]] iterations so plan lineage stays bounded.
+ * frequency, one partial+final hash aggregate; (2) a BATCH of best pairs
+ * (top-`batchSize`+1, a bounded collect) is folded into every word's
+ * token array with codegen'd `aggregate` higher-order functions (greedy
+ * left-to-right, exactly the paper's merge semantics). Batching (round
+ * 13) cuts the sequential driver round-trips from `numMerges` jobs to
+ * `~numMerges/batch` while provably preserving the single-merge table:
+ * a candidate is accepted into a round's batch only when no earlier
+ * accepted merge can have changed its standing (see [[learnMerges]]).
+ * Nothing driver-side ever holds more than `batchSize`+1 pair rows and
+ * the merge table (numMerges rows); the vocab is re-materialized to
+ * parquet every [[learnMerges.checkpointEvery]] merges so plan lineage
+ * stays bounded.
  */
 object Bpe {
 
@@ -32,9 +37,19 @@ object Bpe {
     * from "est" at a word boundary. */
   val EndOfWord = "</w>"
 
+  /** Word segmentation: split on any run of non-letter/non-digit, in the
+    * full UNICODE sense (`\p{L}`/`\p{N}` — identical classes in Java
+    * regex and RE2). The round-12 `[^a-z0-9]+` class silently dropped
+    * every non-ASCII word — the multilingual crawl text this module is
+    * for; Sennrich's algorithm operates on all characters (round-12
+    * advice). Char-splitting is per UTF-16 code unit, so astral-plane
+    * symbols contribute two initial tokens — BPE merges them back like
+    * any other pair, byte-pair style. */
+  private[graft] val SplitPattern = "[^\\p{L}\\p{N}]+"
+
   /** Word vocabulary with frequencies: the ONE corpus-sized pass. */
   def wordVocab(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+    docs.select(explode(split(lower(col(textCol)), SplitPattern)).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
@@ -56,19 +71,55 @@ object Bpe {
    * `(rank, left, right)` — rank 0 first. Ties in pair frequency break
    * deterministically by (left asc, right asc) so the merge table is
    * reproducible across runs and partitionings.
+   *
+   * `batchSize` > 1 accepts several merges per pair-count job. The batch
+   * is a PREFIX of the (count desc, left, right) candidate order, and a
+   * candidate joins it only when the sequential algorithm would provably
+   * still pick it next after applying the batch's earlier merges:
+   * (1) it shares no symbol with any earlier accepted pair — merging
+   *     symbol-disjoint pairs cannot create, destroy, or move an
+   *     occurrence of the candidate, so its count is exactly unchanged;
+   * (2) its count strictly exceeds every pair that DOES share a symbol
+   *     with an accepted pair — those are the only pairs whose counts
+   *     move (they can only decrease), and any NEW pair created by an
+   *     accepted merge (x·ab / ab·y) occurs at most as often as the old
+   *     sharing pair (x·a / b·y) it descends from, so the same strict
+   *     bound covers new pairs and their arbitrary tie-break names;
+   * (3) every earlier accepted merge's SYMBOL is brand new — if `a`+`b`
+   *     concatenates to a string some earlier merge path already
+   *     produced (e.g. "ab"+"c" after "a"+"bc" both spell "abc"), the
+   *     merge INCREASES counts of pairs containing that symbol, which
+   *     (1)/(2) don't bound; such a collision ends the batch.
+   * Pairs outside the collected window are bounded by the (batch+1)-th
+   * count, which is why one extra row is collected. The first conflict
+   * ends the batch (fall-back to singles is automatic: the round's first
+   * candidate — the true argmax — is always accepted). The resulting
+   * table is IDENTICAL to batchSize = 1 on any corpus, not just
+   * empirically; BpeSpec pins the equality on the gate corpus anyway.
    */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 8): Seq[(Int, String, String)] = {
+      checkpointEvery: Int = 8, batchSize: Int = 16): Seq[(Int, String, String)] =
+    learnMergesWithRounds(docs, textCol, numMerges, checkpointEvery, batchSize)._1
+
+  /** [[learnMerges]] plus the number of pair-count jobs it ran — the
+    * measurable batching win (rounds ≪ merges on natural text). */
+  private[graft] def learnMergesWithRounds(docs: DataFrame, textCol: String,
+      numMerges: Int, checkpointEvery: Int = 8, batchSize: Int = 16)
+      : (Seq[(Int, String, String)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var vocab = Materialize.viaParquet(
       wordVocab(docs, textCol).withColumn("toks",
         concat(split(col("w"), ""), array(lit(EndOfWord)))),
       "bpe_vocab")
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     var rank = 0
+    var rounds = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      // adjacent pairs weighted by word frequency; one hash aggregate
-      val best = vocab
+      val want = math.min(batchSize, numMerges - rank)
+      // adjacent pairs weighted by word frequency; one hash aggregate,
+      // one bounded (want+1)-row collect
+      val top = vocab
         .select(col("cnt"), explode(
           zip_with(slice(col("toks"), lit(1), size(col("toks")) - 1),
             slice(col("toks"), lit(2), size(col("toks")) - 1),
@@ -76,33 +127,93 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("cnt")).as("total"))
         .orderBy(col("total").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (top.isEmpty) exhausted = true
       else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
-        merges += ((rank, a, b))
-        val next = vocab.withColumn("toks", mergePair(col("toks"), a, b))
+        val window = top.take(want)
+        // every pair outside the window counts at most this much
+        val outsideBound = if (top.length > want) top(want)._3 else Long.MinValue
+        // strings every existing multi-char token can spell: all merge
+        // symbols learned so far (single chars can't collide with a
+        // 2+-char concat) — the condition-(3) collision set
+        val knownSymbols = scala.collection.mutable.Set(
+          merges.iterator.map { case (_, a, b) => a + b }.toSeq: _*)
+        val accepted = scala.collection.mutable.ArrayBuffer(window.head)
+        // condition (3): does every accepted merge so far mint a FRESH
+        // symbol? A collision means later candidates' counts may grow.
+        var fresh = knownSymbols.add(window.head._1 + window.head._2)
+        var i = 1
+        var stop = false
+        while (!stop && i < window.length) {
+          val c = window(i)
+          val syms = accepted.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+          val disjoint = !syms.contains(c._1) && !syms.contains(c._2)
+          val sharingBound = (window.drop(i + 1)
+            .filter(p => syms.contains(p._1) || syms.contains(p._2))
+            .map(_._3) :+ outsideBound).max
+          if (fresh && disjoint && c._3 > sharingBound) {
+            accepted += c
+            fresh = knownSymbols.add(c._1 + c._2)
+            i += 1
+          } else stop = true
+        }
+        accepted.foreach { case (a, b, _) => merges += ((rank, a, b)); rank += 1 }
+        // fold the whole batch into the vocab in ONE projection pass,
+        // merges applied in rank order (chained folds == sequential)
+        val next = vocab.withColumn("toks",
+          accepted.foldLeft(col("toks")) { case (c, (a, b, _)) => mergePair(c, a, b) })
         vocab =
-          if ((rank + 1) % checkpointEvery == 0)
+          if ((rank - accepted.length) / checkpointEvery != rank / checkpointEvery)
             Materialize.viaParquet(next, "bpe_vocab") // bound plan lineage
           else next
-        rank += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Encode text with a learned merge table: char-split each word, apply
     * every merge in rank order (the fold is codegen'd per merge). Cost is
-    * numMerges chained projections per row — the standard trade for an
-    * in-plan encoder; production tokenizers bake the table into a trie,
-    * which is exactly what this output feeds. */
+    * numMerges chained folds inside ONE projection, so this Column form
+    * is for SMALL merge tables (≲ a few hundred rules) — beyond that the
+    * nested Catalyst tree hits codegen/planner limits (round-12 advice).
+    * Use [[encodeTable]] for real tokenizer sizes; production inference
+    * bakes the table into a trie, which is exactly what these outputs
+    * feed. */
   def encode(text: Column, merges: Seq[(Int, String, String)]): Column = {
-    val words = split(lower(text), "[^a-z0-9]+")
+    val words = split(lower(text), SplitPattern)
     val charToks = transform(filter(words, w => length(w) > 0),
-      w => concat(split(w, ""), array(lit(EndOfWord))))
+      w => concat(split(w, ""), array(lit(EndOfWord)))) // per-word arrays
     merges.sortBy(_._1).foldLeft(charToks) { case (toksPerWord, (_, a, b)) =>
       transform(toksPerWord, t => mergePair(t, a, b))
+    }
+  }
+
+  /**
+   * Encode a whole table with an arbitrarily LARGE merge table (round
+   * 13): merges are applied in stages of `stageEvery` rules, with the
+   * intermediate token column MATERIALIZED to parquet between stages
+   * (plain chained projections don't help — Catalyst's CollapseProject
+   * fuses them back into one tree; a write/read barrier genuinely bounds
+   * the expression depth each stage plans and codegens). A 32k-rule
+   * table becomes ~32k/stageEvery bounded-depth distributed passes — the
+   * standard trade for an in-plan encoder at tokenizer scale.
+   */
+  def encodeTable(df: DataFrame, textCol: String, outCol: String,
+      merges: Seq[(Int, String, String)], stageEvery: Int = 48): DataFrame = {
+    require(stageEvery >= 1, s"stageEvery must be >= 1, got $stageEvery")
+    val words = split(lower(col(textCol)), SplitPattern)
+    val init = df.withColumn(outCol, transform(filter(words, w => length(w) > 0),
+      w => concat(split(w, ""), array(lit(EndOfWord)))))
+    val stages = merges.sortBy(_._1).grouped(stageEvery).toSeq
+    stages.zipWithIndex.foldLeft(init) { case (acc, (grp, si)) =>
+      val applied = acc.withColumn(outCol,
+        grp.foldLeft(col(outCol)) { case (c, (_, a, b)) =>
+          transform(c, t => mergePair(t, a, b))
+        })
+      if (si == stages.length - 1) applied // caller decides the final sink
+      else Materialize.viaParquet(applied, "bpe_enc")
     }
   }
 }

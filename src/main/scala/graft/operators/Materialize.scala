@@ -70,11 +70,19 @@ object Materialize {
    * `Similarity.imiIncrementalTopK` for ANN.
    *
    * State schema: key columns, `n` (row count), `sum_<c>` per sum column
-   * as DECIMAL(18,2) — exact and order/merge-independent, so any refresh
+   * as DECIMAL(38,2) — exact and order/merge-independent, so any refresh
    * order converges to the from-scratch aggregate (`q_incr_agg` pins
    * exactly that against the oracle). Merge is state ∪ Δ-agg → one
    * re-aggregate: a single key-hash Exchange over state+Δ rows, with
    * map-side partials doing most of the work.
+   *
+   * The STATE sums carry the widest decimal (38,2), not the input's
+   * (18,2): under Spark's default non-ANSI mode a narrower state cast
+   * would silently NULL any merged sum past 16 integer digits — a
+   * corrupted view with no error, at exactly the accumulation scale this
+   * module exists for (round-12 advice). Inputs are still read at
+   * (18,2); only the accumulator is wide, so per-key state stays 16
+   * bytes and 36 integer digits cannot overflow off any real table.
    */
   def incrementalAgg(state: Option[DataFrame], delta: DataFrame,
       keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
@@ -82,7 +90,7 @@ object Materialize {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     def norm(df: DataFrame): DataFrame =
       df.select(keyCols.map(col) ++ Seq(col("n").cast("long").as("n")) ++
-        sumCols.map(c => col(s"sum_$c").cast("decimal(18,2)").as(s"sum_$c")): _*)
+        sumCols.map(c => col(s"sum_$c").cast("decimal(38,2)").as(s"sum_$c")): _*)
     val dAgg = norm(delta.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c).cast("decimal(18,2)")).as(s"sum_$c")): _*))

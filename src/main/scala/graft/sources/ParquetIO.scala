@@ -176,21 +176,22 @@ object ParquetIO {
    * returns the dropped partition values. A partition whose delete
    * fails midway is NOT reported dropped (same contract as
    * [[graft.streaming.Streams.vacuumGenerations]]).
+   *
+   * All path work goes through the Hadoop FileSystem API ([[Fs]]) so the
+   * TTL job runs unchanged against hdfs:// and s3a:// — the only
+   * filesystems it actually targets at scale (round-13 port off
+   * `java.io.File`).
    */
   def dropPartitionsBelow(path: String, partitionCol: String,
       cutoff: String): Seq[String] = {
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"dropPartitionsBelow: $path is not a directory")
+    require(Fs.isDirectory(path), s"dropPartitionsBelow: $path is not a directory")
     val prefix = s"$partitionCol="
-    val victims = root.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .filter(d => decodePartitionValue(d.getName.stripPrefix(prefix)) < cutoff)
+    val victims = Fs.listDirs(path)
+      .filter(_.getPath.getName.startsWith(prefix))
+      .filter(d => decodePartitionValue(d.getPath.getName.stripPrefix(prefix)) < cutoff)
     victims.flatMap { d =>
-      def rm(f: java.io.File): Boolean = {
-        val ok = if (f.isDirectory) f.listFiles().forall(rm) else true
-        ok && f.delete()
-      }
-      if (rm(d)) Some(decodePartitionValue(d.getName.stripPrefix(prefix)))
+      if (Fs.deleteRecursive(d.getPath))
+        Some(decodePartitionValue(d.getPath.getName.stripPrefix(prefix)))
       else {
         System.err.println(s"[retention] FAILED to fully delete ${d.getPath}")
         None
@@ -234,26 +235,33 @@ object ParquetIO {
       partitionCol: String, maxFiles: Int = 8,
       opts: WriteOptions = WriteOptions()): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    val root = new java.io.File(path)
-    require(root.isDirectory, s"compactFragmentedPartitions: $path is not a directory")
+    require(Fs.isDirectory(path), s"compactFragmentedPartitions: $path is not a directory")
     val prefix = s"$partitionCol="
-    val fragmentedDirs = root.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith(prefix))
-      .filter(_.listFiles().count(f => f.getName.endsWith(".parquet")) > maxFiles)
-      .sortBy(_.getName)
+    // Hadoop-FS listing (round-13 port off java.io.File): the small-files
+    // job is precisely the one that runs against hdfs://s3a:// at scale
+    val fragmentedDirs = Fs.listDirs(path)
+      .filter(_.getPath.getName.startsWith(prefix))
+      .filter(d => Fs.listFiles(d.getPath.toString)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .sortBy(_.getPath.getName)
     if (fragmentedDirs.nonEmpty) {
       // read ONLY the fragmented directories (no value matching at all —
       // round-12 review: matching decoded dir names against the
       // type-INFERRED partition column silently misses values that don't
       // round-trip inference, e.g. zero-padded ints), with an explicit
       // schema that keeps the partition column a STRING so the rewrite
-      // emits byte-identical directory names
+      // emits byte-identical directory names. The schema probe reads ALL
+      // fragmented dirs with mergeSchema (round-12 advice: probing only
+      // the first dir would silently drop columns that later appends
+      // added, losing data in the rewrite).
+      val fragPaths = fragmentedDirs.map(_.getPath.toString)
       val dataSchema = spark.read
-        .parquet(fragmentedDirs.head.getPath).schema
+        .option("mergeSchema", "true").parquet(fragPaths: _*).schema
       val hot = spark.read
         .schema(dataSchema.add(partitionCol, org.apache.spark.sql.types.StringType))
         .option("basePath", path)
-        .parquet(fragmentedDirs.map(_.getPath): _*)
+        .option("mergeSchema", "true")
+        .parquet(fragPaths: _*)
       // cluster on the partition column: each partition value lands in
       // ONE writer task ⇒ one sized file per compacted partition
       // (coalesce(n) would scatter every value across all n tasks)
@@ -261,7 +269,7 @@ object ParquetIO {
         hot.repartition(math.max(1, fragmentedDirs.size), col(partitionCol)),
         path, Seq(partitionCol), opts)
     }
-    fragmentedDirs.map(d => decodePartitionValue(d.getName.stripPrefix(prefix)))
+    fragmentedDirs.map(d => decodePartitionValue(d.getPath.getName.stripPrefix(prefix)))
   }
 
   /**

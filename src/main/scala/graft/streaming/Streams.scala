@@ -198,11 +198,11 @@ object Streams {
                   batch.schema),
                 batch.toDF(), gen, keyCols, versionCol, parts, opCol = opCol)
           }
-          val tmp = java.nio.file.Paths.get(s"$tableDir/_CURRENT.tmp")
-          java.nio.file.Files.write(tmp, gen.getBytes("UTF-8"))
-          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$tableDir/_CURRENT"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // pointer flip via the Hadoop FS API (round-13 port): a temp
+          // file + FileContext rename(OVERWRITE) — atomic on HDFS and the
+          // local FS, so a concurrent currentGeneration never observes a
+          // truncated pointer, and the sink now runs against hdfs://s3a://
+          graft.sources.Fs.writeUtf8Atomic(s"$tableDir/_CURRENT", gen)
         }
         ()
       }
@@ -268,24 +268,21 @@ object Streams {
       .start()
   }
 
-  /** The generation directory `_CURRENT` points at, if the table exists. */
-  def currentGeneration(tableDir: String): Option[String] = {
-    val p = java.nio.file.Paths.get(s"$tableDir/_CURRENT")
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
-    else None
-  }
+  /** The generation directory `_CURRENT` points at, if the table exists.
+    * Hadoop-FS read (round-13 port) — works against hdfs://s3a://file:. */
+  def currentGeneration(tableDir: String): Option[String] =
+    graft.sources.Fs.readUtf8(s"$tableDir/_CURRENT").map(_.trim)
 
   /** Every generation directory of a [[upsertSink]] table, ascending by
-    * generation id — (id, path). Pure directory listing; dangling
-    * generations from a crashed batch (written, never pointed at) appear
-    * too, which is exactly what [[vacuumGenerations]] needs to see. */
+    * generation id — (id, path). Pure directory listing through the
+    * Hadoop FS API; dangling generations from a crashed batch (written,
+    * never pointed at) appear too, which is exactly what
+    * [[vacuumGenerations]] needs to see. */
   def listGenerations(tableDir: String): Seq[(Long, String)] = {
-    val d = new java.io.File(tableDir)
-    if (!d.isDirectory) Seq.empty
-    else d.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.matches("gen\\d+"))
-      .map(f => (f.getName.stripPrefix("gen").toLong, f.getAbsolutePath))
+    if (!graft.sources.Fs.isDirectory(tableDir)) Seq.empty
+    else graft.sources.Fs.listDirs(tableDir)
+      .filter(_.getPath.getName.matches("gen\\d+"))
+      .map(f => (f.getPath.getName.stripPrefix("gen").toLong, f.getPath.toString))
       .sortBy(_._1)
   }
 
@@ -318,27 +315,24 @@ object Streams {
   def vacuumGenerations(tableDir: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"vacuumGenerations: keepLast must be >= 1, got $keepLast")
     val all = listGenerations(tableDir)
-    val cur = currentGeneration(tableDir)
-      .map(p => java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
+    // the pointer may name the generation with or without a scheme;
+    // compare both sides fully QUALIFIED (scheme + authority) so a
+    // `file:/x` listing matches a `/x` pointer and vice versa
+    val cur = currentGeneration(tableDir).map(graft.sources.Fs.qualified(_))
     val curId = all.collectFirst {
-      case (id, p) if cur.contains(
-        java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString) => id
+      case (id, p) if cur.contains(graft.sources.Fs.qualified(p)) => id
     }
     val deletable = all.dropRight(keepLast).filter { case (id, p) =>
-      !cur.contains(java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString) &&
-        curId.forall(id < _)
+      !cur.contains(graft.sources.Fs.qualified(p)) && curId.forall(id < _)
     }
     deletable.flatMap { case (_, path) =>
       // a failed delete (open handle, permission) must NOT be reported as
       // vacuumed: a half-deleted generation still lists, and silently
       // claiming success would let readGeneration serve a corrupt dir
-      // without any signal (round-12 review)
-      def rm(f: java.io.File): Boolean = {
-        val childrenOk =
-          if (f.isDirectory) f.listFiles().forall(rm) else true
-        childrenOk && f.delete()
-      }
-      if (rm(new java.io.File(path))) Some(path)
+      // without any signal (round-12 review); Fs.deleteRecursive returns
+      // false instead of throwing for exactly this contract
+      if (graft.sources.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(path)))
+        Some(path)
       else {
         System.err.println(s"[vacuum] FAILED to fully delete $path — generation left partially present")
         None

@@ -69,4 +69,62 @@ class BpeSpec extends AnyFunSuite {
       .select(graft.operators.Bpe.mergePair(col("chars"), "a", "a").as("m"))
     assert(df.collect()(0).getSeq[String](0) == Seq("aa", "aa"))
   }
+
+  test("non-ASCII words are trained on, not dropped (round-13 fix)") {
+    // the r12 [^a-z0-9]+ split discarded every one of these words
+    val multi = Seq.fill(4)("straße straße café niño")
+      .toDF("text")
+    val vocab = Bpe.wordVocab(multi, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("straße" -> 8L, "café" -> 4L, "niño" -> 4L))
+    val merges = Bpe.learnMerges(multi, "text", numMerges = 3)
+    assert(merges.nonEmpty)
+    // the most frequent pair comes from "straße" (weight 8): merges must
+    // carry non-ASCII characters through untouched
+    assert(merges.exists { case (_, a, b) => (a + b).exists(_ > 127) })
+  }
+
+  test("batched merge selection yields the identical table in fewer jobs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").select("text")
+    val (single, singleRounds) =
+      Bpe.learnMergesWithRounds(docs, "text", numMerges = 12, batchSize = 1)
+    val (batched, batchedRounds) =
+      Bpe.learnMergesWithRounds(docs, "text", numMerges = 12, batchSize = 16)
+    assert(batched == single, "batched table must equal the sequential table")
+    assert(singleRounds == 12)
+    assert(batchedRounds < 12,
+      s"batching should cut pair-count jobs (got $batchedRounds rounds for 12 merges)")
+  }
+
+  test("batched == sequential on adversarial tiny corpora (collision paths)") {
+    // small alphabets maximize shared-symbol and symbol-collision cases
+    // (e.g. "ab"+"c" vs "a"+"bc" both spelling "abc")
+    val corpora = Seq(
+      "abc abc abc ab bc a b c abcabc",
+      "aa aa ab ab ba ba aab aba bab bb",
+      "xyz zyx xxyyzz xy yz zx xyzxyz xzy",
+      "aaa aaaa aaaaa aa a",
+      "deed deep peed pede deedeep")
+    for (c <- corpora) {
+      val df = Seq(c).toDF("text")
+      val s = Bpe.learnMerges(df, "text", numMerges = 10, batchSize = 1)
+      val b = Bpe.learnMerges(df, "text", numMerges = 10, batchSize = 8)
+      assert(b == s, s"divergence on corpus '$c': batched=$b sequential=$s")
+    }
+  }
+
+  test("encodeTable staged encoding equals the single-projection encode") {
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
+    val in = Seq("lowest low newest", "wide widest lower").toDF("text")
+    val viaColumn = in.select(col("text"),
+      Bpe.encode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[scala.collection.Seq[String]](1)
+        .map(_.toList).toList).toMap
+    // stageEvery=2 forces three materialized stages for five merges
+    val viaTable = Bpe.encodeTable(in, "text", "toks", merges, stageEvery = 2)
+      .collect().map(r => r.getString(0) -> r.getSeq[scala.collection.Seq[String]](1)
+        .map(_.toList).toList).toMap
+    assert(viaTable == viaColumn)
+    assert(viaTable("lowest low newest").head == List("low", "est" + Bpe.EndOfWord))
+  }
 }

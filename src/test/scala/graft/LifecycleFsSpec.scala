@@ -1,0 +1,105 @@
+package graft
+
+import graft.sources.{Fs, ParquetIO}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 port gate: the table-maintenance tier (partition TTL,
+  * fragmented-partition compaction, generation pointer/list/vacuum) runs
+  * entirely through `org.apache.hadoop.fs.FileSystem`, so it works on any
+  * Hadoop-supported scheme. These tests drive scheme-QUALIFIED `file:`
+  * URIs through every entry point — a regression back to `java.io.File`
+  * fails loudly here, because `new java.io.File("file:/x")` treats the
+  * scheme as a literal path segment and lists nothing. */
+class LifecycleFsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def schemeDir(tag: String): String =
+    "file:" + java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("dropPartitionsBelow runs against a scheme-qualified file: URI") {
+    val dir = schemeDir("graft-fs-ttl") + "/t"
+    val rows = Seq(("2024-01-30", 1L), ("2024-01-31", 2L), ("2024-02-01", 3L))
+      .flatMap { case (dt, b) => (1L to 4L).map(i => (dt, b * 10 + i)) }
+      .toDF("dt", "v")
+    ParquetIO.writePartitioned(rows, dir, Seq("dt"))
+    val dropped = ParquetIO.dropPartitionsBelow(dir, "dt", "2024-02-01")
+    assert(dropped == Seq("2024-01-30", "2024-01-31"))
+    val back = spark.read.parquet(dir)
+    assert(back.select("dt").distinct().as[String].collect().toSeq == Seq("2024-02-01"))
+    assert(back.count() == 4)
+  }
+
+  test("compactFragmentedPartitions runs against a scheme-qualified file: URI") {
+    val dir = schemeDir("graft-fs-frag") + "/t"
+    val base = (1L to 20L).map(i => (s"p${i % 2}", i)).toDF("pc", "v")
+    ParquetIO.writePartitioned(base, dir, Seq("pc"))
+    for (i <- 100L to 109L)
+      Seq(("p0", i)).toDF("pc", "v").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+    val before = spark.read.parquet(dir).count()
+    val compacted = ParquetIO.compactFragmentedPartitions(spark, dir, "pc", maxFiles = 8)
+    assert(compacted == Seq("p0"))
+    assert(Fs.listFiles(s"$dir/pc=p0").count(_.getPath.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
+  test("compaction schema probe merges schemas across fragmented partitions") {
+    // round-12 advice: appends with an EVOLVED schema (extra column) into
+    // a second fragmented partition must survive compaction — probing
+    // only the first dir's schema would silently drop the new column
+    val dir = schemeDir("graft-fs-evo") + "/t"
+    val base = (1L to 10L).map(i => (s"a", i)).toDF("pc", "v")
+    ParquetIO.writePartitioned(base, dir, Seq("pc"))
+    for (i <- 100L to 109L)  // fragment pc=a with the original schema
+      Seq(("a", i)).toDF("pc", "v").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+    for (i <- 200L to 209L)  // fragment pc=b with an EVOLVED schema
+      Seq(("b", i, s"tag$i")).toDF("pc", "v", "extra").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+    val compacted = ParquetIO.compactFragmentedPartitions(spark, dir, "pc", maxFiles = 8)
+    assert(compacted == Seq("a", "b"))
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("pc", "v", "extra"))
+    // the evolved column survived the rewrite with its values intact
+    assert(back.filter(col("extra").isNotNull).count() == 10)
+    assert(back.filter(col("pc") === "b" && col("extra") === "tag205").count() == 1)
+  }
+
+  test("generation lifecycle (pointer, list, read, vacuum) on a file: URI") {
+    val table = schemeDir("graft-fs-gen") + "/table"
+    // build three generations by hand through the same Fs primitives the
+    // sink uses (no stream needed to exercise the path layer)
+    for (g <- 0 to 2) {
+      (1L to (g + 1) * 3L).map(i => (i, s"g$g")).toDF("id", "tag")
+        .coalesce(1).write.parquet(s"$table/gen$g")
+      Fs.writeUtf8Atomic(s"$table/_CURRENT", s"$table/gen$g")
+    }
+    assert(Streams.listGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
+    assert(Streams.currentGeneration(table).get.endsWith("gen2"))
+    assert(Streams.readGeneration(spark, table, 1L).count() == 6)
+    val deleted = Streams.vacuumGenerations(table, keepLast = 1)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0", "gen1"))
+    assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
+    // pointer target always survives, qualified-vs-unqualified compare:
+    // point _CURRENT at gen2 WITHOUT the scheme, vacuum must still match
+    val localGen2 = table.stripPrefix("file:") + "/gen2"
+    Fs.writeUtf8Atomic(s"$table/_CURRENT", localGen2)
+    assert(Streams.vacuumGenerations(table, keepLast = 1).isEmpty)
+    assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
+  }
+
+  test("Fs.writeUtf8Atomic replaces content atomically and readUtf8 round-trips") {
+    val dir = schemeDir("graft-fs-ptr")
+    val p = s"$dir/_PTR"
+    assert(Fs.readUtf8(p).isEmpty)
+    Fs.writeUtf8Atomic(p, "alpha")
+    assert(Fs.readUtf8(p).contains("alpha"))
+    Fs.writeUtf8Atomic(p, "beta")
+    assert(Fs.readUtf8(p).contains("beta"))
+    // no stray temp file left behind
+    assert(Fs.listFiles(dir).map(_.getPath.getName).toSet == Set("_PTR"))
+  }
+}

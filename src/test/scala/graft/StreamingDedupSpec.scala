@@ -221,8 +221,10 @@ class GenerationLifecycleSpec extends AnyFunSuite {
     // and a stalled pointer: point _CURRENT back at gen1
     val table = s"$base/table"
     val g1 = Streams.listGenerations(table).find(_._1 == 1L).get._2
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$table/_CURRENT"),
-      g1.getBytes("UTF-8"))
+    // repoint through the sanctioned pointer API (raw nio writes would
+    // leave the Hadoop local-FS checksum sidecar stale — exactly why the
+    // pointer flip is an Fs primitive, not ad-hoc file IO)
+    graft.sources.Fs.writeUtf8Atomic(s"$table/_CURRENT", g1)
     val g3 = new java.io.File(s"$table/gen3")
     assert(g3.mkdir())
     // keepLast=1 would by age alone delete gen0..gen2: the pointer target
