@@ -1256,7 +1256,7 @@ object PipelineQueries {
       // decimal-exactly across the type seam, and per-slice columns
       // count only their own rows (null-fill is real, not a default).
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_merge_evo").toString
+      val tmp = graft.operators.Materialize.scratch(s, "merge_evo")
       val li = rd(s, dir, "lineitem")
       li.filter(col("l_orderkey") % 3 === 0)
         .select(col("l_orderkey"),
@@ -1285,7 +1285,7 @@ object PipelineQueries {
       // the oracle's reconstruction. Everything rides ONE key-hash
       // exchange (clustering satisfies the window, survivors land sized).
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+      val tmp = graft.operators.Materialize.scratch(s, "upsert")
       val orders = rd(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       orders.withColumn("version", lit(0L)).write.parquet(s"$tmp/base")
@@ -1315,7 +1315,7 @@ object PipelineQueries {
       // with the tombstoned keys excluded; op is transport metadata and is
       // absent from the output generation.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_del").toString
+      val tmp = graft.operators.Materialize.scratch(s, "upsert_del")
       val orders = rd(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       orders.withColumn("version", lit(0L)).write.parquet(s"$tmp/base")
@@ -1352,7 +1352,7 @@ object PipelineQueries {
       // in ParquetIOSpec — file boundaries come from range-exchange
       // sampling, which SQL cannot reproduce.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      val tmp = graft.operators.Materialize.scratch(s, "zorder")
       val orders = rd(s, dir, "orders")
       orders.filter(col("o_orderkey") % 2 === 0).write.parquet(s"$tmp/in0")
       orders.filter(col("o_orderkey") % 2 === 1).write.parquet(s"$tmp/in1")
@@ -1376,7 +1376,7 @@ object PipelineQueries {
       // primary I/O governor; this entry gates that the layout round-trip
       // loses no rows and the pruned scan computes the right answer.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = graft.operators.Materialize.scratch(s, "part")
       ParquetIO.writePartitioned(rd(s, dir, "orders"), s"$tmp/t",
         Seq("o_orderpriority"))
       s.read.parquet(s"$tmp/t")
@@ -1397,7 +1397,7 @@ object PipelineQueries {
       // (urgent repriced, the other four partitions untouched), so both
       // the overwrite scoping and the survivor bytes are gated.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+      val tmp = graft.operators.Materialize.scratch(s, "dynow")
       val orders = rd(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -1423,7 +1423,7 @@ object PipelineQueries {
       // scanning the whole fact table and scanning the 20% the dim filter
       // actually touches.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      val tmp = graft.operators.Materialize.scratch(s, "dpp")
       ParquetIO.writePartitioned(rd(s, dir, "customer"), s"$tmp/t",
         Seq("c_nationkey"))
       val nation = rd(s, dir, "nation").filter(col("n_regionkey") === 1)
@@ -1490,7 +1490,7 @@ object PipelineQueries {
       // parallelism comes from file count, kept from the upstream
       // partitioning (doc'd in IngestIO).
       import graft.sources.IngestIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val tmp = graft.operators.Materialize.scratch(s, "jsonl")
       val docs = rd(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
       IngestIO.writeJsonl(docs, s"$tmp/jl")
@@ -1508,7 +1508,7 @@ object PipelineQueries {
       // timestamp min/max (the timestampFormat is pinned on both write
       // and read — CSV's classic silent-precision-loss trap, gated here).
       import graft.sources.IngestIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      val tmp = graft.operators.Materialize.scratch(s, "csv")
       val orders = rd(s, dir, "orders")
       IngestIO.writeCsv(orders, s"$tmp/csv")
       IngestIO.readCsv(s, s"$tmp/csv", orders.schema)
@@ -1528,7 +1528,7 @@ object PipelineQueries {
       // equality proves the ORC round-trip is value-exact for int64,
       // double, string, and µs timestamps.
       import graft.sources.IngestIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = graft.operators.Materialize.scratch(s, "orc")
       IngestIO.writeOrc(rd(s, dir, "orders"), s"$tmp/orc")
       IngestIO.readOrc(s, s"$tmp/orc")
         .filter(col("o_orderpriority") === "1-URGENT")
@@ -1569,7 +1569,7 @@ object PipelineQueries {
       // are gone and every surviving month's rows are untouched; the
       // oracle is the same rollup with a WHERE on the raw table.
       import graft.sources.ParquetIO
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+      val tmp = graft.operators.Materialize.scratch(s, "ttl")
       val orders = rd(s, dir, "orders")
         .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
       ParquetIO.writePartitioned(orders, s"$tmp/t", Seq("month"))

@@ -601,6 +601,49 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_nested_types" -> ((s, dir) => {
+      // DEEP nested types (round 13, survey §1 residue): array-of-struct
+      // and map-of-struct as first-class columns. Per order, the lineitem
+      // rows collapse into a SORTED array<struct<ln,qty,price>> (the
+      // "document" shape a denormalized lake table carries), round-trip
+      // through parquet (3-level repeated-group encoding), then every
+      // answer is computed FROM the nested value with codegen'd
+      // higher-order functions — aggregate() over struct fields, filter()
+      // on a struct predicate, element_at on both the array and a
+      // map<string,struct> rebuilt from it. The oracle computes the same
+      // numbers straight off the flat rows, so equality proves the
+      // collect → nest → write → read → HOF pipeline is lossless.
+      // sort_array on array<struct> orders by fields left-to-right; ln
+      // (the line number) leads, making the array order deterministic.
+      val nested = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"),
+            col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price")).as("line"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("line"))).as("lines"))
+      val arr = col("lines")
+      graft.operators.Materialize.viaParquet(nested, "nested_types")
+        .select(
+          col("l_orderkey"),
+          size(arr).cast("int").as("n_lines"),
+          aggregate(arr, lit(0).cast("decimal(18,2)"),
+            (acc, x) => (acc + x.getField("qty").cast("decimal(18,2)"))
+              .cast("decimal(18,2)")) // fold type must stay = acc type
+            .cast("double").as("total_qty"),
+          element_at(arr, 1).getField("ln").cast("int").as("first_ln"),
+          size(filter(arr, x => x.getField("price") > 30000.0)).cast("int").as("big_lines"),
+          // map<string,struct> keyed by 1-based array POSITION — the
+          // fixture has duplicate line numbers within an order, so the
+          // position is the unique key (duplicate map keys are an error)
+          element_at(
+            map_from_entries(transform(arr,
+              (x, i) => struct((i + 1).cast("string").as("k"),
+                struct(x.getField("qty").as("qty"), x.getField("price").as("price")).as("v")))),
+            "1").getField("qty").as("first_qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     "q_math_funcs" -> ((s, dir) => {
       rd(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -1161,6 +1204,15 @@ object RelationalQueries {
     "q_struct_nested" ->
       """SELECT o_orderkey, o_orderstatus AS st, CAST(YEAR(o_orderdate) AS INT) AS yr
          FROM orders ORDER BY o_orderkey""",
+    // the nested array/map pipeline must equal the flat-row aggregate
+    "q_nested_types" ->
+      """SELECT l_orderkey,
+           CAST(COUNT(*) AS INT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(MIN(l_linenumber) AS INT) AS first_ln,
+           CAST(COUNT(CASE WHEN l_extendedprice > 30000.0 THEN 1 END) AS INT) AS big_lines,
+           FIRST(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS first_qty
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS q7,

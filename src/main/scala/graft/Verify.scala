@@ -31,7 +31,18 @@ object Verify {
       require(unknown.isEmpty,
         s"unknown query names in SPARK_GRAFT_VERIFY_QUERIES: ${unknown.toSeq.sorted.mkString(", ")}")
     }
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // SPARK_GRAFT_SAMPLED=1 (round 13): the large-SF scale-parity mode —
+    // the seven vector-quadratic queries swap to their deterministic
+    // id-slice gate (SampledQueries), whose DuckDB side is (n/101)·n
+    // instead of n². The driver's sf0.01 gate never sets this.
+    val sampled = sys.env.get("SPARK_GRAFT_SAMPLED").contains("1")
+    val allQueries =
+      if (sampled) SparkEntry.queries ++ SampledQueries.queries
+      else SparkEntry.queries
+    val allOracle =
+      if (sampled) SparkEntry.oracleSql ++ SampledQueries.oracleSql
+      else SparkEntry.oracleSql
+    val selected = allQueries.filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -51,7 +62,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = allOracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

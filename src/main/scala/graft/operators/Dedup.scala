@@ -428,13 +428,21 @@ object Dedup {
    * SimHash near-dup pairs: 64-bit signatures, sliced into `bands` blocking
    * keys; bucket-mates within `maxHamming` are near-dups.
    *
-   * Radius/bands were MEASURED on the synthetic corpus (round 3): every
-   * jaccard ≥ 0.9 pair lands at Hamming ≤ 11 (tail: h=9..11), and
-   * jaccard ≥ 0.5 pairs reach h = 12 — so the round-2 radius of 8 provably
-   * dropped strong near-dups. 13 bands guarantee collision for Hamming
-   * ≤ 12 (pigeonhole), exactly covering maxHamming = 12; more bands would
-   * only widen buckets (4-bit bands collide for 1/16 of RANDOM pairs) and
-   * pay quadratic bucket-join cost for distances the filter discards anyway.
+   * Radius/bands were MEASURED on the synthetic corpus — TWICE, because
+   * the tail grows with the corpus. Round 3 (sf0.1, 5 k docs): every
+   * jaccard ≥ 0.9 pair lands at Hamming ≤ 11, and the round-2 radius of
+   * 8 provably dropped strong near-dups. Round 13 (sf1, 50 k docs,
+   * 2 490 true ≥ 0.9 pairs): seven pairs sit at h = 13–14 — the binomial
+   * tail of the signature simply reaches further once there are 10× more
+   * true pairs to sample it — so the round-12 radius of 12 missed 7/2490
+   * at 10× (caught by the sampled-scale oracle gate, round 13). Radius
+   * is now 14 with 15 bands (pigeonhole: 14 mismatched bits cannot touch
+   * all 15 bands), which covers the measured 10× tail with the verify
+   * step keeping precision exact. The next tail step is the documented
+   * minhash/PPJoin switchover, not more radius: every +1 of radius
+   * needs +1 band, and at 64 fixed bits narrower bands collide
+   * exponentially more random pairs (4-bit bands: 1/16) — the Σf²
+   * bucket-join term, not the filter, is what you pay.
    *
    * Second-level blocking (round 4, the 100 TB fix): a fixed 64-bit
    * signature means ~5-bit first-level buckets, whose occupancy grows
@@ -470,13 +478,13 @@ object Dedup {
    * blocking scheme; their output is itself quadratic.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 12, bands: Int = 13, k: Int = 3,
+      maxHamming: Int = 14, bands: Int = 15, k: Int = 3,
       hotBucketCap: Int = 20000): DataFrame =
     simHashPairsFromFeats(shingleIndex(df, idCol, textCol, k), maxHamming, bands, hotBucketCap)
 
   /** [[simHashPairs]] over a prebuilt (id, feat) index. */
   private[graft] def simHashPairsFromFeats(feats: DataFrame,
-      maxHamming: Int = 12, bands: Int = 13, hotBucketCap: Int = 20000): DataFrame = {
+      maxHamming: Int = 14, bands: Int = 15, hotBucketCap: Int = 20000): DataFrame = {
     val sigs = simHashSignaturesFromFeats(feats)
     // signature rides through the bucket join (64 bits — free); hamming
     // filter BEFORE the distinct shrinks the dedup shuffle

@@ -30,8 +30,8 @@ object Materialize {
     * The app-scoped root is deleted when the application ends (round-3
     * advisory: per-call dirs otherwise accumulate in java.io.tmpdir for
     * the lifetime of the machine, not just the session). */
-  private def root(df: DataFrame): String = {
-    val sc = df.sparkSession.sparkContext
+  private def root(spark: org.apache.spark.sql.SparkSession): String = {
+    val sc = spark.sparkContext
     val base = sc.getCheckpointDir
       .getOrElse(System.getProperty("java.io.tmpdir") + "/graft_ckpt")
     val dir = s"$base/${sc.applicationId}"
@@ -48,13 +48,27 @@ object Materialize {
     dir
   }
 
+  /** A fresh scratch directory under the app-scoped root — deleted with
+    * the application, like every [[viaParquet]] dir. This is THE way to
+    * allocate a write-path fixture (round-13: the query-local
+    * `Files.createTempDirectory` sites stranded ~100 dirs of parquet per
+    * full bench pass, because nothing ever deleted them; the round-3
+    * advisory that gave checkpoints an app-end cleanup hook now covers
+    * every scratch allocation too). */
+  def scratch(spark: org.apache.spark.sql.SparkSession, tag: String): String = {
+    val dir = s"${root(spark)}/scratch_${tag}_${counter.incrementAndGet()}"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    dir
+  }
+
   /** Write `df` to a fresh per-(app, tag, call) parquet dir and read it
     * back. The computation runs exactly once (the write); every downstream
     * consumer re-scans columnar files instead of recomputing. Each call
     * gets its own directory so earlier results are never overwritten under
     * a live reader; dirs live under the app-scoped root and go with it. */
   def viaParquet(df: DataFrame, tag: String): DataFrame = {
-    val dir = s"${root(df)}/${tag}_${counter.incrementAndGet()}"
+    val dir = s"${root(df.sparkSession)}/${tag}_${counter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(dir)
     df.sparkSession.read.parquet(dir)
   }

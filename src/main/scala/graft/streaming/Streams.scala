@@ -354,7 +354,7 @@ object Streams {
       extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     private val buf =
-      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Double, Long, String)]()
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long, Long, Double, Long, String)]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
@@ -366,7 +366,10 @@ object Streams {
       // would yield Some(null) → the literal string "null" (r12 review)
       val watermark = Option(p.eventTime)
         .flatMap(m => Option(m.get("watermark"))).getOrElse("")
-      buf.add((p.name, p.batchId, p.numInputRows,
+      // sink rows (round 13): input vs output conservation is the first
+      // thing a lag/loss dashboard plots; -1 when the sink doesn't report
+      val outRows = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+      buf.add((p.name, p.batchId, p.numInputRows, outRows,
         p.processedRowsPerSecond, stateRows, watermark))
       while (buf.size > maxEntries) buf.poll() // bounded: drop oldest
       ()
@@ -375,8 +378,8 @@ object Streams {
       import scala.jdk.CollectionConverters._
       import spark.implicits._
       buf.iterator().asScala.toSeq
-        .toDF("query_name", "batch_id", "input_rows", "rows_per_sec",
-          "state_rows", "watermark")
+        .toDF("query_name", "batch_id", "input_rows", "output_rows",
+          "rows_per_sec", "state_rows", "watermark")
     }
   }
 

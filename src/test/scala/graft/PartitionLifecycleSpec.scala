@@ -114,4 +114,74 @@ class PartitionLifecycleSpec extends AnyFunSuite {
       assert(progress.select("batch_id").distinct().count() >= 2)
     } finally spark.streams.removeListener(collector)
   }
+
+  test("observability invariants across a multi-batch stateful attribution join") {
+    // round-13 hardening: the listener's rows must carry enough to assert
+    // the three production invariants — monotone watermark, input/output
+    // conservation, and watermark-bounded (non-monotone) state growth —
+    // over a genuinely multi-batch stream-stream interval join.
+    import java.sql.Timestamp
+    val collector = new graft.streaming.Streams.ProgressCollector()
+    spark.streams.addListener(collector)
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-obs2").toString
+      val day = 86400L * 1000000L // µs
+      var nViews = 0L; var nPurch = 0L
+      // three day-files per side, ascending event time: the 12h watermark
+      // must sweep past day k while day k+2 loads, evicting old state
+      for (d <- 0 until 3) {
+        val views = (0 until 40).map { u =>
+          (u.toLong, (d * 100 + u).toLong,
+            new Timestamp((d * day + u * 60000000L) / 1000))
+        }.toDF("user_id", "view_id", "view_ts")
+        views.coalesce(1).write.parquet(s"$base/v/f$d")
+        nViews += 40
+        val purch = (0 until 20).map { u =>
+          (u.toLong, (d * 100 + u + 10000).toLong,
+            new Timestamp((d * day + u * 60000000L + 3600000000L) / 1000), u * 1.0)
+        }.toDF("p_user", "purchase_id", "purchase_ts", "value")
+        purch.coalesce(1).write.parquet(s"$base/p/f$d")
+        nPurch += 20
+      }
+      val vSchema = spark.read.parquet(s"$base/v/f0").schema
+      val pSchema = spark.read.parquet(s"$base/p/f0").schema
+      val sv = spark.readStream.schema(vSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/v/*")
+      val sp = spark.readStream.schema(pSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/p/*")
+      val joined = graft.streaming.Streams.attributionJoin(sv, sp)
+      val q = joined.writeStream.format("memory").queryName("obs_join")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are async — drain until the full input is visible
+      var tries = 0
+      def mine() = collector.toDF(spark).filter(col("query_name") === "obs_join")
+      def seen() = mine().agg(sum(col("input_rows"))).collect()(0)
+      while (tries < 100 && (seen().isNullAt(0) || seen().getLong(0) < nViews + nPurch)) {
+        Thread.sleep(100); tries += 1
+      }
+      val rows = mine().orderBy(col("batch_id")).collect()
+      assert(rows.count(_.getAs[Long]("input_rows") > 0) >= 3,
+        "file-per-trigger must produce at least three loaded batches")
+      // (1) input conservation: every source row is accounted exactly once
+      assert(rows.map(_.getAs[Long]("input_rows")).sum == nViews + nPurch)
+      // (2) output conservation: Σ per-batch sink rows == sink table rows
+      val sinkRows = spark.table("obs_join").count()
+      assert(sinkRows > 0)
+      assert(rows.map(_.getAs[Long]("output_rows")).filter(_ > 0).sum == sinkRows)
+      // (3) monotone watermark: non-decreasing, and it genuinely advances
+      val wms = rows.map(_.getAs[String]("watermark")).filter(_.nonEmpty)
+        .map(java.time.Instant.parse)
+      assert(wms.nonEmpty)
+      assert(wms.zip(wms.tail).forall { case (a, b) => !b.isBefore(a) },
+        s"watermark must never regress: ${wms.mkString(", ")}")
+      assert(wms.last.isAfter(wms.head), "watermark must advance across days")
+      // (4) state boundedness: the join buffers at most what it has read,
+      // and eviction at the advanced watermark shrinks it below its peak
+      val states = rows.map(_.getAs[Long]("state_rows"))
+      assert(states.max <= nViews + nPurch)
+      assert(states.last < states.max,
+        s"old-day state must be evicted as the watermark passes: $states")
+    } finally spark.streams.removeListener(collector)
+  }
 }
