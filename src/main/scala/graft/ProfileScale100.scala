@@ -101,7 +101,11 @@ object ProfileScale100 {
       caps: Seq[Int]): Unit = {
     val sigs = Materialize.viaParquet(
       Dedup.simHashSignaturesFromFeats(idx), "s100_sigs")
-    val bands = 13
+    // r13: tracks the operator default (radius 14 ⇒ 15 bands; the r12
+    // census numbers in SCALE.md §100× were taken at 13 — narrower bands
+    // mean ~1.5× hotter buckets, so the cap engagement moved and was
+    // re-measured this round)
+    val bands = 15
     val buckets = sigs.select(col("id"), col("sig"),
         explode(graft.functions.TextFunctions.simHashBands(col("sig"), bands)).as("bk"))
       .select(col("sig"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
@@ -182,11 +186,55 @@ object ProfileScale100 {
       // 10k product cells; assignment n·2·√k = 4e7 dots, pair stage
       // Σcell² ≈ 4e6). These are the queries whose 10× rows SCALE.md
       // already carries — this extends the series a decade.
-      Seq("q_dedup_semantic", "q_knn_classify_ann", "q_ann_incremental",
-          "q_dedup_semantic_incremental").foreach { name =>
+      Seq("q_dedup_semantic", "q_dedup_hybrid", "q_knn_classify_ann",
+          "q_ann_incremental", "q_dedup_semantic_incremental").foreach { name =>
         val fn = SparkEntry.queries(name)
         time(s"$name @sf10")(
           fn(spark, Sf10Dir).write.format("noop").mode("overwrite").save())
+      }
+    }
+
+    if (which("imirecall")) {
+      // round-13 (r12 verdict ask #4): the IMI assignment curve at 100×.
+      // Reference = EXACT cos ≥ 0.9 pairs for a deterministic 1/1009
+      // probe slice of the 200k clustered corpus (198 probes × 200k
+      // dots — the same sampled-oracle trick as the 10× DuckDB gate,
+      // Spark-side only because DuckDB has no business at 1.3e7 dots
+      // when the engine under test can produce the reference itself).
+      // Recall(nAssign) = |imiPairs∩slice| / |exact slice|.
+      val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
+      val (corpusRaw, nC) = PipelineQueries.clusteredEmbeddings(emb)
+      val corpus = Materialize.viaParquet(corpusRaw, "s100_imicorpus")
+      println(s"[scale100] clustered corpus: ${corpus.count()} vecs, nC=$nC")
+      val mod = 1009
+      val probes = corpus.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("pid"), col("embedding").as("pvec"))
+      val exactSlice = time("exact sliced cos>=0.9 reference") {
+        val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("pid"))
+          .select(least(col("pid"), col("vec_id")).as("id_a"),
+            greatest(col("pid"), col("vec_id")).as("id_b"),
+            graft.plans.GraftExtensions.graftCosine(spark,
+              col("pvec"), col("embedding")).as("cos"))
+          .filter(round(col("cos"), 4) >= 0.9)
+          .select("id_a", "id_b").distinct()
+        Materialize.viaParquet(scored, "s100_exactslice")
+      }
+      val nExact = exactSlice.count()
+      println(s"[scale100] exact sliced pairs=$nExact")
+      Seq(1, 2, 3).foreach { na =>
+        val t0 = System.nanoTime()
+        val imi = Materialize.viaParquet(
+          Similarity.imiPairs(corpus, "vec_id", "embedding",
+              nAssign = na, minCos = 0.9)
+            .select("id_a", "id_b"), s"s100_imi$na")
+        val wall = (System.nanoTime() - t0) / 1e9
+        val total = imi.count()
+        val sliceHit = imi
+          .filter(col("id_a") % mod === 0 || col("id_b") % mod === 0)
+          .join(exactSlice, Seq("id_a", "id_b"), "left_semi").count()
+        println(f"[scale100] imi nAssign=$na wall=$wall%.1f s pairs=$total " +
+          f"slice_recall=${if (nExact == 0) 1.0 else sliceHit.toDouble / nExact}%.5f " +
+          s"($sliceHit/$nExact)")
       }
     }
 
