@@ -190,6 +190,16 @@ object Bpe {
     }
   }
 
+  /** Tokenizer-scale encode: the native Catalyst expression
+    * ([[graft.plans.BpeEncode]]) with the merge table bound as a typed
+    * literal — one JVM pass per row regardless of table size, output
+    * bit-identical to [[encode]] (the expression falls back to the
+    * literal rank-order pass loop on the rare merge-symbol collision, so
+    * parity is unconditional). Prefer this beyond a few hundred rules. */
+  def encodeNative(spark: org.apache.spark.sql.SparkSession, text: Column,
+      merges: Seq[(Int, String, String)]): Column =
+    graft.plans.GraftExtensions.graftBpeEncode(spark, text, merges)
+
   /**
    * Encode a whole table with an arbitrarily LARGE merge table (round
    * 13): merges are applied in stages of `stageEvery` rules, with the

@@ -64,7 +64,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => QuantQuery(es(0), es(1))),
     ("graft_nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-      (es: Seq[Expression]) => NfcNormalize(es(0))))
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
+    ("graft_bpe_encode",
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (es: Seq[Expression]) => BpeEncode(es(0), es(1))))
 
   /** Idempotent: make graft_* functions available in `spark`'s registry. */
   def register(spark: SparkSession): Unit =
@@ -89,5 +92,15 @@ object GraftExtensions {
 
   def graftNfc(spark: SparkSession, s: Column): Column = {
     register(spark); call_function("graft_nfc", s)
+  }
+
+  /** Native BPE encode with a learned merge table bound as a typed
+    * literal — the tokenizer-scale path ([[BpeEncode]]); output shape
+    * matches `Bpe.encode` exactly. */
+  def graftBpeEncode(spark: SparkSession, text: Column,
+      merges: Seq[(Int, String, String)]): Column = {
+    register(spark)
+    call_function("graft_bpe_encode", text,
+      org.apache.spark.sql.functions.typedlit(merges))
   }
 }

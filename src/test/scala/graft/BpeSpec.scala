@@ -113,6 +113,65 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_bpe_encode equals the fold encoder (incl. unseen words)") {
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
+    val in = Seq("lowest low newest", "wide widest lower", "straße café 東京")
+      .toDF("text")
+    def collectToks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getSeq[scala.collection.Seq[String]](0).map(_.toList).toList).toList
+    val fold = collectToks(in.select(Bpe.encode(col("text"), merges).as("t")))
+    val native = collectToks(in.select(Bpe.encodeNative(spark, col("text"), merges).as("t")))
+    assert(native == fold)
+  }
+
+  test("native encoder matches the fold on collision-prone corpora and tables") {
+    // tables learned from small alphabets maximize merge-symbol
+    // collisions ("ab"+"c" vs "a"+"bc" both spelling "abc") — the case
+    // where the native min-rank loop must fall back to the literal
+    // rank-order passes to stay bit-equal
+    val corpora = Seq(
+      "abc abc abc ab bc a b c abcabc",
+      "aa aa ab ab ba ba aab aba bab bb",
+      "deed deep peed pede deedeep",
+      "aaa aaaa aaaaa aa a")
+    for (c <- corpora) {
+      val df = Seq(c).toDF("text")
+      val merges = Bpe.learnMerges(df, "text", numMerges = 10)
+      val probe = Seq(c, c.reverse, "aabbaabb abcabc deedpede").toDF("text")
+      def collectToks(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.getSeq[scala.collection.Seq[String]](0).map(_.toList).toList).toList
+      val fold = collectToks(probe.select(Bpe.encode(col("text"), merges).as("t")))
+      val native = collectToks(probe.select(Bpe.encodeNative(spark, col("text"), merges).as("t")))
+      assert(native == fold, s"divergence on corpus '$c'")
+    }
+  }
+
+  test("native encoder handles a table far past the fold's codegen reach") {
+    // 200+ learned rules from the real fixture: the single-projection
+    // fold would nest 200 aggregate() folds (planner-hostile); the
+    // native expression binds the table once — verify against the STAGED
+    // fold encoder, which is exact at any size
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("text").limit(120)
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 200, batchSize = 32)
+    // the 120-doc fixture slice exhausts its pair space around ~105 rules
+    // — still far past what a single-projection fold could plan
+    assert(merges.size >= 100)
+    val probe = docs.limit(12)
+    val staged = Bpe.encodeTable(probe, "text", "toks", merges, stageEvery = 40)
+      .select(col("text"), col("toks"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toList).toList).toMap
+    val native = probe
+      .select(col("text"), Bpe.encodeNative(spark, col("text"), merges).as("toks"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toList).toList).toMap
+    assert(native == staged)
+    // and it's SQL-surfaced: registered function name resolves
+    assert(spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_encode")))
+  }
+
   test("encodeTable staged encoding equals the single-projection encode") {
     val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
     val in = Seq("lowest low newest", "wide widest lower").toDF("text")
