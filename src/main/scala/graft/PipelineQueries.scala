@@ -615,6 +615,27 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    "q_bpe_apply" -> ((s, dir) => {
+      // the NATIVE BPE encoder (graft_bpe_encode, round 13) end-to-end
+      // under the oracle: a fixed two-rule merge table whose effect is
+      // SQL-predictable — (e,</w>) then (s,</w>) each absorb the
+      // end-of-word marker into a final letter, so per word the token
+      // count is codepoints + 1 − (ends in e or s). DuckDB re-derives
+      // the counts from the raw text with the same Unicode word split;
+      // equality proves the expression's split/lowercase/merge pipeline
+      // (not just the arithmetic) on real multilingual text.
+      val merges = Seq((0, "e", graft.operators.Bpe.EndOfWord),
+        (1, "s", graft.operators.Bpe.EndOfWord))
+      val toks = graft.operators.Bpe.encodeNative(s, col("text"), merges)
+      rd(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("int").as("n_words"),
+          aggregate(col("toks"), lit(0),
+            (acc, w) => acc + size(w)).cast("int").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_embed_ivf" -> ((s, dir) => {
       // IVF probe at nProbe = k (round 4): the full machinery runs —
       // LSH-seeded Lloyd quantizer, cell assignment, cell ranking, probe
@@ -2446,6 +2467,20 @@ object PipelineQueries {
            CAST(len(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]')) AS INT) AS n_bpe,
            array_to_string(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'), '|') AS toks
          FROM events ORDER BY event_id""",
+    // the fixed 2-rule BPE table: tokens per word = codepoints + 1
+    // - (word ends in e or s); counts re-derived from raw text
+    "q_bpe_apply" ->
+      """WITH w AS (
+           SELECT doc_id, UNNEST(regexp_split_to_array(lower(text),
+             '[^\p{L}\p{N}]+')) AS wd
+           FROM documents)
+         SELECT doc_id,
+           CAST(COUNT(*) FILTER (wd <> '') AS INT) AS n_words,
+           CAST(COALESCE(SUM(CASE WHEN wd = '' THEN 0
+             ELSE length(wd) + 1 -
+               (CASE WHEN wd LIKE '%e' OR wd LIKE '%s' THEN 1 ELSE 0 END)
+             END), 0) AS INT) AS n_tokens
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
     "q_embed_topk" ->
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
          qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nq

@@ -139,8 +139,9 @@ object Streams {
    * the identical file layout the batch writer would.
    */
   def parquetSink(df: DataFrame, outPath: String, checkpoint: String,
-      opts: graft.sources.ParquetIO.WriteOptions = graft.sources.ParquetIO.WriteOptions()): StreamingQuery =
-    df.writeStream
+      opts: graft.sources.ParquetIO.WriteOptions = graft.sources.ParquetIO.WriteOptions(),
+      availableNow: Boolean = false): StreamingQuery = {
+    val w = df.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         batch.write
@@ -149,7 +150,16 @@ object Streams {
           .option("parquet.block.size", opts.rowGroupBytes.toString)
           .parquet(outPath)
       }
+    // Trigger.AvailableNow (round 13): process EVERYTHING currently
+    // available, then stop — the scheduled-incremental shape a 100 TB
+    // pipeline actually runs nightly (stream semantics + checkpointed
+    // exactly-once pickup, batch-job lifecycle; re-launching with the
+    // same checkpoint consumes only what arrived since).
+    (if (availableNow)
+       w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+     else w)
       .start()
+  }
 
   /**
    * CDC-style streaming MERGE sink: every micro-batch upserts into a

@@ -36,4 +36,31 @@ class StreamingIngestSpec extends AnyFunSuite {
         "no below-threshold doc leaks past the gate")
     } finally q.stop()
   }
+
+  test("AvailableNow sink drains, stops itself, and picks up only the delta on relaunch") {
+    // the scheduled-incremental shape (round 13): run 1 lands everything
+    // present and terminates on its own; new files arrive; run 2 with the
+    // SAME checkpoint lands exactly the delta — checkpointed exactly-once
+    // pickup with batch-job lifecycle.
+    val base = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    def write(ids: Range, f: String): Unit = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+        .coalesce(1).write.parquet(s"$base/in/$f")
+    }
+    write(1 to 30, "f0")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    def launch() = Streams.parquetSink(
+      spark.readStream.schema(schema).parquet(s"$base/in/*"),
+      s"$base/out", s"$base/ckpt", availableNow = true)
+    val q1 = launch()
+    assert(q1.awaitTermination(120000), "AvailableNow run 1 must stop on its own")
+    assert(spark.read.parquet(s"$base/out").count() == 30)
+    write(31 to 45, "f1")
+    val q2 = launch()
+    assert(q2.awaitTermination(120000), "AvailableNow run 2 must stop on its own")
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.count() == 45, "relaunch must land ONLY the 15 new rows (no re-read)")
+    assert(landed.select("id").distinct().count() == 45)
+  }
 }
