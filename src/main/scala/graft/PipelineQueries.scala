@@ -1264,6 +1264,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_image_dedup" -> ((s, dir) => {
+      // IMAGE near-dup via perceptual average-hash (round 13) — the
+      // multimodal member of the dedup family: every doc gets a real PNG
+      // (deterministic pixels, collision-spread formula) and every 7th
+      // doc a NOISY TWIN (+3 on every 37th pixel, clamped); the pipeline
+      // decodes through javax.imageio, computes the integer-exact 8×8
+      // aHash, and mines Hamming ≤ 6 pairs through the pigeonhole banded
+      // bucket join (Σf² cost, recall 1.0 by construction). PNG
+      // losslessness + integer hash arithmetic let the DuckDB oracle
+      // re-derive every hash BIT from the pixel formula and enumerate
+      // the same pairs — a full-oracle gate on a codec-backed perceptual
+      // dedup path. Twins land at hamming 0–3; byte-identical hashing
+      // would have called them distinct images.
+      import graft.operators.Multimodal
+      val corpus = Multimodal.attachPngCorpus(rd(s, dir, "documents").select(col("doc_id")))
+      val hashes = graft.operators.Materialize.viaParquet(
+        Multimodal.imageAHash(corpus), "img_ahash")
+      Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_merge_evolution" -> ((s, dir) => {
       // the namesake file-merge under SCHEMA DRIFT (round 12) — the shape
       // a long-lived lake actually has: files written months apart differ
@@ -2797,6 +2818,36 @@ object PipelineQueries {
            CAST(len(list_filter(bl, x -> x = 10)) AS INT) AS c_b10,
            CAST(len(list_filter(bl, x -> x = 15)) AS INT) AS c_b15
          FROM bins ORDER BY doc_id""",
+    // image near-dup: every aHash BIT re-derived from the pixel formula
+    // (integer block sums, strict 64*sum_b > total), pairs by exact
+    // hamming <= 6 enumeration (bounded corpus: n^2 popcounts)
+    "q_image_dedup" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+         imgs AS (
+           SELECT d AS id, d, 0 AS noisy FROM ids
+           UNION ALL
+           SELECT d + 1000000, d, 1 FROM ids WHERE d % 7 = 0),
+         px AS (
+           SELECT id,
+             CASE WHEN noisy = 1 AND i % 37 = 0
+               THEN LEAST(255, (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7)) % 256 + 3)
+               ELSE (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7)) % 256 END AS p,
+             ((i // 32) // 2) * 8 + (i % 32) // 4 AS b
+           FROM imgs, (SELECT UNNEST(range(0, 512)) AS i) ii),
+         bs AS (SELECT id, b, SUM(p) AS s FROM px GROUP BY id, b),
+         tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
+         bits AS (
+           SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
+           FROM bs JOIN tot ON bs.id = tot.id),
+         hs AS (SELECT id,
+             SUM(CASE WHEN b < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+             SUM(CASE WHEN b >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+           FROM bits GROUP BY id)
+         SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+         FROM hs a JOIN hs b2 ON a.id < b2.id
+         WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6
+         ORDER BY id_a, id_b""",
     // identical arithmetic to ParquetIO.withZValue on (o_custkey,
     // o_orderkey): equal-width buckets in [0, 2^15) over each key's
     // [min, max] (double division BEFORE the *32768 multiply, matching

@@ -194,6 +194,25 @@ object ProfileScale100 {
       }
     }
 
+    if (which("textdedup")) {
+      // round 13: the two REGISTERED text-dedup escape paths at 100× —
+      // the shapes the simhash docstring tells users to switch to past
+      // ~10⁵ docs. PPJoin prefix at t=0.8 (exact, recall guaranteed by
+      // Lemma 1) and the Δ×corpus incremental flags (5 k new docs vs
+      // the 495 k standing corpus — the nightly ingest shape).
+      val docs = spark.read.parquet(s"$Sf10Dir/documents.parquet")
+      val nPrefix = time("jaccardPairsThresholded t=0.8 (500k docs)") {
+        Dedup.jaccardPairsThresholded(docs, "doc_id", "text", minJaccard = 0.8).count()
+      }
+      println(s"[scale100] ppjoin pairs(>=0.8)=$nPrefix")
+      val newDocs = docs.filter(col("doc_id") < 10000000L)   // replica 0: 5k docs
+      val corpus = docs.filter(col("doc_id") >= 10000000L)   // replicas 1..99
+      val nInc = time("incrementalDedupFlags 5k vs 495k") {
+        Dedup.incrementalDedupFlags(newDocs, corpus, "doc_id", "text").count()
+      }
+      println(s"[scale100] incremental flags rows=$nInc")
+    }
+
     if (which("imirecall")) {
       // round-13 (r12 verdict ask #4): the IMI assignment curve at 100×.
       // Reference = EXACT cos ≥ 0.9 pairs for a deterministic 1/1009

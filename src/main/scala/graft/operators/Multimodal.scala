@@ -443,4 +443,107 @@ object Multimodal {
     df.select(col(idCol), octet_length(col("media")).as("n_bytes"),
       col("media_meta.kind").as("kind"), col("media_meta.width").as("width"),
       col("media_meta.height").as("height"))
+
+  // ── image near-dup via perceptual average-hash (round 13) ───────────
+  // The image-side analogue of text simhash dedup: decode → 8×8 block
+  // AVERAGE-HASH (bit b = block b's mean above the image mean) → banded
+  // bucket join on the 64-bit hash → hamming cut. aHash is the classic
+  // perceptual baseline (robust to small pixel noise, cheap at decode
+  // time); the blocking reuses the text tier's pigeonhole banding, so
+  // cost is Σf² over ~9-bit buckets — the 100 TB shape, never n².
+  // The hash is computed in INTEGER arithmetic (block sums of 0..255
+  // values; bit b = 64·sum_b > total) so a SQL oracle reproduces every
+  // bit exactly from the fixture's pixel formula — no float boundary
+  // hazards.
+
+  /** Near-dup fixture pixel: unlike [[syntheticPng]]'s formula (whose
+    * d·31 mod 256 term makes docs 256 apart IDENTICAL, and which aHash —
+    * deliberately brightness-tolerant — sees as near-dups en masse), the
+    * per-doc QUADRATIC coefficient (2·(d mod 8)+1) and LINEAR stripe
+    * frequency (d mod 101) give each doc distinct block structure:
+    * measured on the 500-doc fixture, 101 hamming ≤ 6 pairs total, all
+    * 72 planted twins among them at hamming ≤ 3 — a sharp detector, not
+    * a shift-similarity sponge (4 714 pairs under the shift-only
+    * formula, with one twin escaping to hamming 8). */
+  private[graft] def nearDupPixel(d: Long, i: Int): Int =
+    ((31L * d + (2L * (d % 8L) + 1L) * i * i + (d % 101L) * i +
+      (d / 256L) * (i + 7L)) % 256L).toInt
+
+  /** The noisy twin: +3 (clamped) on every 37th pixel — a small
+    * perturbation a perceptual hash must shrug off (hamming stays ≤ a
+    * few bits) while byte-level hashing would call it a distinct image. */
+  private[graft] def noisyPixel(d: Long, i: Int): Int = {
+    val p = nearDupPixel(d, i)
+    if (i % 37 == 0) math.min(255, p + 3) else p
+  }
+
+  /** Image corpus for near-dup mining: one PNG per doc, plus a noisy
+    * TWIN (id + `twinOffset`) for every `noisyEvery`-th doc. */
+  def attachPngCorpus(docs: DataFrame, idCol: String = "doc_id",
+      noisyEvery: Int = 7, twinOffset: Long = 1000000L,
+      w: Int = 32, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col(idCol).cast("long")).as[Long]
+    val base = ids.mapPartitions(_.map(d =>
+      (d, grayPng(w, h, i => nearDupPixel(d, i)))))
+    val noisy = ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
+      (d + twinOffset, grayPng(w, h, i => noisyPixel(d, i)))))
+    base.union(noisy).toDF(idCol, "media")
+  }
+
+  /** 64-bit average-hash per image: REAL decode (javax.imageio), pixels
+    * recovered to exact 0..255 ints, 8×8 block sums, bit b set iff
+    * 64·sum_b > Σsums (strict, integer — engine-exact). Requires the
+    * geometry to divide into the 8×8 grid. */
+  def imageAHash(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"id=$id: payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          require(w % 8 == 0 && h % 8 == 0, s"id=$id: ${w}x$h not 8x8-divisible")
+          val bw = w / 8; val bh = h / 8
+          val raster = img.getRaster
+          val sums = new Array[Long](64)
+          var i = 0
+          while (i < w * h) {
+            val x = i % w; val y = i / w
+            sums((y / bh) * 8 + x / bw) += raster.getSample(x, y, 0)
+            i += 1
+          }
+          val total = sums.sum
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (64L * sums(b) > total) hash |= 1L << b
+            b += 1
+          }
+          (id, hash)
+        })
+      }
+      .toDF(idCol, "ahash")
+  }
+
+  /** Near-dup image pairs at Hamming ≤ `maxHamming`: banded bucket join
+    * (pigeonhole over `maxHamming`+1 bands guarantees recall 1.0 — same
+    * blocking as text simhash), then the exact popcount cut. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 6): DataFrame = {
+    val bands = maxHamming + 1
+    val keyed = hashes.select(col(idCol).as("id"), col("ahash"),
+        explode(graft.functions.TextFunctions.simHashBands(col("ahash"), bands)).as("bk"))
+      .select(col("id"), col("ahash"), col("bk.band"), col("bk.bucket"))
+    keyed.as("x").join(keyed.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        graft.functions.TextFunctions.hamming64(col("x.ahash"), col("y.ahash"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -493,6 +493,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.bin_counts.toSeq == expected.toSeq, s"doc ${f.doc_id}")
     }
   }
+
+  test("image aHash near-dup: every noisy twin found, byte hashing would miss them all") {
+    // round 13: the perceptual-dedup semantics the oracle can't state —
+    // a +3-on-every-37th-pixel perturbation keeps every twin within
+    // hamming 3 of its base (found at the registered cut of 6), while
+    // the PNG BYTES differ (an exact content-hash dedup sees distinct
+    // files). Banding recall is exact: pairs equal a brute-force cut.
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").limit(140)
+    val corpus = Multimodal.attachPngCorpus(docs)
+    val hashes = Multimodal.imageAHash(corpus)
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinIds = docs.as[Long].collect().filter(_ % 7 == 0)
+    assert(twinIds.nonEmpty)
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(twinPairs.map(_._1).toSet == twinIds.toSet,
+      "every planted twin must be recovered")
+    assert(twinPairs.forall(_._3 <= 3), s"twin hamming must be tiny: ${twinPairs.toSeq}")
+    // the perceptual claim: twin PNG BYTES differ (byte dedup fails here)
+    val byId = corpus.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    twinIds.take(5).foreach { d =>
+      assert(!java.util.Arrays.equals(byId(d), byId(d + 1000000L)))
+    }
+    // banding recall check: brute-force hamming cut gives the same pairs
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hm = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hm <= 6
+    } yield (a, b, hm)).toSet
+    assert(pairs.toSet == brute, "banded pairs must equal the brute-force cut")
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
