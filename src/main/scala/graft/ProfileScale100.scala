@@ -213,6 +213,23 @@ object ProfileScale100 {
       println(s"[scale100] incremental flags rows=$nInc")
     }
 
+    if (which("image")) {
+      // round 13: the perceptual image-dedup tier at 100× — 500 k docs
+      // ⇒ 571 k PNGs (noisy twins included). The cost profile is decode
+      // + hash (linear, the dominant term: one real ImageIO decode per
+      // image) then the banded bucket join (Σf² over ~9-bit buckets).
+      import graft.operators.Multimodal
+      val docs = spark.read.parquet(s"$Sf10Dir/documents.parquet").select("doc_id")
+      val corpus = Multimodal.attachPngCorpus(docs)
+      val hashes = time("imageAHash (571k PNGs encode+decode+hash)") {
+        Materialize.viaParquet(Multimodal.imageAHash(corpus), "s100_ahash")
+      }
+      val n = time("imageNearDupPairs hamming<=6") {
+        Multimodal.imageNearDupPairs(hashes, maxHamming = 6).count()
+      }
+      println(s"[scale100] image near-dup pairs=$n")
+    }
+
     if (which("imirecall")) {
       // round-13 (r12 verdict ask #4): the IMI assignment curve at 100×.
       // Reference = EXACT cos ≥ 0.9 pairs for a deterministic 1/1009

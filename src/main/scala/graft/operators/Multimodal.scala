@@ -478,7 +478,8 @@ object Multimodal {
   }
 
   /** Image corpus for near-dup mining: one PNG per doc, plus a noisy
-    * TWIN (id + `twinOffset`) for every `noisyEvery`-th doc. */
+    * TWIN (id + `twinOffset`) for every `noisyEvery`-th doc
+    * (`noisyEvery` ≤ 0 ⇒ no twins). */
   def attachPngCorpus(docs: DataFrame, idCol: String = "doc_id",
       noisyEvery: Int = 7, twinOffset: Long = 1000000L,
       w: Int = 32, h: Int = 16): DataFrame = {
@@ -487,9 +488,12 @@ object Multimodal {
     val ids = docs.select(col(idCol).cast("long")).as[Long]
     val base = ids.mapPartitions(_.map(d =>
       (d, grayPng(w, h, i => nearDupPixel(d, i)))))
-    val noisy = ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
-      (d + twinOffset, grayPng(w, h, i => noisyPixel(d, i)))))
-    base.union(noisy).toDF(idCol, "media")
+    val withTwins =
+      if (noisyEvery <= 0) base
+      else base.union(
+        ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
+          (d + twinOffset, grayPng(w, h, i => noisyPixel(d, i))))))
+    withTwins.toDF(idCol, "media")
   }
 
   /** 64-bit average-hash per image: REAL decode (javax.imageio), pixels

@@ -278,6 +278,59 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming IMAGE dedup (round 13): each arriving image is decoded,
+   * average-hashed, and flagged against the STANDING corpus's hash
+   * table (is_dup = some corpus image within `maxHamming`, dup_of = the
+   * closest such neighbor — lowest hamming, then lowest id). The corpus
+   * is hashed ONCE at sink creation (a spilled 16-byte/row artifact —
+   * the decode never re-runs); each micro-batch pays its own |Δ|
+   * decodes plus the banded bucket join against the standing hashes —
+   * Δ×corpus through Σf² buckets, never |Δ|·n. The batch analogue is
+   * the oracle-gated q_image_dedup; the vector analogue
+   * [[semanticDedupSink]]; the text analogue [[contentDedupStream]].
+   */
+  def imageDedupSink(newImages: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String = "doc_id", mediaCol: String = "media",
+      maxHamming: Int = 6): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, explode, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val bands = maxHamming + 1
+    val corpusHashes = graft.operators.Materialize.viaParquet(
+      graft.operators.Multimodal.imageAHash(corpus, idCol, mediaCol)
+        .select(col(idCol).as("nbr"), col("ahash").as("nbr_hash")),
+      "img_sink_corpus")
+    val corpusKeyed = corpusHashes.select(col("nbr"), col("nbr_hash"),
+        explode(graft.functions.TextFunctions.simHashBands(col("nbr_hash"), bands)).as("bk"))
+      .select(col("nbr"), col("nbr_hash"), col("bk.band"), col("bk.bucket"))
+    newImages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bh = graft.operators.Multimodal.imageAHash(batch.toDF(), idCol, mediaCol)
+        val bKeyed = bh.select(col(idCol).as("id"), col("ahash"),
+            explode(graft.functions.TextFunctions.simHashBands(col("ahash"), bands)).as("bk"))
+          .select(col("id"), col("ahash"), col("bk.band"), col("bk.bucket"))
+        val hits = bKeyed.join(corpusKeyed, Seq("band", "bucket"))
+          .select(col("id"),
+            graft.functions.TextFunctions.hamming64(col("ahash"), col("nbr_hash"))
+              .cast("int").as("hamming"), col("nbr"))
+          .filter(col("hamming") <= maxHamming)
+          .distinct()
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("hamming"), col("nbr"))
+        val best = hits.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        bh.select(col(idCol).as("id"))
+          .join(best, Seq("id"), "left")
+          .select(col("id"),
+            col("nbr").isNotNull.cast("int").as("is_dup"),
+            col("nbr").as("dup_of"), col("hamming"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   /** The generation directory `_CURRENT` points at, if the table exists.
     * Hadoop-FS read (round-13 port) — works against hdfs://s3a://file:. */
   def currentGeneration(tableDir: String): Option[String] =

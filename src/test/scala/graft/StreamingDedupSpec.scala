@@ -32,6 +32,39 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(got.groupBy(sha2(col("text"), 256)).count().filter(col("count") > 1).count() == 0)
     } finally q.stop()
   }
+
+  test("streaming image dedup flags noisy twins against the standing corpus") {
+    import graft.operators.Multimodal
+    // standing corpus: base images of docs 0..99; arriving batch: noisy
+    // TWINS of every 7th doc (perceptual dups) + fresh images of docs
+    // 200..239 (unseen — must not flag)
+    val ids = (0L until 100L).toDF("doc_id")
+    val corpus = Multimodal.attachPngCorpus(ids, noisyEvery = 0)
+    val twins = Multimodal.attachPngCorpus(
+        ids.filter(col("doc_id") % 7 === 0), noisyEvery = 1)
+      .filter(col("doc_id") >= 1000000L) // keep only the noisy twins
+    val fresh = Multimodal.attachPngCorpus(
+      (300L until 340L).toDF("doc_id"), noisyEvery = 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-imgdd").toString
+    twins.unionByName(fresh).write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val q = Streams.imageDedupSink(
+      spark.readStream.schema(schema).parquet(s"$base/in"),
+      corpus, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 15 + 40) // 15 twins (0,7,...,98) + 40 fresh
+    val dups = out.filter(col("is_dup") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    // every twin flags, pointing at ITS base image, within tiny hamming
+    assert(dups.map(_._1).sorted.toSeq ==
+      (0L until 100L by 7L).map(_ + 1000000L).sorted.toSeq)
+    assert(dups.forall { case (id, dupOf, hm) => dupOf == id - 1000000L && hm <= 3 },
+      s"twins must resolve to their base: ${dups.toSeq}")
+    // fresh images never flag
+    assert(out.filter(col("id") >= 300L && col("id") < 340L)
+      .filter(col("is_dup") === 1).count() == 0)
+  }
 }
 
 /** CDC ingest: micro-batches MERGE into keyed generations; _CURRENT
