@@ -1285,6 +1285,24 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_audio_dedup" -> ((s, dir) => {
+      // AUDIO near-dup via perceptual energy-hash (round 13) — the audio
+      // member of the dedup family, completing the modality matrix
+      // (text/vector/image/audio): every doc gets a real 768-sample WAV,
+      // every 7th a noisy twin (+50 on every 37th sample, clamped); the
+      // pipeline decodes through javax.sound.sampled, hashes 64 block
+      // |amplitude| energies (integer-exact bits), and mines Hamming ≤ 6
+      // pairs through the shared banded join. WAV PCM losslessness +
+      // integer arithmetic let DuckDB re-derive every bit from the
+      // sample formula. Twins land at hamming ≤ 1.
+      import graft.operators.Multimodal
+      val corpus = Multimodal.attachWavCorpus(rd(s, dir, "documents").select(col("doc_id")))
+      val hashes = graft.operators.Materialize.viaParquet(
+        Multimodal.audioEnergyHash(corpus), "aud_ehash")
+      Multimodal.nearDupPairsByHash(hashes, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_merge_evolution" -> ((s, dir) => {
       // the namesake file-merge under SCHEMA DRIFT (round 12) — the shape
       // a long-lived lake actually has: files written months apart differ
@@ -2835,6 +2853,37 @@ object PipelineQueries {
              ((i // 32) // 2) * 8 + (i % 32) // 4 AS b
            FROM imgs, (SELECT UNNEST(range(0, 512)) AS i) ii),
          bs AS (SELECT id, b, SUM(p) AS s FROM px GROUP BY id, b),
+         tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
+         bits AS (
+           SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
+           FROM bs JOIN tot ON bs.id = tot.id),
+         hs AS (SELECT id,
+             SUM(CASE WHEN b < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+             SUM(CASE WHEN b >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+           FROM bits GROUP BY id)
+         SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+         FROM hs a JOIN hs b2 ON a.id < b2.id
+         WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6
+         ORDER BY id_a, id_b""",
+    // audio near-dup: every energy-hash BIT re-derived from the 16-bit
+    // PCM sample formula (block |amplitude| sums, strict 64*sum_b > t)
+    "q_audio_dedup" ->
+      """WITH ids AS (SELECT doc_id AS d FROM documents),
+         clips AS (
+           SELECT d AS id, d, 0 AS noisy FROM ids
+           UNION ALL
+           SELECT d + 1000000, d, 1 FROM ids WHERE d % 7 = 0),
+         sm AS (
+           SELECT id,
+             CASE WHEN noisy = 1 AND i % 37 = 0
+               THEN LEAST(32767,
+                 (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i) % 65536 - 32768 + 50)
+               ELSE (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i) % 65536 - 32768
+             END AS v,
+             i // 12 AS b
+           FROM clips, (SELECT UNNEST(range(0, 768)) AS i) ii),
+         bs AS (SELECT id, b, SUM(ABS(v)) AS s FROM sm GROUP BY id, b),
          tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
          bits AS (
            SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit

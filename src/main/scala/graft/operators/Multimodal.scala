@@ -254,11 +254,17 @@ object Multimodal {
       .filter(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)).toList
   }
 
-  def syntheticWav(docId: Long, nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] = {
+  def syntheticWav(docId: Long, nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] =
+    pcmWav(nSamples, sampleRate,
+      i => (((docId * 131 + i.toLong * i * 7) % 65536) - 32768).toInt)
+
+  /** Encode 16-bit LE mono PCM from a sample formula through the REAL
+    * WAV writer (the audio analogue of [[grayPng]]). */
+  private def pcmWav(nSamples: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
     val pcm = new Array[Byte](nSamples * 2)
     var i = 0
     while (i < nSamples) {
-      val s = (((docId * 131 + i.toLong * i * 7) % 65536) - 32768).toInt
+      val s = sample(i)
       pcm(2 * i) = (s & 0xff).toByte
       pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1
@@ -533,21 +539,101 @@ object Multimodal {
       .toDF(idCol, "ahash")
   }
 
-  /** Near-dup image pairs at Hamming ≤ `maxHamming`: banded bucket join
-    * (pigeonhole over `maxHamming`+1 bands guarantees recall 1.0 — same
-    * blocking as text simhash), then the exact popcount cut. */
-  def imageNearDupPairs(hashes: DataFrame, idCol: String = "doc_id",
-      maxHamming: Int = 6): DataFrame = {
+  /** Near-dup pairs at Hamming ≤ `maxHamming` over any 64-bit
+    * perceptual hash column: banded bucket join (pigeonhole over
+    * `maxHamming`+1 bands guarantees recall 1.0 — same blocking as text
+    * simhash), then the exact popcount cut. Shared by the image and
+    * audio tiers. */
+  def nearDupPairsByHash(hashes: DataFrame, idCol: String = "doc_id",
+      hashCol: String = "ahash", maxHamming: Int = 6): DataFrame = {
     val bands = maxHamming + 1
-    val keyed = hashes.select(col(idCol).as("id"), col("ahash"),
-        explode(graft.functions.TextFunctions.simHashBands(col("ahash"), bands)).as("bk"))
-      .select(col("id"), col("ahash"), col("bk.band"), col("bk.bucket"))
+    val keyed = hashes.select(col(idCol).as("id"), col(hashCol).as("__h"),
+        explode(graft.functions.TextFunctions.simHashBands(col(hashCol), bands)).as("bk"))
+      .select(col("id"), col("__h"), col("bk.band"), col("bk.bucket"))
     keyed.as("x").join(keyed.as("y"), Seq("band", "bucket"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        graft.functions.TextFunctions.hamming64(col("x.ahash"), col("y.ahash"))
+        graft.functions.TextFunctions.hamming64(col("x.__h"), col("y.__h"))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Near-dup image pairs — [[nearDupPairsByHash]] over [[imageAHash]]. */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 6): DataFrame =
+    nearDupPairsByHash(hashes, idCol, "ahash", maxHamming)
+
+  // ── audio near-dup via energy-hash (round 13) ────────────────────────
+  // The audio member of the perceptual-dedup family: 64-block |amplitude|
+  // ENERGY hash (bit b = block b's energy above the clip mean — the
+  // audio analogue of the image aHash, robust to small amplitude
+  // perturbation), integer-exact so the SQL oracle re-derives every bit.
+
+  /** Audio near-dup fixture sample — the per-doc quadratic coefficient
+    * and stripe term play the same collision-spreading role as in
+    * [[nearDupPixel]] (measured on 500 docs: 104 hamming ≤ 6 pairs, all
+    * 72 planted twins at hamming ≤ 1). */
+  private[graft] def nearDupSample(d: Long, i: Int): Int =
+    (((131L * d + (2L * (d % 8L) + 1L) * 7L * i * i + (d % 101L) * i)
+      % 65536L) - 32768L).toInt
+
+  /** The noisy audio twin: +50 (clamped) on every 37th sample. */
+  private[graft] def noisySample(d: Long, i: Int): Int = {
+    val v = nearDupSample(d, i)
+    if (i % 37 == 0) math.min(32767, v + 50) else v
+  }
+
+  /** Audio corpus for near-dup mining: one WAV per doc (`nSamples` must
+    * divide into 64 blocks), plus a noisy twin per `noisyEvery`-th doc
+    * (`noisyEvery` ≤ 0 ⇒ no twins). */
+  def attachWavCorpus(docs: DataFrame, idCol: String = "doc_id",
+      noisyEvery: Int = 7, twinOffset: Long = 1000000L,
+      nSamples: Int = 768, sampleRate: Int = 16000): DataFrame = {
+    require(nSamples % 64 == 0, s"nSamples=$nSamples must be divisible into 64 blocks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col(idCol).cast("long")).as[Long]
+    val base = ids.mapPartitions(_.map(d =>
+      (d, pcmWav(nSamples, sampleRate, i => nearDupSample(d, i)))))
+    val withTwins =
+      if (noisyEvery <= 0) base
+      else base.union(
+        ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
+          (d + twinOffset, pcmWav(nSamples, sampleRate, i => noisySample(d, i))))))
+    withTwins.toDF(idCol, "media")
+  }
+
+  /** 64-bit energy-hash per clip: REAL decode (javax.sound.sampled),
+    * 64 block sums of |sample|, bit b set iff 64·sum_b > Σsums (strict,
+    * integer — engine-exact). */
+  def audioEnergyHash(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val samples = decodeWav(bytes)
+          require(samples.length % 64 == 0,
+            s"id=$id: ${samples.length} samples not divisible into 64 blocks")
+          val bs = samples.length / 64
+          val sums = new Array[Long](64)
+          var i = 0
+          while (i < samples.length) {
+            sums(i / bs) += math.abs(samples(i))
+            i += 1
+          }
+          val total = sums.sum
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (64L * sums(b) > total) hash |= 1L << b
+            b += 1
+          }
+          (id, hash)
+        })
+      }
+      .toDF(idCol, "ahash")
   }
 }

@@ -525,6 +525,29 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (a, b, hm)).toSet
     assert(pairs.toSet == brute, "banded pairs must equal the brute-force cut")
   }
+
+  test("audio energy-hash near-dup: noisy twins found, real WAV decode, banding exact") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").limit(140)
+    val corpus = Multimodal.attachWavCorpus(docs)
+    // payloads are genuine RIFF/WAVE streams
+    val one = corpus.limit(1).collect()(0).getAs[Array[Byte]](1)
+    assert(new String(one.take(4), "US-ASCII") == "RIFF")
+    val hashes = Multimodal.audioEnergyHash(corpus)
+    val pairs = Multimodal.nearDupPairsByHash(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinIds = docs.as[Long].collect().filter(_ % 7 == 0)
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(twinPairs.map(_._1).toSet == twinIds.toSet,
+      "every planted audio twin must be recovered")
+    assert(twinPairs.forall(_._3 <= 1), s"audio twin hamming must be <= 1: ${twinPairs.toSeq}")
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hm = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hm <= 6
+    } yield (a, b, hm)).toSet
+    assert(pairs.toSet == brute, "banded pairs must equal the brute-force cut")
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
