@@ -59,7 +59,7 @@ object PipelineQueries {
   }
 
   /** DuckDB mirror of [[clusteredEmbeddings]] — CTEs `nc` and `corpus`. */
-  private val ClusteredCorpusSql =
+  private[graft] val ClusteredCorpusSql =
     """nc AS (SELECT CAST(CEIL(COUNT(*) / 20.0) AS BIGINT) AS nc FROM embeddings),
        corpus AS (
          SELECT e.vec_id, e.label,
@@ -347,14 +347,16 @@ object PipelineQueries {
     }),
 
     "q_dedup_simhash" -> ((s, dir) => {
-      // SimHash candidates, exact-verified (round 4). Recall at the 0.9
-      // threshold is GUARANTEED, not just measured: 13 bands over 64 bits
-      // collide by pigeonhole for any pair at Hamming ≤ 12, and every
-      // jaccard ≥ 0.9 pair sits at Hamming ≤ 11 on this corpus (measured
-      // at both SFs, ProfileOracleSix; the round-2 radius of 8 provably
-      // missed the h = 9..11 tail) — so the verified output equals the
-      // exact pair set and the query is DuckDB-oracle-checked. One spilled
-      // shingle index feeds signatures and verification.
+      // SimHash candidates, exact-verified (round 4; radius re-measured
+      // round 13). Recall at the 0.9 threshold: 15 bands over 64 bits
+      // collide by pigeonhole for any pair at Hamming ≤ 14, and the
+      // MEASURED jaccard ≥ 0.9 tail reaches h = 13–14 at sf1 (7 of 2490
+      // pairs — the round-12 radius of 12 missed them; the round-2
+      // radius of 8 missed the h = 9..11 tail before that; calibrations
+      // are per-corpus-SCALE, see Dedup.simHashPairs) — so the verified
+      // output equals the exact pair set at both gate SFs and the query
+      // is DuckDB-oracle-checked. One spilled shingle index feeds
+      // signatures and verification.
       val docs = rd(s, dir, "documents")
       val idx = Materialize.viaParquet(
         Dedup.shingleIndex(docs, "doc_id", "text", 3), "sh_idx")

@@ -139,15 +139,10 @@ object SampledQueries {
          SELECT id_a, id_b$pred
          FROM comp $tail"""
 
-  private val ClusteredCorpusSql =
-    """nc AS (SELECT CAST(CEIL(COUNT(*) / 20.0) AS BIGINT) AS nc FROM embeddings),
-       corpus AS (
-         SELECT e.vec_id, e.label,
-           list_transform(range(1, len(e.embedding) + 1),
-             i -> CAST(CAST(a.embedding[i] AS DOUBLE)
-                     + 0.1 * CAST(e.embedding[i] AS DOUBLE) AS FLOAT)) AS embedding
-         FROM embeddings e CROSS JOIN nc
-         JOIN embeddings a ON a.vec_id = (e.vec_id % nc.nc))"""
+  // ONE definition of the clustered-corpus SQL mirror (round-13 review:
+  // this was a verbatim copy of PipelineQueries' — three coupled
+  // definitions of the same construction is how gates silently drift)
+  private val ClusteredCorpusSql = PipelineQueries.ClusteredCorpusSql
 
   /** Sliced directed kNN-vote pipeline over corpus relation `src`. */
   private def slicedKnnSql(src: String) =

@@ -191,7 +191,12 @@ object Streams {
         val spark = batch.sparkSession
         val gen = s"$tableDir/gen$batchId"
         val cur = currentGeneration(tableDir)
-        if (cur.contains(gen)) {
+        // qualified compare (round-13 review): the pointer may have been
+        // written under a different spelling of the same directory
+        // (scheme-qualified 'file:/t' vs '/t') — a raw string compare
+        // would miss the replay and wedge the stream on its own gen dir
+        if (cur.map(graft.sources.Fs.qualified(_))
+            .contains(graft.sources.Fs.qualified(gen))) {
           // replay of a batch that already committed its write AND its
           // pointer flip: gen<batchId> is complete — rewriting it from
           // itself would be read-while-overwrite; skip.
@@ -306,7 +311,13 @@ object Streams {
     newImages.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val bh = graft.operators.Multimodal.imageAHash(batch.toDF(), idCol, mediaCol)
+        // spill the batch hashes ONCE: bh feeds BOTH the banded join and
+        // the final left-join's left side, and Spark does not dedupe the
+        // common subplan across join inputs — inline, every image would
+        // decode twice per micro-batch (round-13 review)
+        val bh = graft.operators.Materialize.viaParquet(
+          graft.operators.Multimodal.imageAHash(batch.toDF(), idCol, mediaCol),
+          "img_sink_batch")
         val bKeyed = bh.select(col(idCol).as("id"), col("ahash"),
             explode(graft.functions.TextFunctions.simHashBands(col("ahash"), bands)).as("bk"))
           .select(col("id"), col("ahash"), col("bk.band"), col("bk.bucket"))

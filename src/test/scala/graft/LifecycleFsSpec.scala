@@ -91,6 +91,51 @@ class LifecycleFsSpec extends AnyFunSuite {
     assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
   }
 
+  test("upsertSink replay guard matches the pointer across path spellings") {
+    // round-13 review: the crash-replay guard compared _CURRENT to the
+    // gen path by raw string equality — a restart that spells the SAME
+    // tableDir with a scheme ('file:/t' vs '/t') would miss the replay
+    // and wedge the stream overwriting the directory it is reading.
+    // Scenario: run with the unqualified spelling, crash inside the
+    // commit window, restart with the file:-qualified spelling.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-fs-replay").toString
+    (1L to 40L).map(k => (k, "a", 1L)).toDF("k", "payload", "v")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    (21L to 60L).map(k => (k, "b", 2L)).toDF("k", "payload", "v")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    def start(table: String, ckpt: String) = Streams.upsertSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*"),
+      table, ckpt, Seq("k"), "v", parts = 2)
+    val q = start(s"$base/table", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // crash window: checkpoint copied minus the last commit marker
+    val src = java.nio.file.Paths.get(s"$base/ckpt")
+    val dst = java.nio.file.Paths.get(s"$base/ckpt2")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.toSeq.sortBy(_.toString)
+      .foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    val commits = new java.io.File(s"$base/ckpt2/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val last = commits.maxBy(_.getName.toInt)
+    assert(last.delete())
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    // restart with the SCHEME-QUALIFIED table spelling: the replayed
+    // batch must still be recognized as already applied
+    val q2 = start(s"file:$base/table", s"$base/ckpt2")
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(Streams.currentGeneration(s"$base/table").get)
+      .select("k", "payload", "v").as[(Long, String, Long)].collect()
+    assert(out.length == 60, "replayed batch must not change the table")
+    assert(out.count(_._2 == "b") == 40)
+  }
+
   test("Fs.writeUtf8Atomic replaces content atomically and readUtf8 round-trips") {
     val dir = schemeDir("graft-fs-ptr")
     val p = s"$dir/_PTR"

@@ -37,7 +37,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     import graft.operators.Multimodal
     // standing corpus: base images of docs 0..99; arriving batch: noisy
     // TWINS of every 7th doc (perceptual dups) + fresh images of docs
-    // 200..239 (unseen — must not flag)
+    // 300..339 (unseen — a range verified collision-free against the
+    // corpus under the fixture formula, so none may flag)
     val ids = (0L until 100L).toDF("doc_id")
     val corpus = Multimodal.attachPngCorpus(ids, noisyEvery = 0)
     val twins = Multimodal.attachPngCorpus(
