@@ -230,6 +230,21 @@ object ProfileScale100 {
       println(s"[scale100] image near-dup pairs=$n")
     }
 
+    if (which("r13")) {
+      // the remaining round-13 registrations at 100× that have sf10
+      // inputs (documents), run verbatim — the cdc-probe pattern: audio
+      // dedup mirrors the image tier's shape (linear decode+hash then
+      // Σf² join), bpe_apply is one codegen'd expression pass + a hash
+      // aggregate — ~linear expected
+      Seq("q_audio_dedup", "q_bpe_apply").foreach { name =>
+        val fn = SparkEntry.queries(name)
+        time(s"$name @sf0.1")(
+          fn(spark, src).write.format("noop").mode("overwrite").save())
+        time(s"$name @sf10 (100x)")(
+          fn(spark, Sf10Dir).write.format("noop").mode("overwrite").save())
+      }
+    }
+
     if (which("imirecall")) {
       // round-13 (r12 verdict ask #4): the IMI assignment curve at 100×.
       // Reference = EXACT cos ≥ 0.9 pairs for a deterministic 1/1009
