@@ -1751,6 +1751,30 @@ object PipelineQueries {
         .replace("JOIN embeddings e ON t.nbr = e.vec_id", "JOIN corpus e ON t.nbr = e.vec_id")
         .replace("FROM embeddings e JOIN pred p", "FROM corpus e JOIN pred p")
 
+  /** Shared 64-bit perceptual-hash derivation + hamming ≤ 6 pair
+    * enumeration (round-13 review: one definition, not an image/audio
+    * copy pair): `unitCte` must define a relation `u(id, b, ...)` with
+    * per-unit rows and 0-based block index b; `sumExpr` aggregates the
+    * per-unit magnitude (SUM(p) for pixels, SUM(ABS(v)) for samples).
+    * Bit b = strict 64·sum_b > total; the hash is carried as a lo/hi
+    * BIGINT split so no shift touches bit 63. */
+  private def perceptualHashPairsSql(unitCte: String, sumExpr: String): String =
+    s"""WITH $unitCte,
+         bs AS (SELECT id, b, $sumExpr AS s FROM u GROUP BY id, b),
+         tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
+         bits AS (
+           SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
+           FROM bs JOIN tot ON bs.id = tot.id),
+         hs AS (SELECT id,
+             SUM(CASE WHEN b < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+             SUM(CASE WHEN b >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
+           FROM bits GROUP BY id)
+         SELECT a.id AS id_a, b2.id AS id_b,
+           CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+         FROM hs a JOIN hs b2 ON a.id < b2.id
+         WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6
+         ORDER BY id_a, id_b"""
+
   val oracle: ListMap[String, String] = ListMap(
     "q_doc_tokens" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
@@ -2842,41 +2866,30 @@ object PipelineQueries {
     // (integer block sums, strict 64*sum_b > total), pairs by exact
     // hamming <= 6 enumeration (bounded corpus: n^2 popcounts)
     "q_image_dedup" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents),
+      perceptualHashPairsSql(
+        """ids AS (SELECT doc_id AS d FROM documents),
          imgs AS (
            SELECT d AS id, d, 0 AS noisy FROM ids
            UNION ALL
            SELECT d + 1000000, d, 1 FROM ids WHERE d % 7 = 0),
-         px AS (
+         u AS (
            SELECT id,
              CASE WHEN noisy = 1 AND i % 37 = 0
                THEN LEAST(255, (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7)) % 256 + 3)
                ELSE (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7)) % 256 END AS p,
              ((i // 32) // 2) * 8 + (i % 32) // 4 AS b
-           FROM imgs, (SELECT UNNEST(range(0, 512)) AS i) ii),
-         bs AS (SELECT id, b, SUM(p) AS s FROM px GROUP BY id, b),
-         tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
-         bits AS (
-           SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
-           FROM bs JOIN tot ON bs.id = tot.id),
-         hs AS (SELECT id,
-             SUM(CASE WHEN b < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
-             SUM(CASE WHEN b >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
-           FROM bits GROUP BY id)
-         SELECT a.id AS id_a, b2.id AS id_b,
-           CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
-         FROM hs a JOIN hs b2 ON a.id < b2.id
-         WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6
-         ORDER BY id_a, id_b""",
+           FROM imgs, (SELECT UNNEST(range(0, 512)) AS i) ii)""",
+        "SUM(p)"),
     // audio near-dup: every energy-hash BIT re-derived from the 16-bit
     // PCM sample formula (block |amplitude| sums, strict 64*sum_b > t)
     "q_audio_dedup" ->
-      """WITH ids AS (SELECT doc_id AS d FROM documents),
+      perceptualHashPairsSql(
+        """ids AS (SELECT doc_id AS d FROM documents),
          clips AS (
            SELECT d AS id, d, 0 AS noisy FROM ids
            UNION ALL
            SELECT d + 1000000, d, 1 FROM ids WHERE d % 7 = 0),
-         sm AS (
+         u AS (
            SELECT id,
              CASE WHEN noisy = 1 AND i % 37 = 0
                THEN LEAST(32767,
@@ -2884,21 +2897,8 @@ object PipelineQueries {
                ELSE (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i) % 65536 - 32768
              END AS v,
              i // 12 AS b
-           FROM clips, (SELECT UNNEST(range(0, 768)) AS i) ii),
-         bs AS (SELECT id, b, SUM(ABS(v)) AS s FROM sm GROUP BY id, b),
-         tot AS (SELECT id, SUM(s) AS t FROM bs GROUP BY id),
-         bits AS (
-           SELECT bs.id, b, CASE WHEN 64 * s > t THEN 1 ELSE 0 END AS bit
-           FROM bs JOIN tot ON bs.id = tot.id),
-         hs AS (SELECT id,
-             SUM(CASE WHEN b < 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
-             SUM(CASE WHEN b >= 32 AND bit = 1 THEN (CAST(1 AS BIGINT) << (b - 32)) ELSE 0 END) AS hi
-           FROM bits GROUP BY id)
-         SELECT a.id AS id_a, b2.id AS id_b,
-           CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
-         FROM hs a JOIN hs b2 ON a.id < b2.id
-         WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 6
-         ORDER BY id_a, id_b""",
+           FROM clips, (SELECT UNNEST(range(0, 768)) AS i) ii)""",
+        "SUM(ABS(v))"),
     // identical arithmetic to ParquetIO.withZValue on (o_custkey,
     // o_orderkey): equal-width buckets in [0, 2^15) over each key's
     // [min, max] (double division BEFORE the *32768 multiply, matching

@@ -42,9 +42,13 @@ object Bpe {
     * regex and RE2). The round-12 `[^a-z0-9]+` class silently dropped
     * every non-ASCII word — the multilingual crawl text this module is
     * for; Sennrich's algorithm operates on all characters (round-12
-    * advice). Char-splitting is per UTF-16 code unit, so astral-plane
-    * symbols contribute two initial tokens — BPE merges them back like
-    * any other pair, byte-pair style. */
+    * advice). Char-splitting is per CODE POINT on both encode paths —
+    * Java-regex `split("")` matches at code-point boundaries, so an
+    * astral-plane symbol stays ONE initial token, and
+    * `BpeEncode.initialTokens` steps by `Character.charCount` to match
+    * (round-13 second review: this invariant is parity-critical between
+    * the fold and native encoders AND the q_bpe_apply oracle's
+    * code-point `length()`; do not "fix" either side to UTF-16 units). */
   private[graft] val SplitPattern = "[^\\p{L}\\p{N}]+"
 
   /** Word vocabulary with frequencies: the ONE corpus-sized pass. */

@@ -85,20 +85,41 @@ object Fs {
     }
   }
 
-  /** Atomically replace `path` with `content`: write a sibling temp file,
-    * then FileContext.rename(OVERWRITE) — the rename is atomic on HDFS
-    * and the local FS (the two schemes that host `_CURRENT` pointers; on
-    * S3 a pointer file would live in a consistent store anyway), so a
-    * concurrent reader sees either the old or the new pointer, never a
-    * truncated one. */
+  /** Atomically replace `path` with `content`: write a sibling temp
+    * file, then an atomic-overwrite rename, so a concurrent reader sees
+    * either the old or the new pointer — never a truncated or MISSING
+    * one. Scheme-dispatched (round-13 second review): on HDFS,
+    * `FileContext.rename(OVERWRITE)` is a single atomic namespace op;
+    * on the LOCAL filesystem that same call falls back to
+    * AbstractFileSystem's delete-then-rename (a window where the file
+    * does not exist — a crash there would orphan the pointer and let
+    * the next upsert batch reinitialize the table), so `file:` paths go
+    * through `java.nio` ATOMIC_MOVE instead. The nio path also clears
+    * any checksum sidecar a previous ChecksumFileSystem write left —
+    * new bytes must never be validated against an old crc. On S3 no
+    * rename is atomic; a pointer file there belongs in a consistent
+    * store, as the CDC docs note. */
   def writeUtf8Atomic(path: String, content: String, c: Configuration = conf()): Unit = {
     val p = new Path(path)
-    val tmp = new Path(p.getParent, p.getName + ".tmp")
     val fs = p.getFileSystem(c)
-    val out = fs.create(tmp, true)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(p.toUri, c)
-    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    if (fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        dst.resolveSibling("." + dst.getFileName.toString + ".crc"))
+      java.nio.file.Files.deleteIfExists(
+        tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
+      java.nio.file.Files.move(tmp, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val fc = FileContext.getFileContext(p.toUri, c)
+      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Scheme-independent identity for comparing two path strings that may

@@ -136,7 +136,10 @@ object Streams {
    * analogue of the reference's size-bounded buffered writer
    * (`reader-writer2.cc:74-93`): each micro-batch appends through
    * ParquetIO with the same row-group controls, so the stream produces
-   * the identical file layout the batch writer would.
+   * the identical file layout the batch writer would. Plain append ⇒
+   * at-least-once on crash replay; the flag/enrichment sinks below land
+   * per-batch directories (`batch=<id>`, overwrite) for exactly-once —
+   * use that pattern when duplicates matter more than layout.
    */
   def parquetSink(df: DataFrame, outPath: String, checkpoint: String,
       opts: graft.sources.ParquetIO.WriteOptions = graft.sources.ParquetIO.WriteOptions(),
@@ -241,10 +244,10 @@ object Streams {
       corpus, idCol, vecCol, nAssign = nAssign)
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity
           .imiQueryIndex(index, batch.toDF(), idCol, vecCol, k)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
@@ -268,7 +271,7 @@ object Streams {
       corpus, idCol, vecCol, nAssign = nAssign)
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val top1 = graft.operators.Similarity
           .imiQueryIndex(index, batch.toDF(), idCol, vecCol, k = 1)
           .filter(col("cos_sim") >= lit(minCos))
@@ -277,7 +280,7 @@ object Streams {
           .select(col("id"),
             col("nbr").isNotNull.cast("int").as("is_dup"),
             col("nbr").as("dup_of"), col("cos_sim"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
@@ -310,7 +313,7 @@ object Streams {
       .select(col("nbr"), col("nbr_hash"), col("bk.band"), col("bk.bucket"))
     newImages.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // spill the batch hashes ONCE: bh feeds BOTH the banded join and
         // the final left-join's left side, and Spark does not dedupe the
         // common subplan across join inputs — inline, every image would
@@ -336,7 +339,7 @@ object Streams {
           .select(col("id"),
             col("nbr").isNotNull.cast("int").as("is_dup"),
             col("nbr").as("dup_of"), col("hamming"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()

@@ -806,6 +806,9 @@ class StreamingAnnEnrichSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3)
     try q.processAllAvailable() finally q.stop()
     val got = spark.read.parquet(s"$base/out")
+      // the sink lands per-batch directories (batch=<id>, replay-
+      // idempotent) — project away the partition column before typing
+      .select("id", "nbr", "cos_sim")
       .as[(Long, Long, Double)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2)).map(_._2).toSeq).toMap
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
