@@ -2893,8 +2893,8 @@ object PipelineQueries {
            SELECT id,
              CASE WHEN noisy = 1 AND i % 37 = 0
                THEN LEAST(32767,
-                 (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i) % 65536 - 32768 + 50)
-               ELSE (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i) % 65536 - 32768
+                 (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i + (d // 256) * (i + 11)) % 65536 - 32768 + 50)
+               ELSE (131 * d + (2 * (d % 8) + 1) * 7 * i * i + (d % 101) * i + (d // 256) * (i + 11)) % 65536 - 32768
              END AS v,
              i // 12 AS b
            FROM clips, (SELECT UNNEST(range(0, 768)) AS i) ii)""",

@@ -572,11 +572,15 @@ object Multimodal {
 
   /** Audio near-dup fixture sample — the per-doc quadratic coefficient
     * and stripe term play the same collision-spreading role as in
-    * [[nearDupPixel]] (measured on 500 docs: 104 hamming ≤ 6 pairs, all
-    * 72 planted twins at hamming ≤ 1). */
+    * [[nearDupPixel]], and the (d ÷ 256) term is what keeps REPLICATED
+    * id spaces apart (the 10× corpus shifts ids by r·10⁷ ≡ 0 mod 8, so
+    * without it replicas share the quadratic coefficient and the
+    * |wrapped-sawtooth| energy profile — measured 0.28 % near-pair
+    * density at sf1 vs 0.023 % with the term; locally 100 pairs on 500
+    * docs, all 72 planted twins at hamming ≤ 1). */
   private[graft] def nearDupSample(d: Long, i: Int): Int =
-    (((131L * d + (2L * (d % 8L) + 1L) * 7L * i * i + (d % 101L) * i)
-      % 65536L) - 32768L).toInt
+    (((131L * d + (2L * (d % 8L) + 1L) * 7L * i * i + (d % 101L) * i +
+      (d / 256L) * (i + 11L)) % 65536L) - 32768L).toInt
 
   /** The noisy audio twin: +50 (clamped) on every 37th sample. */
   private[graft] def noisySample(d: Long, i: Int): Int = {
