@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /**
  * Filesystem plumbing for the table-maintenance tier (round 13).
@@ -62,12 +62,33 @@ object Fs {
     fs.exists(p) && fs.getFileStatus(p).isDirectory
   }
 
-  /** Recursive delete; returns false (never throws on IO failure) so the
+  /** Recursive delete; returns false (never throws on failure) so the
     * caller can refuse to report a half-deleted directory as gone — the
-    * vacuum/retention contract (a failed delete must stay visible). */
+    * vacuum/retention contract (a failed delete must stay visible).
+    * NonFatal, not just IOException (round-13 advice): object-store
+    * client libraries surface many failures as RuntimeException wrappers
+    * (SDK client exceptions), and the whole point of this helper is that
+    * a sweep reports a failed delete instead of aborting mid-run. */
   def deleteRecursive(path: Path, c: Configuration = conf()): Boolean =
     try path.getFileSystem(c).delete(path, true)
-    catch { case _: java.io.IOException => false }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[fs] delete failed for $path: ${e.getClass.getName}: ${e.getMessage}")
+        false
+    }
+
+  /** Delete a single file if present; same never-throws contract as
+    * [[deleteRecursive]]. Returns true when the file is gone afterwards
+    * (deleted now, or already absent). */
+  def deleteIfExists(path: String, c: Configuration = conf()): Boolean =
+    try {
+      val (fs, p) = fileSystem(path, c)
+      if (!fs.exists(p)) true else fs.delete(p, false)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[fs] delete failed for $path: ${e.getClass.getName}: ${e.getMessage}")
+        false
+    }
 
   /** Read a small UTF-8 file (a pointer/manifest), if present. */
   def readUtf8(path: String, c: Configuration = conf()): Option[String] = {
@@ -85,40 +106,39 @@ object Fs {
     }
   }
 
-  /** Atomically replace `path` with `content`: write a sibling temp
-    * file, then an atomic-overwrite rename, so a concurrent reader sees
-    * either the old or the new pointer — never a truncated or MISSING
-    * one. Scheme-dispatched (round-13 second review): on HDFS,
-    * `FileContext.rename(OVERWRITE)` is a single atomic namespace op;
-    * on the LOCAL filesystem that same call falls back to
-    * AbstractFileSystem's delete-then-rename (a window where the file
-    * does not exist — a crash there would orphan the pointer and let
-    * the next upsert batch reinitialize the table), so `file:` paths go
-    * through `java.nio` ATOMIC_MOVE instead. The nio path also clears
-    * any checksum sidecar a previous ChecksumFileSystem write left —
-    * new bytes must never be validated against an old crc. On S3 no
-    * rename is atomic; a pointer file there belongs in a consistent
-    * store, as the CDC docs note. */
-  def writeUtf8Atomic(path: String, content: String, c: Configuration = conf()): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(c)
-    if (fs.getScheme == "file") {
-      val dst = java.nio.file.Paths.get(p.toUri.getPath)
-      val tmp = dst.resolveSibling(dst.getFileName.toString + ".tmp")
-      java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-      java.nio.file.Files.deleteIfExists(
-        dst.resolveSibling("." + dst.getFileName.toString + ".crc"))
-      java.nio.file.Files.deleteIfExists(
-        tmp.resolveSibling("." + tmp.getFileName.toString + ".crc"))
-      java.nio.file.Files.move(tmp, dst,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else {
-      val tmp = new Path(p.getParent, p.getName + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      val fc = FileContext.getFileContext(p.toUri, c)
-      fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  /** Plain small-file write (create, overwrite allowed). NOT atomic —
+    * a reader racing the write can see a truncated file — so this is
+    * for test/tool plumbing and for files whose PRESENCE, not content,
+    * carries the protocol meaning. Production commit signaling goes
+    * through [[createMarker]], which never overwrites anything. */
+  def writeUtf8(path: String, content: String, c: Configuration = conf()): Unit = {
+    val (fs, p) = fileSystem(path, c)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create-once COMMIT MARKER: writes `content` to `path` only if the
+    * file does not already exist; an existing marker is left untouched
+    * and the call is a no-op (idempotent under replay races). This is
+    * the object-store-safe commit primitive (round-14, replacing the
+    * rename-atomic `_CURRENT` pointer): a new-object create is a single
+    * PUT on S3 — it either fully exists or doesn't, no rename anywhere —
+    * and because a marker is never rewritten, even a non-atomic create
+    * is safe: the marker's EXISTENCE is the commit bit, its content is
+    * advisory (the committed path, for humans). Returns true when this
+    * call created the marker. */
+  def createMarker(path: String, content: String, c: Configuration = conf()): Boolean = {
+    val (fs, p) = fileSystem(path, c)
+    if (fs.exists(p)) false
+    else {
+      val out =
+        try fs.create(p, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => null }
+      if (out == null) false
+      else {
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      }
     }
   }
 

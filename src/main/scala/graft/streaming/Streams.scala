@@ -169,21 +169,33 @@ object Streams {
    * keyed table via [[graft.sources.ParquetIO.upsertWrite]] — latest
    * version per key wins, the incoming batch winning ties, and (round 12)
    * `opCol` tombstones delete their key — and each merge lands as a NEW
-   * generation directory `gen<batchId>` with a `_CURRENT` pointer file
-   * flipped after the write (write-new, point-later: a crashed batch
-   * leaves a dangling directory, never a half-merged table). Read the
+   * generation directory `gen<batchId>` committed by a create-once
+   * MARKER file `_commits/gen<batchId>` written strictly after the data
+   * (write-new, mark-later: a crashed batch leaves a dangling directory
+   * without a marker, never a half-merged readable table). Read the
    * table with [[currentGeneration]].
    *
-   * Crash-window replay (round 12, after the r11 advice): foreachBatch
-   * can replay a batch whose write finished but whose checkpoint commit
-   * didn't. If the crash hit AFTER the pointer flip, the replayed batch
-   * would read `_CURRENT` == its own output and try to overwrite the path
-   * it is reading from — Spark refuses and the stream could never
-   * restart. The guard: when the pointer already names gen<batchId>, the
-   * merge is fully applied (the pointer flips strictly after a complete
-   * write), so the replay is a no-op. The flip itself is an ATOMIC_MOVE
-   * of a temp file, so a concurrent [[currentGeneration]] can never
-   * observe a truncated/empty pointer.
+   * Commit protocol (round 14 — the object-store-safe design): there is
+   * NO mutable pointer and NO rename anywhere. Generation ids are
+   * monotonic (the streaming batch id), each generation's commit bit is
+   * the EXISTENCE of its own marker file, and the current table state is
+   * resolved read-side as max(committed id) from one `_commits` listing.
+   * Every write is a new-object create — a single atomic PUT on S3, and
+   * safe even where creates aren't atomic because a partial marker can
+   * only exist after its generation's data is fully written. This is why
+   * the tier runs unchanged on file://, hdfs://, and s3a://.
+   *
+   * Crash-window replay (round 12 guard, re-keyed on the marker):
+   * foreachBatch can replay a batch whose write finished but whose
+   * CHECKPOINT commit didn't. If the crash hit after the table marker
+   * was created, the replayed batch would resolve `currentGeneration` ==
+   * its own output and try to overwrite the path it is reading from —
+   * Spark refuses and the stream could never restart. The guard: when
+   * gen<batchId>'s marker already exists, the merge is fully applied
+   * (the marker is created strictly after a complete write), so the
+   * replay is a no-op. If the crash hit BEFORE the marker, the replayed
+   * batch reads the previous committed generation and simply rewrites
+   * the dangling directory — also safe.
    */
   def upsertSink(updates: DataFrame, tableDir: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String, parts: Int = 4,
@@ -193,19 +205,13 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val gen = s"$tableDir/gen$batchId"
-        val cur = currentGeneration(tableDir)
-        // qualified compare (round-13 review): the pointer may have been
-        // written under a different spelling of the same directory
-        // (scheme-qualified 'file:/t' vs '/t') — a raw string compare
-        // would miss the replay and wedge the stream on its own gen dir
-        if (cur.map(graft.sources.Fs.qualified(_))
-            .contains(graft.sources.Fs.qualified(gen))) {
+        if (isCommitted(tableDir, batchId)) {
           // replay of a batch that already committed its write AND its
-          // pointer flip: gen<batchId> is complete — rewriting it from
-          // itself would be read-while-overwrite; skip.
+          // marker: gen<batchId> is complete — rewriting it from itself
+          // would be read-while-overwrite; skip.
           ()
         } else {
-          cur match {
+          currentGeneration(tableDir) match {
             case Some(c) =>
               graft.sources.ParquetIO.upsertWrite(
                 spark.read.parquet(c), batch.toDF(), gen, keyCols, versionCol,
@@ -216,11 +222,8 @@ object Streams {
                   batch.schema),
                 batch.toDF(), gen, keyCols, versionCol, parts, opCol = opCol)
           }
-          // pointer flip via the Hadoop FS API (round-13 port): a temp
-          // file + FileContext rename(OVERWRITE) — atomic on HDFS and the
-          // local FS, so a concurrent currentGeneration never observes a
-          // truncated pointer, and the sink now runs against hdfs://s3a://
-          graft.sources.Fs.writeUtf8Atomic(s"$tableDir/_CURRENT", gen)
+          // commit = create-once marker, strictly after the full write
+          graft.sources.Fs.createMarker(commitMarkerPath(tableDir, batchId), gen)
         }
         ()
       }
@@ -345,16 +348,67 @@ object Streams {
       .start()
   }
 
-  /** The generation directory `_CURRENT` points at, if the table exists.
-    * Hadoop-FS read (round-13 port) — works against hdfs://s3a://file:. */
+  /** Marker file whose existence commits generation `id` — one flat
+    * `_commits/` directory per table, so resolving EVERY commit bit is a
+    * single listing (one LIST RPC on an object store), not a per-
+    * generation existence probe. */
+  private[graft] def commitMarkerPath(tableDir: String, id: Long): String =
+    s"$tableDir/_commits/gen$id"
+
+  /** Is generation `id` committed? Marker existence, plus the legacy
+    * `_CURRENT` pointer for tables written before the marker protocol
+    * (see [[committedGenerations]]). */
+  private[graft] def isCommitted(tableDir: String, id: Long): Boolean =
+    committedGenerations(tableDir).exists(_._1 == id)
+
+  /** Generation ids with a commit marker (ascending). One listing. */
+  private def markerIds(tableDir: String): Seq[Long] = {
+    val dir = s"$tableDir/_commits"
+    if (!graft.sources.Fs.isDirectory(dir)) Seq.empty
+    else graft.sources.Fs.listFiles(dir)
+      .map(_.getPath.getName)
+      .filter(_.matches("gen\\d+"))
+      .map(_.stripPrefix("gen").toLong)
+      .sorted
+  }
+
+  /** COMMITTED generations of the table, ascending — (id, path). The
+    * read-side resolution of the round-14 commit protocol: a generation
+    * counts iff its directory exists AND it is committed, where
+    * committed means its `_commits/gen<id>` marker exists — or, for
+    * tables written before the marker protocol, the legacy `_CURRENT`
+    * pointer names some generation P (qualified-path compare, so
+    * `file:/x` matches `/x`) and id ≤ P: under the old protocol every
+    * generation up to the pointer target had been pointed at once, i.e.
+    * was a committed snapshot. Mixed tables (old generations under the
+    * pointer, new ones under markers) resolve correctly by the union. */
+  def committedGenerations(tableDir: String): Seq[(Long, String)] = {
+    val all = listGenerations(tableDir)
+    if (all.isEmpty) Seq.empty
+    else {
+      val marked = markerIds(tableDir).toSet
+      val legacyMax: Option[Long] =
+        graft.sources.Fs.readUtf8(s"$tableDir/_CURRENT").map(_.trim) match {
+          case Some(ptr) =>
+            val q = graft.sources.Fs.qualified(ptr)
+            all.collectFirst { case (id, p) if graft.sources.Fs.qualified(p) == q => id }
+          case None => None
+        }
+      all.filter { case (id, _) => marked.contains(id) || legacyMax.exists(id <= _) }
+    }
+  }
+
+  /** The current table state: the newest COMMITTED generation's path.
+    * Pure read-side resolution — one `_commits` listing, no pointer
+    * file, no rename dependence; safe on S3. */
   def currentGeneration(tableDir: String): Option[String] =
-    graft.sources.Fs.readUtf8(s"$tableDir/_CURRENT").map(_.trim)
+    committedGenerations(tableDir).lastOption.map(_._2)
 
   /** Every generation directory of a [[upsertSink]] table, ascending by
-    * generation id — (id, path). Pure directory listing through the
-    * Hadoop FS API; dangling generations from a crashed batch (written,
-    * never pointed at) appear too, which is exactly what
-    * [[vacuumGenerations]] needs to see. */
+    * generation id — (id, path), committed or not. Pure directory
+    * listing through the Hadoop FS API; dangling generations from a
+    * crashed batch (written, never committed) appear too, which is
+    * exactly what [[vacuumGenerations]] needs to see. */
   def listGenerations(tableDir: String): Seq[(Long, String)] = {
     if (!graft.sources.Fs.isDirectory(tableDir)) Seq.empty
     else graft.sources.Fs.listDirs(tableDir)
@@ -363,54 +417,75 @@ object Streams {
       .sortBy(_._1)
   }
 
-  /** Time travel: read generation `gen` of the table as of that batch —
-    * every generation is a complete copy-on-write snapshot (the
+  /** Time travel: read COMMITTED generation `gen` of the table as of its
+    * batch — every generation is a complete copy-on-write snapshot (the
     * [[upsertSink]] merge rewrites survivors wholesale), so reading an
-    * old one needs no log replay. Loud error listing what exists when the
-    * generation is missing (vacuumed, or never written). */
+    * old one needs no log replay. Loud error when the generation is
+    * missing (vacuumed, never written) or dangling (its batch crashed
+    * before the commit marker — the directory may be half-written and
+    * must never be served as a snapshot). */
   def readGeneration(spark: org.apache.spark.sql.SparkSession,
       tableDir: String, gen: Long): DataFrame = {
-    val all = listGenerations(tableDir)
-    all.find(_._1 == gen) match {
+    val committed = committedGenerations(tableDir)
+    committed.find(_._1 == gen) match {
       case Some((_, path)) => spark.read.parquet(path)
-      case None => throw new IllegalArgumentException(
-        s"generation $gen not found under $tableDir — " +
-          s"available: ${all.map(_._1).mkString(", ")}")
+      case None =>
+        val dangling = listGenerations(tableDir).map(_._1)
+          .filterNot(committed.map(_._1).toSet)
+        throw new IllegalArgumentException(
+          s"generation $gen not committed under $tableDir — " +
+            s"committed: ${committed.map(_._1).mkString(", ")}" +
+            (if (dangling.nonEmpty) s"; uncommitted (crashed batch): ${dangling.mkString(", ")}"
+             else ""))
     }
   }
 
   /**
    * Retention for the generational table: delete all but the newest
-   * `keepLast` generations. The generation `_CURRENT` points at is NEVER
-   * deleted regardless of age (a stalled stream must stay readable), and
-   * generations NEWER than the pointer are also kept — a dangling
+   * `keepLast` COMMITTED generations. The newest committed generation
+   * (the current table state) is NEVER deleted regardless of `keepLast`,
+   * and DANGLING generations newer than it are also kept — a dangling
    * directory from a crashed batch is that batch's replay target, not
-   * garbage. Returns the deleted paths. Driver-side directory surgery on
-   * table metadata — the same class of operation as the `_CURRENT` flip,
-   * not a data-plane job.
+   * garbage. Dangling directories OLDER than the current generation are
+   * superseded crash leftovers (their batch was since replayed into a
+   * later committed generation) and are swept. Returns the deleted
+   * paths. Ordering per generation: data directory first, marker after —
+   * a crash in between leaves a marker with no directory, which the
+   * read side ignores (committed = marker AND directory) and the next
+   * vacuum's orphan-marker sweep removes. Driver-side surgery on table
+   * METADATA volume (generation count), not data volume.
    */
   def vacuumGenerations(tableDir: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"vacuumGenerations: keepLast must be >= 1, got $keepLast")
     val all = listGenerations(tableDir)
-    // the pointer may name the generation with or without a scheme;
-    // compare both sides fully QUALIFIED (scheme + authority) so a
-    // `file:/x` listing matches a `/x` pointer and vice versa
-    val cur = currentGeneration(tableDir).map(graft.sources.Fs.qualified(_))
-    val curId = all.collectFirst {
-      case (id, p) if cur.contains(graft.sources.Fs.qualified(p)) => id
+    val committed = committedGenerations(tableDir)
+    if (committed.isEmpty) return Seq.empty // nothing provably garbage
+    val committedIds = committed.map(_._1).toSet
+    val maxCommitted = committed.last._1
+    val keep = committed.takeRight(keepLast).map(_._1).toSet + maxCommitted
+    val deletable = all.filter { case (id, _) =>
+      if (committedIds.contains(id)) !keep.contains(id)
+      else id < maxCommitted
     }
-    val deletable = all.dropRight(keepLast).filter { case (id, p) =>
-      !cur.contains(graft.sources.Fs.qualified(p)) && curId.forall(id < _)
-    }
-    deletable.flatMap { case (_, path) =>
+    // orphan markers (marker present, directory gone — a previous vacuum
+    // crashed between dir delete and marker delete): sweep them too
+    val dirIds = all.map(_._1).toSet
+    markerIds(tableDir).filterNot(dirIds.contains)
+      .foreach(id => graft.sources.Fs.deleteIfExists(commitMarkerPath(tableDir, id)))
+    deletable.flatMap { case (id, path) =>
       // a failed delete (open handle, permission) must NOT be reported as
       // vacuumed: a half-deleted generation still lists, and silently
-      // claiming success would let readGeneration serve a corrupt dir
-      // without any signal (round-12 review); Fs.deleteRecursive returns
-      // false instead of throwing for exactly this contract
-      if (graft.sources.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(path)))
+      // claiming success would let a reader trust a corrupt dir without
+      // any signal (round-12 review); Fs.deleteRecursive returns false
+      // instead of throwing for exactly this contract. Data dir first,
+      // marker after: a crash in between leaves an orphan MARKER (dir
+      // gone), which readers ignore — committed requires marker AND
+      // directory — and the sweep above removes next run. The reverse
+      // order would leave an intact-but-unreadable snapshot instead.
+      if (graft.sources.Fs.deleteRecursive(new org.apache.hadoop.fs.Path(path))) {
+        graft.sources.Fs.deleteIfExists(commitMarkerPath(tableDir, id))
         Some(path)
-      else {
+      } else {
         System.err.println(s"[vacuum] FAILED to fully delete $path — generation left partially present")
         None
       }

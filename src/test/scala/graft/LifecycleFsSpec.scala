@@ -68,34 +68,87 @@ class LifecycleFsSpec extends AnyFunSuite {
     assert(back.filter(col("pc") === "b" && col("extra") === "tag205").count() == 1)
   }
 
-  test("generation lifecycle (pointer, list, read, vacuum) on a file: URI") {
+  test("generation lifecycle (commit markers, list, read, vacuum) on a file: URI") {
     val table = schemeDir("graft-fs-gen") + "/table"
-    // build three generations by hand through the same Fs primitives the
-    // sink uses (no stream needed to exercise the path layer)
+    // build three committed generations by hand through the same Fs
+    // primitives the sink uses (no stream needed to exercise the layer)
     for (g <- 0 to 2) {
       (1L to (g + 1) * 3L).map(i => (i, s"g$g")).toDF("id", "tag")
         .coalesce(1).write.parquet(s"$table/gen$g")
-      Fs.writeUtf8Atomic(s"$table/_CURRENT", s"$table/gen$g")
+      assert(Fs.createMarker(s"$table/_commits/gen$g", s"$table/gen$g"))
     }
     assert(Streams.listGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
+    assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
     assert(Streams.currentGeneration(table).get.endsWith("gen2"))
     assert(Streams.readGeneration(spark, table, 1L).count() == 6)
     val deleted = Streams.vacuumGenerations(table, keepLast = 1)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0", "gen1"))
     assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
-    // pointer target always survives, qualified-vs-unqualified compare:
-    // point _CURRENT at gen2 WITHOUT the scheme, vacuum must still match
-    val localGen2 = table.stripPrefix("file:") + "/gen2"
-    Fs.writeUtf8Atomic(s"$table/_CURRENT", localGen2)
+    // vacuumed generations' markers are swept with them
+    assert(Fs.listFiles(s"$table/_commits").map(_.getPath.getName).toSet == Set("gen2"))
     assert(Streams.vacuumGenerations(table, keepLast = 1).isEmpty)
     assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
   }
 
-  test("upsertSink replay guard matches the pointer across path spellings") {
-    // round-13 review: the crash-replay guard compared _CURRENT to the
-    // gen path by raw string equality — a restart that spells the SAME
-    // tableDir with a scheme ('file:/t' vs '/t') would miss the replay
-    // and wedge the stream overwriting the directory it is reading.
+  test("a crash between generation write and commit marker leaves the OLD generation current") {
+    // the round-14 'done' criterion for the object-store-safe protocol:
+    // gen2's data is fully written but the marker never landed (crash in
+    // the commit window) — every reader must keep resolving gen1, vacuum
+    // must keep the dangling dir (it is the replay target), and the
+    // late-arriving marker (the replayed batch committing) flips the
+    // table forward with no rename anywhere.
+    val table = schemeDir("graft-fs-crash") + "/table"
+    for (g <- 0 to 1) {
+      (1L to (g + 1) * 3L).map(i => (i, s"g$g")).toDF("id", "tag")
+        .coalesce(1).write.parquet(s"$table/gen$g")
+      Fs.createMarker(s"$table/_commits/gen$g", s"$table/gen$g")
+    }
+    (1L to 9L).map(i => (i, "g2")).toDF("id", "tag")
+      .coalesce(1).write.parquet(s"$table/gen2") // written, NEVER committed
+    assert(Streams.currentGeneration(table).get.endsWith("gen1"),
+      "uncommitted generation must not become current")
+    assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L))
+    // time travel refuses the dangling dir, loudly
+    val err = intercept[IllegalArgumentException] {
+      Streams.readGeneration(spark, table, 2L)
+    }
+    assert(err.getMessage.contains("uncommitted (crashed batch): 2"))
+    // vacuum keeps the replay target even at keepLast=1
+    val deleted = Streams.vacuumGenerations(table, keepLast = 1)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0"))
+    assert(Streams.listGenerations(table).map(_._1) == Seq(1L, 2L))
+    // the replayed batch commits: one create-once PUT flips the table
+    Fs.createMarker(s"$table/_commits/gen2", s"$table/gen2")
+    assert(Streams.currentGeneration(table).get.endsWith("gen2"))
+    assert(Streams.readGeneration(spark, table, 2L).count() == 9)
+  }
+
+  test("legacy _CURRENT-pointer tables resolve and vacuum through the marker-era API") {
+    // tables written before round 14 have no _commits dir — the pointer
+    // names generation P, and every generation id <= P was once pointed
+    // at (a committed snapshot). The qualified-path compare still
+    // matters: the pointer may spell the dir without the scheme.
+    val table = schemeDir("graft-fs-legacy") + "/table"
+    for (g <- 0 to 2)
+      (1L to (g + 1) * 3L).map(i => (i, s"g$g")).toDF("id", "tag")
+        .coalesce(1).write.parquet(s"$table/gen$g")
+    val localGen2 = table.stripPrefix("file:") + "/gen2" // unqualified spelling
+    Fs.writeUtf8(s"$table/_CURRENT", localGen2)
+    assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
+    assert(Streams.currentGeneration(table).get.endsWith("gen2"))
+    assert(Streams.readGeneration(spark, table, 1L).count() == 6)
+    val deleted = Streams.vacuumGenerations(table, keepLast = 1)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0", "gen1"))
+    assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
+    assert(Streams.vacuumGenerations(table, keepLast = 1).isEmpty)
+  }
+
+  test("upsertSink replay guard matches the commit across path spellings") {
+    // round-13 review (re-keyed on markers in round 14): a restart that
+    // spells the SAME tableDir with a scheme ('file:/t' vs '/t') must
+    // still recognize the replayed batch as committed — the marker file
+    // resolves to the same object under either spelling — or the stream
+    // wedges overwriting the directory it is reading.
     // Scenario: run with the unqualified spelling, crash inside the
     // commit window, restart with the file:-qualified spelling.
     import spark.implicits._
@@ -136,15 +189,20 @@ class LifecycleFsSpec extends AnyFunSuite {
     assert(out.count(_._2 == "b") == 40)
   }
 
-  test("Fs.writeUtf8Atomic replaces content atomically and readUtf8 round-trips") {
-    val dir = schemeDir("graft-fs-ptr")
-    val p = s"$dir/_PTR"
+  test("Fs.createMarker is create-once and idempotent; readUtf8 round-trips") {
+    val dir = schemeDir("graft-fs-mark")
+    val p = s"$dir/_commits/gen7"
     assert(Fs.readUtf8(p).isEmpty)
-    Fs.writeUtf8Atomic(p, "alpha")
+    assert(Fs.createMarker(p, "alpha"), "first create must win")
     assert(Fs.readUtf8(p).contains("alpha"))
-    Fs.writeUtf8Atomic(p, "beta")
-    assert(Fs.readUtf8(p).contains("beta"))
+    // a second create (replay race) is a no-op — the commit bit and its
+    // content are immutable once set
+    assert(!Fs.createMarker(p, "beta"))
+    assert(Fs.readUtf8(p).contains("alpha"))
     // no stray temp file left behind
-    assert(Fs.listFiles(dir).map(_.getPath.getName).toSet == Set("_PTR"))
+    assert(Fs.listFiles(s"$dir/_commits").map(_.getPath.getName).toSet == Set("gen7"))
+    assert(Fs.deleteIfExists(p))
+    assert(Fs.readUtf8(p).isEmpty)
+    assert(Fs.deleteIfExists(p), "deleting an absent file reports gone")
   }
 }

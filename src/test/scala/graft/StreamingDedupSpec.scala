@@ -68,8 +68,9 @@ class StreamingDedupSpec extends AnyFunSuite {
   }
 }
 
-/** CDC ingest: micro-batches MERGE into keyed generations; _CURRENT
-  * always points at a fully-written table (write-new, point-later). */
+/** CDC ingest: micro-batches MERGE into keyed generations; the current
+  * table state always resolves to a fully-written generation (write-new,
+  * mark-later — commit markers, round 14). */
 class StreamingUpsertSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -89,7 +90,7 @@ class StreamingUpsertSpec extends AnyFunSuite {
       Seq("k"), "v", parts = 2)
     try q.processAllAvailable() finally q.stop()
     val cur = Streams.currentGeneration(s"$base/table")
-    assert(cur.isDefined, "_CURRENT must exist after the stream drains")
+    assert(cur.isDefined, "a committed generation must exist after the stream drains")
     val out = spark.read.parquet(cur.get)
       .select("k", "payload", "v").as[(Long, String, Long)].collect()
     assert(out.length == 75)
@@ -151,14 +152,14 @@ class StreamingUpsertSpec extends AnyFunSuite {
     val q = start(s"$base/ckpt")
     try q.processAllAvailable() finally q.stop()
     // simulate the crash window the r11 advice found: the batch's write
-    // finished and _CURRENT flipped, but the checkpoint commit was lost.
-    // A real crash restarts in a FRESH JVM, so the checkpoint (minus the
-    // lost commit marker) is copied to a new path — Spark's same-JVM
-    // "multiple queries on one checkpoint" guard would otherwise trip —
-    // and the restarted stream REPLAYS the last batch, which now sees
-    // _CURRENT == its own output directory. Without the pointer-guard the
-    // replayed upsertWrite reads gen1 while overwriting gen1 and Spark
-    // kills the stream permanently.
+    // finished and its table commit marker landed, but the CHECKPOINT
+    // commit was lost. A real crash restarts in a FRESH JVM, so the
+    // checkpoint (minus the lost checkpoint-commit file) is copied to a
+    // new path — Spark's same-JVM "multiple queries on one checkpoint"
+    // guard would otherwise trip — and the restarted stream REPLAYS the
+    // last batch, which now resolves currentGeneration == its own output
+    // directory. Without the marker-guard the replayed upsertWrite reads
+    // gen1 while overwriting gen1 and Spark kills the stream permanently.
     val src = java.nio.file.Paths.get(s"$base/ckpt")
     val dst = java.nio.file.Paths.get(s"$base/ckpt2")
     import scala.jdk.CollectionConverters._
@@ -187,11 +188,12 @@ class StreamingUpsertSpec extends AnyFunSuite {
   }
 }
 
-/** Generation lifecycle (round 12): every [[Streams.upsertSink]] merge is
-  * a complete copy-on-write snapshot, so old generations are time-travel
-  * targets and retention is directory deletion — with the invariants that
-  * make it safe: `_CURRENT` is never vacuumed, and generations newer than
-  * the pointer (a crashed batch's replay target) are kept. */
+/** Generation lifecycle (round 12; commit markers round 14): every
+  * [[Streams.upsertSink]] merge is a complete copy-on-write snapshot, so
+  * old generations are time-travel targets and retention is directory
+  * deletion — with the invariants that make it safe: the newest COMMITTED
+  * generation is never vacuumed, and dangling generations newer than it
+  * (a crashed batch's replay target) are kept. */
 class GenerationLifecycleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -225,46 +227,60 @@ class GenerationLifecycleSpec extends AnyFunSuite {
     val g1 = Streams.readGeneration(spark, s"$base/table", 1L)
       .select("k").as[Long].collect().toSet
     assert(!g1.contains(5L) && !g1.contains(10L) && g1.contains(60L))
-    // gen2 == _CURRENT
+    // gen2 is the current (newest committed) generation
     val cur = Streams.currentGeneration(s"$base/table").get
     assert(Streams.readGeneration(spark, s"$base/table", 2L).count() ==
       spark.read.parquet(cur).count())
     val err = intercept[IllegalArgumentException] {
       Streams.readGeneration(spark, s"$base/table", 9L)
     }
-    assert(err.getMessage.contains("available: 0, 1, 2"))
+    assert(err.getMessage.contains("committed: 0, 1, 2"))
   }
 
-  test("vacuum keeps the newest K, never the current pointer's target") {
+  test("vacuum keeps the newest K committed generations") {
     val base = java.nio.file.Files.createTempDirectory("graft-vac").toString
     buildTable(base)
     val deleted = Streams.vacuumGenerations(s"$base/table", keepLast = 2)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0"))
     assert(Streams.listGenerations(s"$base/table").map(_._1) == Seq(1L, 2L))
-    // the table is still readable through the pointer
+    // the table is still readable through read-side resolution
     val cur = Streams.currentGeneration(s"$base/table").get
     assert(spark.read.parquet(cur).count() == 51)
     // asking to keep more than exists is a no-op
     assert(Streams.vacuumGenerations(s"$base/table", keepLast = 5).isEmpty)
   }
 
-  test("vacuum never deletes _CURRENT's target or newer generations") {
+  test("vacuum never deletes the current generation or newer replay targets") {
     val base = java.nio.file.Files.createTempDirectory("graft-vac2").toString
     buildTable(base)
-    // simulate a crashed batch: gen3 written, pointer still at gen2 —
-    // and a stalled pointer: point _CURRENT back at gen1
+    // simulate a crash inside gen2's commit window (data written, marker
+    // lost) plus a later crashed batch that only made its directory:
+    // committed = {0, 1}, current = gen1, dangling = {2, 3}
     val table = s"$base/table"
-    val g1 = Streams.listGenerations(table).find(_._1 == 1L).get._2
-    // repoint through the sanctioned pointer API (raw nio writes would
-    // leave the Hadoop local-FS checksum sidecar stale — exactly why the
-    // pointer flip is an Fs primitive, not ad-hoc file IO)
-    graft.sources.Fs.writeUtf8Atomic(s"$table/_CURRENT", g1)
+    assert(graft.sources.Fs.deleteIfExists(
+      Streams.commitMarkerPath(table, 2L)), "test setup: marker removal")
     val g3 = new java.io.File(s"$table/gen3")
     assert(g3.mkdir())
-    // keepLast=1 would by age alone delete gen0..gen2: the pointer target
-    // (gen1) and everything newer (gen2, gen3) must survive
+    assert(Streams.currentGeneration(table).get.endsWith("gen1"))
+    // keepLast=1 would by age alone delete gen0..gen2: the current
+    // generation (gen1) and every dangling dir NEWER than it (gen2,
+    // gen3 — replay targets) must survive
     val deleted = Streams.vacuumGenerations(table, keepLast = 1)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0"))
     assert(Streams.listGenerations(table).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum sweeps dangling directories older than the current generation") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vac3").toString
+    buildTable(base)
+    val table = s"$base/table"
+    // gen1's marker lost long ago, but gen2 since committed: gen1 is a
+    // superseded crash leftover — its batch was replayed into gen2 —
+    // and must be swept even inside the keepLast window
+    assert(graft.sources.Fs.deleteIfExists(Streams.commitMarkerPath(table, 1L)))
+    val deleted = Streams.vacuumGenerations(table, keepLast = 1)
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted == Seq("gen0", "gen1"))
+    assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
+    assert(Streams.currentGeneration(table).get.endsWith("gen2"))
   }
 }
