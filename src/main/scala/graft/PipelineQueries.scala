@@ -1305,6 +1305,29 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_video_dedup" -> ((s, dir) => {
+      // VIDEO near-dup via frame-sampled temporal-mean aHash (round 14)
+      // — completes the perceptual-dedup modality matrix
+      // (text/vector/image/audio/video): every doc gets a real 6-frame
+      // GVID clip (each frame a lossless PNG; per-frame linear stripe on
+      // top of the image tier's collision-spread terms), every 7th doc a
+      // noisy twin (+3 on every 37th pixel of every frame, clamped).
+      // The pipeline samples 3 of 6 frames FROM THE FRAME INDEX (frames
+      // 0/2/4 — unsampled frames are skipped as byte ranges, never
+      // decoded), decodes through javax.imageio, accumulates the 8×8
+      // block sums across the sampled frames, and hashes bit b =
+      // 64·sum_b > total (strict, integer). Pairs at Hamming ≤ 6 come
+      // from the SAME pigeonhole banded join as image/audio (Σf², never
+      // n²). PNG losslessness + integer arithmetic let DuckDB re-derive
+      // every bit from the (doc, frame, pixel) formula.
+      import graft.operators.Multimodal
+      val corpus = Multimodal.attachVideoCorpus(rd(s, dir, "documents").select(col("doc_id")))
+      val hashes = graft.operators.Materialize.viaParquet(
+        Multimodal.videoAHash(corpus, nSample = 3), "vid_ahash")
+      Multimodal.nearDupPairsByHash(hashes, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_merge_evolution" -> ((s, dir) => {
       // the namesake file-merge under SCHEMA DRIFT (round 12) — the shape
       // a long-lived lake actually has: files written months apart differ
@@ -2899,6 +2922,25 @@ object PipelineQueries {
              i // 12 AS b
            FROM clips, (SELECT UNNEST(range(0, 768)) AS i) ii)""",
         "SUM(ABS(v))"),
+    // video near-dup: every temporal-mean aHash BIT re-derived from the
+    // (doc, frame, pixel) formula — block sums accumulate over the THREE
+    // sampled frames (indices j*6/3 = 0, 2, 4), strict 64*sum_b > total
+    "q_video_dedup" ->
+      perceptualHashPairsSql(
+        """ids AS (SELECT doc_id AS d FROM documents),
+         clips AS (
+           SELECT d AS id, d, 0 AS noisy FROM ids
+           UNION ALL
+           SELECT d + 1000000, d, 1 FROM ids WHERE d % 7 = 0),
+         u AS (
+           SELECT id,
+             CASE WHEN noisy = 1 AND i % 37 = 0
+               THEN LEAST(255, (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7) + f * 7919 * (i + 1)) % 256 + 3)
+               ELSE (31 * d + (2 * (d % 8) + 1) * i * i + (d % 101) * i + (d // 256) * (i + 7) + f * 7919 * (i + 1)) % 256 END AS p,
+             ((i // 32) // 2) * 8 + (i % 32) // 4 AS b
+           FROM clips, (SELECT UNNEST(range(0, 512)) AS i) ii,
+                (SELECT UNNEST([0, 2, 4]) AS f) ff)""",
+        "SUM(p)"),
     // identical arithmetic to ParquetIO.withZValue on (o_custkey,
     // o_orderkey): equal-width buckets in [0, 2^15) over each key's
     // [min, max] (double division BEFORE the *32768 multiply, matching

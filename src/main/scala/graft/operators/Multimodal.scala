@@ -155,11 +155,10 @@ object Multimodal {
     buf.getInt
   }
 
-  /** REAL video decode with frame-index sampling: only the requested
-    * frame indices are PNG-decoded; every other frame is skipped as a
-    * byte range (the length prefix makes the skip O(1) per frame).
-    * Returns (frame index, grayscale floats) in index order. */
-  def decodeVideoFrames(payload: Array[Byte], frames: Seq[Int]): Seq[(Int, Array[Float])] = {
+  /** Raw PNG bytes of the requested frame indices — the shared container
+    * walk: every other frame is skipped as a byte range (the length
+    * prefix makes the skip O(1) per frame, no decode). */
+  private def sampledFrameBytes(payload: Array[Byte], frames: Seq[Int]): Seq[(Int, Array[Byte])] = {
     val wanted = frames.toSet
     val buf = java.nio.ByteBuffer.wrap(payload)
     val magic = new Array[Byte](4); buf.get(magic)
@@ -168,20 +167,26 @@ object Multimodal {
     val n = buf.getInt
     require(wanted.forall(f => f >= 0 && f < n),
       s"frame index out of range (clip has $n frames, asked for $frames)")
-    val out = Seq.newBuilder[(Int, Array[Float])]
+    val out = Seq.newBuilder[(Int, Array[Byte])]
     var found = 0
     var f = 0
     while (f < n && found < wanted.size) {
       val len = buf.getInt
       if (wanted(f)) {
         val fb = new Array[Byte](len); buf.get(fb)
-        out += f -> decodePng(fb)
+        out += f -> fb
         found += 1
       } else buf.position(buf.position() + len)  // sampled out: never decoded
       f += 1
     }
     out.result()
   }
+
+  /** REAL video decode with frame-index sampling: only the requested
+    * frame indices are PNG-decoded; every other frame is skipped as a
+    * byte range. Returns (frame index, grayscale floats) in index order. */
+  def decodeVideoFrames(payload: Array[Byte], frames: Seq[Int]): Seq[(Int, Array[Float])] =
+    sampledFrameBytes(payload, frames).map { case (f, fb) => f -> decodePng(fb) }
 
   /** Attach a REAL frame-container payload per row — the video-bearing
     * analogue of [[attachPng]]/[[attachWav]]. */
@@ -606,6 +611,126 @@ object Multimodal {
         ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
           (d + twinOffset, pcmWav(nSamples, sampleRate, i => noisySample(d, i))))))
     withTwins.toDF(idCol, "media")
+  }
+
+  // ── video near-dup via frame-sampled temporal-mean aHash (round 14) ──
+  // The last member of the perceptual-dedup modality matrix
+  // (text/vector/image/audio/VIDEO): sample k of n frames from the frame
+  // index (unsampled frames are never decoded — the byte-range skip of
+  // [[decodeVideoFrames]]), decode each sampled frame through the REAL
+  // PNG codec, and hash the 8×8 block sums ACCUMULATED ACROSS the
+  // sampled frames — bit b = 64·Σ_frames sum_b > Σtotal, the classic
+  // temporal-mean extension of aHash (a per-frame-average fingerprint,
+  // robust to small per-pixel noise AND stable under the deterministic
+  // even-spaced sampling). Integer arithmetic throughout, so the SQL
+  // oracle re-derives every bit from the fixture's (doc, frame, pixel)
+  // formula; the pair mining reuses the SAME banded join as image/audio.
+
+  /** Video near-dup fixture pixel for frame `f`: the image tier's
+    * collision-spreading terms ([[nearDupPixel]]) plus a per-frame
+    * LINEAR stripe `f·7919·(i+1)` whose slope differs per frame — each
+    * frame has distinct block structure (a real clip's frames differ),
+    * while all frames of one doc share the doc terms (a real clip is
+    * self-similar). */
+  private[graft] def videoNearDupPixel(d: Long, f: Int, i: Int): Int =
+    ((31L * d + (2L * (d % 8L) + 1L) * i * i + (d % 101L) * i +
+      (d / 256L) * (i + 7L) + f.toLong * 7919L * (i + 1L)) % 256L).toInt
+
+  /** The noisy video twin: +3 (clamped) on every 37th pixel of every
+    * frame — the same perceptual-scale perturbation as the image tier,
+    * applied per frame. */
+  private[graft] def noisyVideoPixel(d: Long, f: Int, i: Int): Int = {
+    val p = videoNearDupPixel(d, f, i)
+    if (i % 37 == 0) math.min(255, p + 3) else p
+  }
+
+  /** Video corpus for near-dup mining: one `nFrames`-frame clip per doc
+    * (every frame a real PNG in the GVID container), plus a noisy twin
+    * (id + `twinOffset`) for every `noisyEvery`-th doc. */
+  /** One fixture clip (object-level, not a local def: executor closures
+    * must reference it as a static module call, not capture it). */
+  private[graft] def nearDupClip(d: Long, noisy: Boolean,
+      nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write("GVID".getBytes("US-ASCII"))
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val ff = f
+      val png = grayPng(w, h,
+        i => if (noisy) noisyVideoPixel(d, ff, i) else videoNearDupPixel(d, ff, i))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def attachVideoCorpus(docs: DataFrame, idCol: String = "doc_id",
+      noisyEvery: Int = 7, twinOffset: Long = 1000000L,
+      nFrames: Int = 6, w: Int = 32, h: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ids = docs.select(col(idCol).cast("long")).as[Long]
+    val base = ids.mapPartitions(_.map(d =>
+      (d, nearDupClip(d, noisy = false, nFrames, w, h))))
+    val withTwins =
+      if (noisyEvery <= 0) base
+      else base.union(
+        ids.filter(d => d % noisyEvery == 0).mapPartitions(_.map(d =>
+          (d + twinOffset, nearDupClip(d, noisy = true, nFrames, w, h)))))
+    withTwins.toDF(idCol, "media")
+  }
+
+  /** 64-bit temporal-mean aHash per clip: `min(nSample, n)` evenly
+    * spaced frames (index j·n/k — the same sampling as
+    * [[extractVideoFeatures]]) are PNG-decoded; every other frame is
+    * skipped as a byte range. 8×8 block sums accumulate across the
+    * sampled frames; bit b set iff 64·sum_b > Σsums (strict, integer —
+    * engine-exact). Same output shape as [[imageAHash]], so
+    * [[nearDupPairsByHash]] mines pairs unchanged. */
+  def videoAHash(media: DataFrame, idCol: String = "doc_id",
+      mediaCol: String = "media", nSample: Int = 3,
+      batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, bytes) =>
+          val n = videoFrameCount(bytes)
+          val k = math.min(nSample, n)
+          val idx = (0 until k).map(j => j * n / k)
+          val sums = new Array[Long](64)
+          sampledFrameBytes(bytes, idx).foreach { case (_, fb) =>
+            // raster-level decode (same as imageAHash): exact 0..255
+            // ints straight from the lossless PNG, true geometry from
+            // the decoded frame — no float round-trip anywhere
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+            require(img != null, s"id=$id: frame is not a decodable image")
+            val fw = img.getWidth; val fh = img.getHeight
+            require(fw % 8 == 0 && fh % 8 == 0, s"id=$id: ${fw}x$fh not 8x8-divisible")
+            val bw = fw / 8; val bh = fh / 8
+            val raster = img.getRaster
+            var i = 0
+            while (i < fw * fh) {
+              val x = i % fw; val y = i / fw
+              sums((y / bh) * 8 + x / bw) += raster.getSample(x, y, 0)
+              i += 1
+            }
+          }
+          val total = sums.sum
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (64L * sums(b) > total) hash |= 1L << b
+            b += 1
+          }
+          (id, hash)
+        })
+      }
+      .toDF(idCol, "ahash")
   }
 
   /** 64-bit energy-hash per clip: REAL decode (javax.sound.sampled),

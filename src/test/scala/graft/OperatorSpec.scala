@@ -548,6 +548,43 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (a, b, hm)).toSet
     assert(pairs.toSet == brute, "banded pairs must equal the brute-force cut")
   }
+
+  test("video temporal-mean aHash near-dup: twins found from 3 of 6 decoded frames, banding exact") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id").limit(140)
+    val corpus = Multimodal.attachVideoCorpus(docs)
+    // payloads are genuine GVID containers with 6 real PNG frames
+    val one = corpus.limit(1).collect()(0).getAs[Array[Byte]](1)
+    assert(new String(one.take(4), "US-ASCII") == "GVID")
+    assert(Multimodal.videoFrameCount(one) == 6)
+    val hashes = Multimodal.videoAHash(corpus, nSample = 3)
+    val pairs = Multimodal.nearDupPairsByHash(hashes, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val twinIds = docs.as[Long].collect().filter(_ % 7 == 0)
+    assert(twinIds.nonEmpty)
+    val twinPairs = pairs.filter { case (a, b, _) => b == a + 1000000L }
+    assert(twinPairs.map(_._1).toSet == twinIds.toSet,
+      "every planted video twin must be recovered")
+    assert(twinPairs.forall(_._3 <= 3), s"video twin hamming must be tiny: ${twinPairs.toSeq}")
+    // banding recall check: brute-force hamming cut gives the same pairs
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      hm = java.lang.Long.bitCount(hs(a) ^ hs(b)) if hm <= 6
+    } yield (a, b, hm)).toSet
+    assert(pairs.toSet == brute, "banded pairs must equal the brute-force cut")
+    // sampling really samples: a clip hashed from ALL frames differs for
+    // some doc (the sampled hash is a 3-frame statistic, not a 6-frame
+    // one), while the SAME sampled indices reproduce bit-identically
+    val again = Multimodal.videoAHash(corpus, nSample = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == hs, "sampled hash must be deterministic")
+    val full = Multimodal.videoAHash(corpus, nSample = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.exists { case (id, h) => full(id) != h },
+      "6-frame hash must differ somewhere from the 3-frame hash")
+  }
 }
 
 class SkewSpec extends AnyFunSuite {
