@@ -142,6 +142,66 @@ object Fs {
     }
   }
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this minimal
+    * Writable-backed wrapper ships it into tasks (the same trick Spark
+    * uses internally) so distributed listing tasks resolve filesystems
+    * with the DRIVER's credentials/tuning, not an executor default. */
+  private class SerializableConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Per-directory file counts as ONE distributed pass: each task lists
+    * its slice of directories through the Hadoop FS API and counts files
+    * whose name ends with `nameSuffix`. This is the 10⁵-partition shape
+    * (round-13 verdict): a driver loop issuing one LIST RPC per
+    * directory serializes 10⁵ round-trips; spread across executors the
+    * same listing is bounded by slice width, and at real scale the
+    * executors' aggregate RPC concurrency is exactly what the object
+    * store is provisioned for. Returns dir → count (missing/unlistable
+    * dirs count 0 — same as "no matching files" for the compaction
+    * decision). Small inputs short-circuit to a driver loop: a Spark
+    * job per maintenance call would cost more than it saves below a few
+    * hundred directories. */
+  /** One directory's matching-file count (object-level, not a local def:
+    * executor closures must reach it as a static module call, never
+    * capture it). Missing/unlistable dirs count 0. */
+  private def countOneDir(p: String, nameSuffix: String, c: Configuration): (String, Long) = {
+    val cnt =
+      try {
+        val (fs, pp) = fileSystem(p, c)
+        fs.listStatus(pp).count(s => s.isFile && s.getPath.getName.endsWith(nameSuffix)).toLong
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    (p, cnt)
+  }
+
+  def countFilesDistributed(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], nameSuffix: String,
+      driverLoopBelow: Int = 256): Map[String, Long] = {
+    if (dirs.isEmpty) Map.empty
+    else if (dirs.size < driverLoopBelow) {
+      val c = conf()
+      dirs.map(countOneDir(_, nameSuffix, c)).toMap
+    } else {
+      val sc = spark.sparkContext
+      val serConf = new SerializableConf(sc.hadoopConfiguration)
+      val slices = math.min(dirs.size, sc.defaultParallelism * 4)
+      sc.parallelize(dirs, slices)
+        .mapPartitions { it =>
+          val c = serConf.value
+          it.map(countOneDir(_, nameSuffix, c))
+        }
+        .collect().toMap
+    }
+  }
+
   /** Scheme-independent identity for comparing two path strings that may
     * name the same directory with/without a scheme or trailing slash —
     * the `_CURRENT`-pointer-vs-listing match in generation vacuum. */

@@ -46,6 +46,31 @@ class LifecycleFsSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == before)
   }
 
+  test("countFilesDistributed (forced Spark path) agrees with the driver loop") {
+    // the compaction spec exercises the small-table driver short-circuit;
+    // this forces the DISTRIBUTED listing over the same scheme-qualified
+    // dirs (driverLoopBelow = 0) and pins result equality — the 10⁵-
+    // partition path must count exactly what the sequential loop counts
+    val dir = schemeDir("graft-fs-cnt") + "/t"
+    val base = (1L to 20L).map(i => (s"p${i % 4}", i)).toDF("pc", "v")
+    ParquetIO.writePartitioned(base, dir, Seq("pc"))
+    for (i <- 100L to 105L)
+      Seq(("p0", i)).toDF("pc", "v").coalesce(1)
+        .write.mode("append").partitionBy("pc").parquet(dir)
+    val dirs = Fs.listDirs(dir).map(_.getPath.toString).filter(_.contains("pc="))
+    assert(dirs.size == 4)
+    val seqCounts = dirs.map(p => p -> Fs.listFiles(p)
+      .count(_.getPath.getName.endsWith(".parquet")).toLong).toMap
+    val distCounts = Fs.countFilesDistributed(spark, dirs, ".parquet", driverLoopBelow = 0)
+    assert(distCounts == seqCounts, s"distributed=$distCounts sequential=$seqCounts")
+    // the 6 appended files all landed in pc=p0 and are visible to both paths
+    assert(distCounts(dirs.find(_.endsWith("pc=p0")).get) >= 6L)
+    // a missing dir counts 0 on the distributed path, not an exception
+    val withMissing = Fs.countFilesDistributed(
+      spark, dirs :+ s"$dir/pc=absent", ".parquet", driverLoopBelow = 0)
+    assert(withMissing(s"$dir/pc=absent") == 0L)
+  }
+
   test("compaction schema probe merges schemas across fragmented partitions") {
     // round-12 advice: appends with an EVOLVED schema (extra column) into
     // a second fragmented partition must survive compaction — probing
