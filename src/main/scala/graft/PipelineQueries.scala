@@ -2556,7 +2556,14 @@ object PipelineQueries {
            array_to_string(regexp_extract_all(props, '[\p{L}\p{N}]+|[^\p{L}\p{N}\s]'), '|') AS toks
          FROM events ORDER BY event_id""",
     // the fixed 2-rule BPE table: tokens per word = codepoints + 1
-    // - (word ends in e or s); counts re-derived from raw text
+    // - (word ends in e or s); counts re-derived from raw text.
+    // Parity constraint (round-13 advice): both sides lowercase with
+    // their engine's full-case mapping; code points with EXPANDING case
+    // maps (e.g. U+0130 İ → "i" + combining U+0307 in Java, which then
+    // word-splits on the mark) can diverge between Java and DuckDB/ICU.
+    // The documents fixture contains no such code points (ASCII +
+    // non-bicameral scripts), so the gate equality holds there; a user
+    // corpus with them should pre-normalize case outside the oracle.
     "q_bpe_apply" ->
       """WITH w AS (
            SELECT doc_id, UNNEST(regexp_split_to_array(lower(text),

@@ -111,6 +111,10 @@ object Bpe {
       numMerges: Int, checkpointEvery: Int = 8, batchSize: Int = 16)
       : (Seq[(Int, String, String)], Int) = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    // 0 would div-by-zero in the boundary-cross check below; a negative
+    // value would silently disable checkpointing and let lineage grow
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     var vocab = Materialize.viaParquet(
       wordVocab(docs, textCol).withColumn("toks",
         concat(split(col("w"), ""), array(lit(EndOfWord)))),
@@ -213,21 +217,47 @@ object Bpe {
    * the expression depth each stage plans and codegens). A 32k-rule
    * table becomes ~32k/stageEvery bounded-depth distributed passes — the
    * standard trade for an in-plan encoder at tokenizer scale.
+   *
+   * Only the (row-key, token) projection flows through the staged
+   * materializations (round-13 advice): staging the FULL row width would
+   * rewrite every untouched column — the original text, media payloads —
+   * once per stage, ~670 full-corpus rewrites at 32k rules. Instead the
+   * keyed base is materialized ONCE, the stages run over the narrow
+   * projection, and the untouched columns join back at the end: the
+   * full-width I/O is one write + one read + one keyed shuffle,
+   * independent of merge-table size. Single-stage calls (and bare
+   * text-only inputs) skip the key machinery entirely.
    */
   def encodeTable(df: DataFrame, textCol: String, outCol: String,
       merges: Seq[(Int, String, String)], stageEvery: Int = 48): DataFrame = {
     require(stageEvery >= 1, s"stageEvery must be >= 1, got $stageEvery")
-    val words = split(lower(col(textCol)), SplitPattern)
-    val init = df.withColumn(outCol, transform(filter(words, w => length(w) > 0),
-      w => concat(split(w, ""), array(lit(EndOfWord)))))
     val stages = merges.sortBy(_._1).grouped(stageEvery).toSeq
-    stages.zipWithIndex.foldLeft(init) { case (acc, (grp, si)) =>
-      val applied = acc.withColumn(outCol,
-        grp.foldLeft(col(outCol)) { case (c, (_, a, b)) =>
-          transform(c, t => mergePair(t, a, b))
-        })
-      if (si == stages.length - 1) applied // caller decides the final sink
-      else Materialize.viaParquet(applied, "bpe_enc")
+    def charInit(d: DataFrame): DataFrame = {
+      val words = split(lower(col(textCol)), SplitPattern)
+      d.withColumn(outCol, transform(filter(words, w => length(w) > 0),
+        w => concat(split(w, ""), array(lit(EndOfWord)))))
+    }
+    def applyStages(init: DataFrame): DataFrame =
+      stages.zipWithIndex.foldLeft(init) { case (acc, (grp, si)) =>
+        val applied = acc.withColumn(outCol,
+          grp.foldLeft(col(outCol)) { case (c, (_, a, b)) =>
+            transform(c, t => mergePair(t, a, b))
+          })
+        if (si == stages.length - 1) applied // caller decides the final sink
+        else Materialize.viaParquet(applied, "bpe_enc")
+      }
+    if (stages.length <= 1 || df.columns.length <= 1) applyStages(charInit(df))
+    else {
+      // the id is assigned BEFORE the one base materialization, so both
+      // the narrow stage chain and the join-back read the same frozen
+      // parquet — no recompute hazard from monotonically_increasing_id
+      val key = "__graft_bpe_id"
+      val base = Materialize.viaParquet(
+        df.withColumn(key, monotonically_increasing_id()), "bpe_base")
+      val narrow = applyStages(
+        charInit(base.select(col(key), col(textCol)))
+          .select(col(key), col(outCol)))
+      base.join(narrow, Seq(key)).drop(key)
     }
   }
 }
