@@ -1055,8 +1055,7 @@ object PipelineQueries {
       // value bins differently under (v/255f)*15.999f vs the oracle's
       // double FLOOR).
       val media = Multimodal.attachPng(rd(s, dir, "documents"))
-      val feats = Multimodal.extractFeatures(media,
-          decode = (bytes, _) => Multimodal.decodePng(bytes)).toDF()
+      val feats = Multimodal.extractFeatures(media).toDF()
         .select(col("doc_id"),
           element_at(col("bin_counts"), 1).as("c_b0"),
           element_at(col("bin_counts"), 6).as("c_b5"),
@@ -2616,7 +2615,7 @@ object PipelineQueries {
          GROUP BY label, pos ORDER BY label, pos""",
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           'image' AS kind
+           'text' AS kind
          FROM documents ORDER BY doc_id""",
     "q_decontam" ->
       """WITH tc AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -23,8 +23,11 @@ import org.apache.spark.sql.types._
  * and every frame decodes through the same javax.imageio path as
  * images; frame-sampling is a SLICE OF THE FRAME INDEX — unsampled
  * frames are skipped as byte ranges, never decoded
- * ([[decodeVideoFrames]]). [[decodeStub]] remains only as the generic
- * any-payload fallback for [[resize]]/[[extractFeatures]] defaults.
+ * ([[decodeVideoFrames]]). The [[resize]]/[[extractFeatures]] defaults
+ * dispatch on `media_meta.kind` into these REAL codecs
+ * ([[decodeByKind]], round 14); text payloads get the byte-level
+ * normalization that IS their decode, and [[decodeStub]] survives only
+ * as an explicit test hook for injecting fake pixels.
  */
 object Multimodal {
 
@@ -43,7 +46,10 @@ object Multimodal {
     docs
       .withColumn("media", encode(col(textCol), "UTF-8").cast(BinaryType))
       .withColumn("media_meta", struct(
-        lit("image").as("kind"),
+        // round 14: the payload IS text bytes, and the default decode
+        // path now dispatches on kind into real codecs — labeling these
+        // rows "image" would route them into javax.imageio and fail
+        lit("text").as("kind"),
         (pmod(xxhash64(col(textCol)), lit(512)) + 32).cast("int").as("width"),
         (pmod(xxhash64(col(textCol), lit(1)), lit(512)) + 32).cast("int").as("height"),
         lit(null).cast(IntegerType).as("sample_rate_hz"),
@@ -352,21 +358,45 @@ object Multimodal {
       }
   }
 
-  /**
-   * STUB decode: deterministic fake "pixels" from payload bytes.
-   * A real implementation would invoke an image codec here — per batch,
-   * inside the partition, exactly this signature ([[decodePng]] /
-   * [[decodeWav]] are the real implementations for PNG/WAV payloads).
-   */
-  private[operators] def decodeStub(payload: Array[Byte], nPixels: Int): Array[Float] = {
-    val out = new Array[Float](nPixels)
+  /** Byte-level normalization — the decode that IS correct for text
+    * payloads (there is no codec to run; the bytes are the content):
+    * byte i of the payload, cycled to `n` values in [0, 1]. */
+  private[operators] def byteFloats(payload: Array[Byte], n: Int): Array[Float] = {
+    val out = new Array[Float](n)
     var i = 0
-    while (i < nPixels) {
+    while (i < n) {
       out(i) = (payload(i % payload.length) & 0xff) / 255.0f
       i += 1
     }
     out
   }
+
+  /**
+   * Kind-dispatched REAL decode (round 14) — the default for
+   * [[resize]]/[[extractFeatures]]: `image` through javax.imageio
+   * ([[decodePng]]), `audio` through javax.sound ([[decodeWav]], 16-bit
+   * PCM mapped affinely into [0, 1] so the histogram contract holds),
+   * `video` decodes ONLY its first frame (the byte-range skip property —
+   * a feature probe shouldn't decode a whole clip), and `text`/unknown
+   * get [[byteFloats]]. All branches return values in [0, 1], the
+   * invariant the 16-bin histogram and resize range checks rely on.
+   */
+  def decodeByKind(kind: String, payload: Array[Byte], cap: Int): Array[Float] =
+    kind match {
+      case "image" => decodePng(payload)
+      case "audio" => decodeWav(payload).map(s => (s + 32768) / 65535.0f)
+      case "video" => decodeVideoFrames(payload, Seq(0)).head._2
+      case _ => byteFloats(payload, cap)
+    }
+
+  /**
+   * STUB decode — an explicit TEST HOOK for injecting deterministic fake
+   * "pixels" into the batch slot (kept so specs can pin the
+   * mapPartitions contract without a codec in the loop). No default path
+   * uses it anymore (round 14): [[decodeByKind]] is the default.
+   */
+  private[operators] def decodeStub(payload: Array[Byte], nPixels: Int): Array[Float] =
+    byteFloats(payload, nPixels)
 
   /** `histogram` is the normalized float feature vector; `bin_counts`
     * carries the raw integer bin counts so downstream checks can compare
@@ -379,19 +409,24 @@ object Multimodal {
    * Batched feature extraction over (id, media) — the `mapInPandas`
    * analogue: partitions are processed in bounded batches so a real
    * vectorized decoder (or model) amortizes per-batch setup. Emits a
-   * 16-bin normalized byte histogram as the stand-in feature vector.
+   * 16-bin normalized histogram of the decoded values as the stand-in
+   * feature vector. The default decode is the REAL kind-dispatched path
+   * ([[decodeByKind]], reading `media_meta.kind` — round 14); pass
+   * `decode` explicitly to override (specs inject [[decodeStub]] here).
    */
   def extractFeatures(df: DataFrame, idCol: String = "doc_id",
       mediaCol: String = "media", batchSize: Int = 64,
-      decode: (Array[Byte], Int) => Array[Float] = decodeStub): Dataset[MediaFeatures] = {
+      decode: (String, Array[Byte], Int) => Array[Float] = decodeByKind)
+      : Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("long"), col(mediaCol),
+        col("media_meta.kind")).as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real decoder would run vectorized
-          batch.map { case (id, bytes) =>
-            val pixels = decode(bytes, math.min(bytes.length, 1024))
+          batch.map { case (id, bytes, kind) =>
+            val pixels = decode(kind, bytes, math.min(bytes.length, 1024))
             val counts = new Array[Int](16)
             pixels.foreach(p => counts((p * 15.999f).toInt) += 1)
             val n = math.max(1, pixels.length)
@@ -404,25 +439,30 @@ object Multimodal {
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int, pixels: Array[Float])
 
   /**
-   * Batched resize: decode (STUB) to the source geometry from `media_meta`,
-   * then nearest-neighbor sample down/up to (outW, outH). Same
-   * mapPartitions contract as [[extractFeatures]] — a real codec/scaler
-   * slots into the batch loop without touching the pipeline shape. Output
-   * rows are fixed-size float arrays, the shape a training pipeline feeds
-   * to an image tower.
+   * Batched resize: decode to the source geometry from `media_meta`
+   * (REAL kind-dispatched codecs by default — [[decodeByKind]], round
+   * 14), then nearest-neighbor sample down/up to (outW, outH). Same
+   * mapPartitions contract as [[extractFeatures]]. The sampling grid is
+   * the metadata geometry; the modulo index guards a decoded length
+   * that disagrees with it (text byte streams). Output rows are
+   * fixed-size float arrays, the shape a training pipeline feeds to an
+   * image tower.
    */
   def resize(df: DataFrame, outW: Int, outH: Int, idCol: String = "doc_id",
-      mediaCol: String = "media", batchSize: Int = 64): Dataset[ResizedMedia] = {
+      mediaCol: String = "media", batchSize: Int = 64,
+      decode: (String, Array[Byte], Int) => Array[Float] = decodeByKind)
+      : Dataset[ResizedMedia] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(mediaCol),
-        col("media_meta.width"), col("media_meta.height"))
-      .as[(Long, Array[Byte], Int, Int)]
+        col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.kind"))
+      .as[(Long, Array[Byte], Int, Int, String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes, w, h) =>
+          batch.map { case (id, bytes, w, h, kind) =>
             val srcW = math.max(1, w); val srcH = math.max(1, h)
-            val src = decodeStub(bytes, math.min(srcW * srcH, 4096))
+            val src = decode(kind, bytes, math.min(srcW * srcH, 4096))
             val out = new Array[Float](outW * outH)
             var y = 0
             while (y < outH) {

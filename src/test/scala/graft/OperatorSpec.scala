@@ -405,6 +405,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decodeByKind dispatches every kind into its real codec (round 14)") {
+    // image → javax.imageio, bit-identical to the direct decode
+    val png = Multimodal.syntheticPng(7L)
+    assert(Multimodal.decodeByKind("image", png, 0).toSeq ==
+      Multimodal.decodePng(png).toSeq)
+    // audio → javax.sound, affinely mapped into [0, 1]
+    val wav = Multimodal.syntheticWav(7L, nSamples = 200)
+    val audio = Multimodal.decodeByKind("audio", wav, 0)
+    assert(audio.length == 200 && audio.forall(v => v >= 0f && v <= 1f))
+    assert(audio.toSeq ==
+      Multimodal.decodeWav(wav).map(s => (s + 32768) / 65535.0f).toSeq)
+    // video → FIRST frame only, through the same PNG path
+    val vid = Multimodal.syntheticVideo(7L, nFrames = 3)
+    assert(Multimodal.decodeByKind("video", vid, 0).toSeq ==
+      Multimodal.decodeVideoFrames(vid, Seq(0)).head._2.toSeq)
+    // text/unknown → byte normalization, cap respected
+    val txt = "some text".getBytes("UTF-8")
+    val t = Multimodal.decodeByKind("text", txt, 5)
+    assert(t.length == 5 && t.toSeq ==
+      txt.take(5).map(b => (b & 0xff) / 255.0f).toSeq)
+  }
+
+  test("extractFeatures default is the REAL audio decode on attachWav rows") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(10)
+    val feats = Multimodal.extractFeatures(Multimodal.attachWav(docs)).collect()
+    assert(feats.length == 10)
+    feats.foreach { f =>
+      // bins predicted from the PCM generator formula through the same
+      // [0,1] mapping — only holds if the REAL wav decode ran
+      val expected = new Array[Int](16)
+      (0 until 800).foreach { i =>
+        val s = (((f.doc_id * 131 + i.toLong * i * 7) % 65536) - 32768).toInt
+        expected((((s + 32768) / 65535.0f) * 15.999f).toInt) += 1
+      }
+      assert(f.bin_counts.toSeq == expected.toSeq, s"doc ${f.doc_id}")
+    }
+  }
+
   test("attachWav + extractAudioFeatures: integer features match direct formula") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(30)
     val feats = Multimodal.extractAudioFeatures(Multimodal.attachWav(docs)).collect()
@@ -421,8 +459,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("attachPng + extractFeatures(decodePng): bin counts match direct formula") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(50)
     val media = Multimodal.attachPng(docs)
-    val feats = Multimodal.extractFeatures(media,
-      decode = (b, _) => Multimodal.decodePng(b)).collect()
+    val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 50)
     feats.foreach { f =>
       val expected = new Array[Int](16)
