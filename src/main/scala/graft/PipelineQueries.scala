@@ -367,6 +367,18 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_dedup_auto" -> ((s, dir) => {
+      // the auto-switching facade (round 14): tier chosen from corpus
+      // stats by Dedup.chooseNearDupTier — on the gate corpora (500 docs
+      // at sf0.01, 50k at sf1, threshold 0.9) it picks the simhash tier,
+      // whose verified output equals the exact ≥ 0.9 pair set (the same
+      // oracle as q_dedup_simhash); DedupSpec pins tier-for-tier output
+      // equality on the other two branches
+      Dedup.nearDupPairs(rd(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_decontam" -> ((s, dir) => {
       // train/eval decontamination: docs 0..49 stand in for an eval
       // benchmark; every remaining doc sharing ≥ 3 distinct 5-grams with
@@ -2665,6 +2677,24 @@ object PipelineQueries {
           WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.7
           ORDER BY id_a, id_b""",
     "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          sh AS (SELECT DISTINCT doc_id, sh FROM
+            (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),
+          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+            CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+            CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+          FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.9
+          ORDER BY id_a, id_b""",
+    // the facade picks the simhash tier on this corpus; recall 1.0 at
+    // radius 14 ⇒ verified output == exact >= 0.9 pair set
+    "q_dedup_auto" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
           sh AS (SELECT DISTINCT doc_id, sh FROM
             (SELECT doc_id, UNNEST($ShinglesSql) AS sh FROM toks) z),

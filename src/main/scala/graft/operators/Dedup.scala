@@ -515,6 +515,74 @@ object Dedup {
       .distinct()
   }
 
+  /** The candidate-generation tier [[nearDupPairs]] selected. */
+  sealed trait NearDupTier
+  object NearDupTier {
+    /** Banded 64-bit simhash + exact verify — the sub-~10⁵-doc regime. */
+    case object SimHash extends NearDupTier
+    /** MinHash+LSH banding + exact verify — the large-corpus ≥ 0.9 regime. */
+    case object MinHashBanding extends NearDupTier
+    /** PPJoin prefix filtering — exact at ANY threshold, the < 0.9 path. */
+    case object PpJoin extends NearDupTier
+  }
+
+  /**
+   * The docstring switchover rule AS CODE (round 14 — previously
+   * [[simHashPairs]]'s scaladoc asked the USER to re-route past the
+   * measured regimes):
+   *
+   *   - `minJaccard < 0.9` → [[NearDupTier.PpJoin]]: the simhash radius
+   *     (14/15 bands) is CALIBRATED for the jaccard ≥ 0.9 tail only, and
+   *     minhash banding recall decays with threshold (1−(1−t⁴)⁸ ≈ 0.997
+   *     at t = 0.85) — PPJoin's Lemma-1 prefix is the only tier whose
+   *     recall is exact at every threshold, and its prefix economy is
+   *     what the lower-threshold regime pays anyway (measured 41.9 s at
+   *     500 k docs, t = 0.8).
+   *   - else, `nDocs ≤ simhashMaxDocs` (default 10⁵) → [[NearDupTier
+   *     .SimHash]]: below ~10⁵ docs the un-split codegen'd popcount join
+   *     beats everything measured (ProfileSimhashCap: 1.3–3× faster than
+   *     splitting at 50 k), with recall 1.0 at both gate scales.
+   *   - else → [[NearDupTier.MinHashBanding]]: the Σf² simhash bucket
+   *     term grows with n (f ∝ n/2^4.9 per band — irreducible at a fixed
+   *     64-bit signature) while minhash banding stays flat (measured
+   *     7.5 s at 500 k docs vs 48.5 s simhash-with-cap); banding recall
+   *     at t ≥ 0.9 is 1−(1−t⁴)⁸ ≥ 0.99998, 1.0 measured on the gates.
+   */
+  def chooseNearDupTier(nDocs: Long, minJaccard: Double,
+      simhashMaxDocs: Long = 100000L): NearDupTier =
+    if (minJaccard < 0.9) NearDupTier.PpJoin
+    else if (nDocs <= simhashMaxDocs) NearDupTier.SimHash
+    else NearDupTier.MinHashBanding
+
+  /**
+   * Auto-switching near-dup facade: pick the candidate tier from corpus
+   * stats ([[chooseNearDupTier]] — one `count()` job, the only stat the
+   * rule needs), generate candidates, and exact-verify so every tier
+   * emits the SAME contract: (id_a, id_b, inter, size_a, size_b,
+   * jaccard) with jaccard ≥ `minJaccard`, id_a < id_b — identical rows
+   * to the tier invoked directly (spec-pinned per tier), and, in the
+   * regimes where the generators' measured recall is 1.0, identical to
+   * the exact thresholded pair set (the DuckDB oracle's formulation).
+   * The shingle index is spilled once and shared by candidate generation
+   * and verification, as the registered per-tier queries do.
+   */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.9, k: Int = 3,
+      simhashMaxDocs: Long = 100000L): DataFrame =
+    chooseNearDupTier(df.count(), minJaccard, simhashMaxDocs) match {
+      case NearDupTier.PpJoin =>
+        jaccardPairsThresholded(df, idCol, textCol, k, minJaccard)
+      case tier =>
+        val idx = Materialize.viaParquet(
+          shingleIndex(df, idCol, textCol, k), "neardup_idx")
+        val cands = Materialize.viaParquet(
+          (tier match {
+            case NearDupTier.SimHash => simHashPairsFromFeats(idx)
+            case _ => minHashPairsFromFeats(idx)
+          }).select(col("id_a"), col("id_b")), "neardup_cands")
+        verifyWithIndex(cands, idx).filter(col("jaccard") >= minJaccard)
+    }
+
   /**
    * Incremental dedup: flag a NEW ingest batch against an EXISTING corpus
    * without re-deduping the corpus itself — the shape every production

@@ -117,6 +117,45 @@ class DedupSpec extends AnyFunSuite {
       s"missed strong pairs: ${strong -- sims} (simhash found ${sims.size})")
   }
 
+  test("chooseNearDupTier: the docstring switchover rule as code (round 14)") {
+    import Dedup.NearDupTier._
+    // below-0.9 thresholds go to PPJoin at ANY size (only exact-recall tier)
+    assert(Dedup.chooseNearDupTier(100L, 0.8) == PpJoin)
+    assert(Dedup.chooseNearDupTier(10000000L, 0.6) == PpJoin)
+    // >= 0.9: simhash up to the measured regime bound, minhash banding past it
+    assert(Dedup.chooseNearDupTier(50000L, 0.9) == SimHash)
+    assert(Dedup.chooseNearDupTier(100000L, 0.95) == SimHash)
+    assert(Dedup.chooseNearDupTier(100001L, 0.9) == MinHashBanding)
+    assert(Dedup.chooseNearDupTier(500000L, 0.9) == MinHashBanding)
+  }
+
+  test("nearDupPairs facade emits identical pairs to each chosen tier") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    // simhash regime (n <= cap, t = 0.9): facade == verified simhash tier
+    val simTier = Dedup.verifyJaccardOnIndex(
+      Dedup.simHashPairs(corpus, "doc_id", "text").select("id_a", "id_b"),
+      Dedup.shingleIndex(corpus, "doc_id", "text", 3))
+      .filter($"jaccard" >= 0.9)
+    val simFacade = Dedup.nearDupPairs(corpus, "doc_id", "text", minJaccard = 0.9)
+    assert(rows(simFacade) == rows(simTier) && rows(simFacade).nonEmpty)
+    // minhash regime forced by simhashMaxDocs = 0: == verified minhash tier
+    val mhTier = Dedup.verifyJaccardOnIndex(
+      Dedup.minHashPairs(corpus, "doc_id", "text").select("id_a", "id_b"),
+      Dedup.shingleIndex(corpus, "doc_id", "text", 3))
+      .filter($"jaccard" >= 0.9)
+    val mhFacade = Dedup.nearDupPairs(corpus, "doc_id", "text",
+      minJaccard = 0.9, simhashMaxDocs = 0L)
+    assert(rows(mhFacade) == rows(mhTier) && rows(mhFacade).nonEmpty)
+    // ppjoin regime (t < 0.9): == jaccardPairsThresholded
+    val ppTier = Dedup.jaccardPairsThresholded(corpus, "doc_id", "text",
+      minJaccard = 0.8)
+    val ppFacade = Dedup.nearDupPairs(corpus, "doc_id", "text", minJaccard = 0.8)
+    assert(rows(ppFacade) == rows(ppTier) && rows(ppFacade).nonEmpty)
+  }
+
   test("contamination: planted 5-gram overlap found, clean docs not flagged") {
     val probes = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
       .toDF("doc_id", "text")
