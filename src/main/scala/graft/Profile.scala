@@ -34,7 +34,8 @@ object Profile {
     "simhash-cap" -> (ProfileSimhashCap.run _, "simhash hot-block cap study"),
     "simhash-phases" -> (ProfileSimhashPhases.run _, "simhash per-phase breakdown"),
     "plandump-r9" -> (PlanDumpR9.run _, "round-9 plan dumps"),
-    "listing" -> (ProfileListing.run _, "partition-listing wall at >=10^4 dirs: driver loop vs distributed (args: nDirs nFiles)"))
+    "listing" -> (ProfileListing.run _, "partition-listing wall at >=10^4 dirs: driver loop vs distributed (args: nDirs nFiles)"),
+    "bpe8k" -> (ProfileBpe8k.run _, "tokenizer-scale BPE: learn+encode at >=8k rules, native-vs-fold parity (args: numMerges)"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

@@ -41,8 +41,13 @@ object SampledQueries {
   /** Slice modulus: keeps ~1% of the probe side (198 of 20 000 vectors at
     * sf1) — large enough that every family (near-dup cluster, isotropic
     * tail) lands in the slice, small enough that DuckDB's side is ~200×n
-    * instead of n². */
-  val SliceMod = 101
+    * instead of n². Env-overridable (round 14) so the SAME recipe gates
+    * 100×: `SPARK_GRAFT_SLICE_MOD=1009` keeps ~198 probes of the 200 k
+    * sf10 corpus, holding DuckDB's cost at ~200×n while n grows 10× —
+    * the modulus scales WITH the corpus, the probe count stays fixed.
+    * Both the Spark-side filter and the generated oracle SQL read this
+    * one value, so the two sides can never disagree on the slice. */
+  val SliceMod: Int = sys.env.getOrElse("SPARK_GRAFT_SLICE_MOD", "101").toInt
 
   private val sliceA = col("id_a") % SliceMod === 0
   private def emb(s: SparkSession, dir: String) = rd(s, dir, "embeddings")

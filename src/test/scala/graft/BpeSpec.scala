@@ -172,6 +172,40 @@ class BpeSpec extends AnyFunSuite {
       .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bpe_encode")))
   }
 
+  test("native == staged fold on a LEARNED 512-rule table (rich vocabulary)") {
+    // The fixture corpus caps at ~116 rules (310-word vocabulary); a
+    // tokenizer-scale table needs a Heaps-law vocabulary. Same rich
+    // generator as the SCALE.md bpe8k rehearsal at mini scale: 600 docs
+    // x 30 words from a 1500-word xxhash pool — supports 512+ merges.
+    // Parity on the LEARNED table (not a synthetic one) is the gate the
+    // round-13 verdict asked for: collision structure of real learned
+    // merges (e.g. transitive symbol reuse) is what synthetic tables
+    // can miss. The 8192-rule rehearsal (ProfileBpe8k) pins the same
+    // equality at full scale.
+    val pool = 1500
+    val rich = spark.range(0, 600, 1, 4)
+      .select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)), w => {
+          val widx = pmod(xxhash64(col("id"), w), lit(pool))
+          array_join(transform(
+            sequence(lit(0), pmod(widx, lit(8)) + 5),
+            c => chr(pmod(xxhash64(widx, c), lit(26)) + 97)), "")
+        }), " ").as("text"))
+    val merges = Bpe.learnMerges(rich, "text", numMerges = 512, batchSize = 64)
+    assert(merges.size == 512, s"rich mini-corpus exhausted at ${merges.size}")
+    val probe = rich.filter(col("doc_id") % 7 === 0) // 86 docs
+    val staged = Bpe.encodeTable(probe, "text", "toks", merges)
+      .select(col("doc_id"), col("toks"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toList).toList).toMap
+    val native = probe
+      .select(col("doc_id"), Bpe.encodeNative(spark, col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[String]](1).map(_.toList).toList).toMap
+    assert(native == staged)
+    assert(native.nonEmpty && native.values.forall(_.nonEmpty))
+  }
+
   test("encodeTable staged encoding equals the single-projection encode") {
     val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
     val in = Seq("lowest low newest", "wide widest lower").toDF("text")
