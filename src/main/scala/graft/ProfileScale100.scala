@@ -289,6 +289,28 @@ object ProfileScale100 {
       }
     }
 
+    if (which("imidump")) {
+      // round 14 (r13 verdict ask #4 follow-up): dump the SLICED IMI
+      // pair set at a given nAssign so DuckDB can anti-join it against
+      // the exact sliced enumeration — extending the cross-engine recall
+      // measurement past the registered nAssign=2 operating point. The
+      // nAssign=2 point itself is gated by the real SampledQueries
+      // recipe (SPARK_GRAFT_SLICE_MOD=1009 Verify run, see SCALE.md).
+      val na = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
+      val (corpusRaw, _) = PipelineQueries.clusteredEmbeddings(emb)
+      val corpus = Materialize.viaParquet(corpusRaw, "s100_imicorpus_d")
+      val out = s"/tmp/graft_sf10_imi$na"
+      time(s"imi nAssign=$na sliced pair dump") {
+        Similarity.imiPairs(corpus, "vec_id", "embedding",
+            nAssign = na, minCos = 0.9)
+          .filter(col("id_a") % 1009 === 0)
+          .select("id_a", "id_b")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+      }
+      println(s"[scale100] wrote $out")
+    }
+
     if (which("ann")) {
       val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
       // ONE quadratic pass, every cut's candidate count at once
