@@ -729,6 +729,22 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    "q_embed_auto" -> ((s, dir) => {
+      // vector twin of q_dedup_auto (round 14): chooseCosineTier picks
+      // the IMI tier here (clustered corpus, minCos 0.9, bruteMaxDocs
+      // forced to 100 so the gate exercises the SCALE branch rather
+      // than the small-corpus exact short-circuit); IMI recall 1.0 at
+      // both oracle scales means the verified output equals the exact
+      // >= 0.9 enumeration. Exact and sketch branches are spec-pinned
+      // pair-for-pair in SimilaritySpec; at 10x this query gates
+      // through the sampled slice like the rest of the vector-quadratic
+      // family.
+      val (corpus, _) = clusteredEmbeddings(rd(s, dir, "embeddings"))
+      Similarity.cosinePairsAuto(corpus, "vec_id", "embedding",
+          minCos = 0.9, bruteMaxDocs = 100L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup-style semantic dedup (Abbas et al. 2023, public) in its
       // 100 TB shape: the corpus is the deterministic CLUSTERED
@@ -2766,6 +2782,23 @@ object PipelineQueries {
     // exact cosine pairs at the same 0.45 threshold, then recursive
     // min-label reachability — the embedding-space twin of the
     // q_dedup_clusters oracle
+    // the facade picks the IMI tier on this corpus; recall 1.0 at both
+    // gate scales ⇒ verified output == exact >= 0.9 enumeration
+    "q_embed_auto" ->
+      s"""WITH $ClusteredCorpusSql,
+         parts AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y
+           FROM corpus a, corpus b WHERE a.vec_id < b.vec_id),
+         comp AS (
+           SELECT id_a, id_b,
+             SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+             SQRT(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+             SQRT(SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) AS nb
+           FROM parts GROUP BY id_a, id_b)
+         SELECT id_a, id_b, ROUND(dot / (na * nb), 4) AS cos_sim
+         FROM comp WHERE ROUND(dot / (na * nb), 4) >= 0.9
+         ORDER BY id_a, id_b""",
     "q_dedup_semantic" ->
       s"""WITH RECURSIVE $ClusteredCorpusSql,
          parts AS (

@@ -99,6 +99,17 @@ object SampledQueries {
         .orderBy(col("id"))
     }),
 
+    // auto-switching cosine facade (round 14) — picks the IMI tier at
+    // its registered operating point; sliced like the rest of the
+    // vector-quadratic family
+    "q_embed_auto" -> ((s, dir) => {
+      val (corpus, _) = clusteredEmbeddings(emb(s, dir))
+      Similarity.cosinePairsAuto(corpus, "vec_id", "embedding",
+          minCos = 0.9, bruteMaxDocs = 100L)
+        .filter(sliceA)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // semantic-dedup EDGE relation (cos ≥ 0.9 on the clustered corpus),
     // sliced — pins IMI candidate recall at 10×; the CC consuming these
     // edges is full-gated via q_dedup_clusters
@@ -201,6 +212,10 @@ object SampledQueries {
       s"""WITH ${slicedKnnSql("embeddings")}""",
     "q_knn_classify_ann" ->
       s"""WITH $ClusteredCorpusSql, ${slicedKnnSql("corpus")}""",
+    "q_embed_auto" ->
+      s"""WITH $ClusteredCorpusSql, ${slicedPairsSql("corpus",
+            ", ROUND(dot / (na * nb), 4) AS cos_sim",
+            "WHERE ROUND(dot / (na * nb), 4) >= 0.9 ORDER BY id_a, id_b")}""",
     "q_dedup_semantic" ->
       s"""WITH $ClusteredCorpusSql, ${slicedPairsSql("corpus",
             "",

@@ -557,7 +557,10 @@ object Dedup {
   /**
    * Auto-switching near-dup facade: pick the candidate tier from corpus
    * stats ([[chooseNearDupTier]] — one `count()` job, the only stat the
-   * rule needs), generate candidates, and exact-verify so every tier
+   * rule needs; pass `nDocsHint` to skip it when the catalog already
+   * knows the row count, the 100 TB posture — a wrong hint only shifts
+   * WHICH recall-1.0-regime tier runs, never correctness, since every
+   * tier exact-verifies), generate candidates, and exact-verify so every tier
    * emits the SAME contract: (id_a, id_b, inter, size_a, size_b,
    * jaccard) with jaccard ≥ `minJaccard`, id_a < id_b — identical rows
    * to the tier invoked directly (spec-pinned per tier), and, in the
@@ -568,8 +571,10 @@ object Dedup {
    */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.9, k: Int = 3,
-      simhashMaxDocs: Long = 100000L): DataFrame =
-    chooseNearDupTier(df.count(), minJaccard, simhashMaxDocs) match {
+      simhashMaxDocs: Long = 100000L,
+      nDocsHint: Option[Long] = None): DataFrame =
+    chooseNearDupTier(nDocsHint.getOrElse(df.count()), minJaccard,
+        simhashMaxDocs) match {
       case NearDupTier.PpJoin =>
         jaccardPairsThresholded(df, idCol, textCol, k, minJaccard)
       case tier =>

@@ -204,6 +204,71 @@ object Similarity {
         greatest(col("xid"), col("yid")).as("id_b"), col("cos_sim"))
       .filter(col("cos_sim") >= minCos)
 
+  /** The candidate tier [[cosinePairsAuto]] selected. */
+  sealed trait CosineTier
+  object CosineTier {
+    /** Block-matrix exact enumeration — small corpora, or thresholds
+      * below every pruning tier's recall guarantee. */
+    case object Exact extends CosineTier
+    /** 512-bit sketch cut + exact verify — the measured recall-1.0
+      * operating point for cos ≥ 0.45 on ANY structure (isotropic
+      * included). */
+    case object SketchAnn extends CosineTier
+    /** Two-level IMI candidates + exact verify — the clustered
+      * near-dup regime (cos ≥ 0.9), O(n·√k) assignment. */
+    case object Imi extends CosineTier
+  }
+
+  /**
+   * The vector-side switchover rule AS CODE (round 14 — the text twin is
+   * [[Dedup.chooseNearDupTier]]; previously the [[annPairs]]/[[imiPairs]]
+   * scaladocs asked the USER to pick):
+   *
+   *   - `nDocs ≤ bruteMaxDocs` (default 2·10⁴ — the sf1 regime where the
+   *     block-matrix exact pass measures ~2 s) → [[CosineTier.Exact]]:
+   *     below that, no index amortizes its build.
+   *   - else `minCos ≥ 0.9` → [[CosineTier.Imi]]: the near-dup regime —
+   *     the registered semantic-dedup feed, O(n·√k) assignment + Σf²
+   *     product cells; recall 1.0 at both oracle gates, 0.9888–0.9982
+   *     cross-engine at 100× (nAssign 2→3, SCALE.md round 14).
+   *   - else `minCos ≥ 0.45` → [[CosineTier.SketchAnn]]: the 512-bit
+   *     sketch at minEstCos = 0.25 keeps measured recall 1.00 of all
+   *     cos ≥ 0.45 pairs with a 3.8% candidate rate, and unlike IMI it
+   *     assumes NO cluster structure (banded LSH is unregistrable on
+   *     isotropic data — the round-5 sweep).
+   *   - else → [[CosineTier.Exact]]: below the sketch's statistical
+   *     margin every pair must be scored; pretending otherwise would
+   *     trade silent recall loss for speed.
+   */
+  def chooseCosineTier(nDocs: Long, minCos: Double,
+      bruteMaxDocs: Long = 20000L): CosineTier =
+    if (nDocs <= bruteMaxDocs) CosineTier.Exact
+    else if (minCos >= 0.9) CosineTier.Imi
+    else if (minCos >= 0.45) CosineTier.SketchAnn
+    else CosineTier.Exact
+
+  /**
+   * Auto-switching cosine-pair facade — the vector twin of
+   * [[Dedup.nearDupPairs]]: one corpus stat (`count()`, skipped when
+   * `nDocsHint` carries the catalog's row count — the 100 TB posture)
+   * picks the tier; every tier already exact-verifies into the same
+   * (id_a, id_b, cos_sim ≥ minCos) contract, so the facade emits
+   * identical rows to the tier invoked directly (spec-pinned per
+   * branch), and — in the regimes where the generators' measured recall
+   * is 1.0 — identical to the exact enumeration (the DuckDB oracle's
+   * formulation; `q_embed_auto` gates the IMI branch at sf0.01 in full
+   * and at 10× through the sampled slice).
+   */
+  def cosinePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, bruteMaxDocs: Long = 20000L,
+      nDocsHint: Option[Long] = None): DataFrame =
+    chooseCosineTier(nDocsHint.getOrElse(emb.count()), minCos,
+        bruteMaxDocs) match {
+      case CosineTier.Exact => exactCosinePairs(emb, idCol, vecCol, minCos)
+      case CosineTier.SketchAnn => annPairs(emb, idCol, vecCol, minCos = minCos)
+      case CosineTier.Imi => imiPairs(emb, idCol, vecCol, minCos = minCos)
+    }
+
   /** The DIRECTED exact neighbor relation (id, nbr, cos_sim) — every
     * unordered pair emitted in both orientations inside the one
     * block-matrix pass ([[scoredBlockPairs]]), so no all-pairs table is

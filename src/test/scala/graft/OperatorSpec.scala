@@ -297,6 +297,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head == 1L)
   }
 
+  test("chooseCosineTier: the vector switchover rule as code (round 14)") {
+    import Similarity.CosineTier._
+    // small corpora: exact, at any threshold
+    assert(Similarity.chooseCosineTier(1000L, 0.9) == Exact)
+    assert(Similarity.chooseCosineTier(20000L, 0.45) == Exact)
+    // past the brute regime: IMI for the near-dup band, sketch for the
+    // measured 0.45 operating point, exact below the sketch margin
+    assert(Similarity.chooseCosineTier(200000L, 0.9) == Imi)
+    assert(Similarity.chooseCosineTier(200000L, 0.95) == Imi)
+    assert(Similarity.chooseCosineTier(200000L, 0.45) == SketchAnn)
+    assert(Similarity.chooseCosineTier(200000L, 0.6) == SketchAnn)
+    assert(Similarity.chooseCosineTier(200000L, 0.3) == Exact)
+  }
+
+  test("cosinePairsAuto facade emits identical pairs to each chosen tier") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSet
+    // exact branch (n <= bruteMaxDocs)
+    val ex = rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.45))
+    assert(ex == rows(Similarity.exactCosinePairs(emb, "vec_id", "embedding",
+      minCos = 0.45)) && ex.nonEmpty)
+    // sketch branch forced (bruteMaxDocs = 0, threshold in [0.45, 0.9))
+    val sk = rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.45, bruteMaxDocs = 0L))
+    assert(sk == rows(Similarity.annPairs(emb, "vec_id", "embedding",
+      minCos = 0.45)) && sk.nonEmpty)
+    // IMI branch forced (bruteMaxDocs = 0, threshold >= 0.9)
+    val im = rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.9, bruteMaxDocs = 0L))
+    assert(im == rows(Similarity.imiPairs(emb, "vec_id", "embedding",
+      minCos = 0.9)))
+    // nDocsHint skips the count but must land on the same tier/output
+    assert(rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.45, nDocsHint = Some(100L))) == ex)
+  }
+
   test("sketch ann: identical vectors pass the estimate filter and score 1.0") {
     val v = Seq.tabulate(64)(i => (i % 7 - 3).toFloat)
     val df = ((0L to 1L).map(i => (i, v)) ++
