@@ -290,39 +290,45 @@ object Streams {
   }
 
   /**
-   * Streaming IMAGE dedup (round 13): each arriving image is decoded,
-   * average-hashed, and flagged against the STANDING corpus's hash
-   * table (is_dup = some corpus image within `maxHamming`, dup_of = the
-   * closest such neighbor — lowest hamming, then lowest id). The corpus
-   * is hashed ONCE at sink creation (a spilled 16-byte/row artifact —
-   * the decode never re-runs); each micro-batch pays its own |Δ|
-   * decodes plus the banded bucket join against the standing hashes —
-   * Δ×corpus through Σf² buckets, never |Δ|·n. The batch analogue is
-   * the oracle-gated q_image_dedup; the vector analogue
-   * [[semanticDedupSink]]; the text analogue [[contentDedupStream]].
+   * Streaming PERCEPTUAL dedup over any 64-bit-hash modality (round 14
+   * generalization of the round-13 image sink): each arriving payload is
+   * decoded by `hasher` (any (df, idCol, mediaCol) → (idCol, ahash)
+   * producer — [[graft.operators.Multimodal.imageAHash]],
+   * `audioEnergyHash`, `videoAHash`) and flagged against the STANDING
+   * corpus's hash table (is_dup = some corpus item within `maxHamming`,
+   * dup_of = the closest such neighbor — lowest hamming, then lowest
+   * id). The corpus is hashed ONCE at sink creation (a spilled
+   * 16-byte/row artifact — the decode never re-runs); each micro-batch
+   * pays its own |Δ| decodes plus the banded bucket join against the
+   * standing hashes — Δ×corpus through Σf² buckets, never |Δ|·n. The
+   * batch analogues are the oracle-gated q_image_dedup / q_audio_dedup /
+   * q_video_dedup; the vector analogue [[semanticDedupSink]]; the text
+   * analogue [[contentDedupStream]].
    */
-  def imageDedupSink(newImages: DataFrame, corpus: DataFrame, outDir: String,
-      checkpoint: String, idCol: String = "doc_id", mediaCol: String = "media",
+  def perceptualDedupSink(newMedia: DataFrame, corpus: DataFrame,
+      outDir: String, checkpoint: String,
+      hasher: (DataFrame, String, String) => DataFrame,
+      idCol: String = "doc_id", mediaCol: String = "media",
       maxHamming: Int = 6): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, explode, row_number}
     import org.apache.spark.sql.expressions.Window
     val bands = maxHamming + 1
     val corpusHashes = graft.operators.Materialize.viaParquet(
-      graft.operators.Multimodal.imageAHash(corpus, idCol, mediaCol)
+      hasher(corpus, idCol, mediaCol)
         .select(col(idCol).as("nbr"), col("ahash").as("nbr_hash")),
       "img_sink_corpus")
     val corpusKeyed = corpusHashes.select(col("nbr"), col("nbr_hash"),
         explode(graft.functions.TextFunctions.simHashBands(col("nbr_hash"), bands)).as("bk"))
       .select(col("nbr"), col("nbr_hash"), col("bk.band"), col("bk.bucket"))
-    newImages.writeStream
+    newMedia.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         // spill the batch hashes ONCE: bh feeds BOTH the banded join and
         // the final left-join's left side, and Spark does not dedupe the
-        // common subplan across join inputs — inline, every image would
+        // common subplan across join inputs — inline, every payload would
         // decode twice per micro-batch (round-13 review)
         val bh = graft.operators.Materialize.viaParquet(
-          graft.operators.Multimodal.imageAHash(batch.toDF(), idCol, mediaCol),
+          hasher(batch.toDF(), idCol, mediaCol),
           "img_sink_batch")
         val bKeyed = bh.select(col(idCol).as("id"), col("ahash"),
             explode(graft.functions.TextFunctions.simHashBands(col("ahash"), bands)).as("bk"))
@@ -347,6 +353,36 @@ object Streams {
       }
       .start()
   }
+
+  /** [[perceptualDedupSink]] with the image aHash — the round-13 sink,
+    * signature preserved. */
+  def imageDedupSink(newImages: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String = "doc_id", mediaCol: String = "media",
+      maxHamming: Int = 6): StreamingQuery =
+    perceptualDedupSink(newImages, corpus, outDir, checkpoint,
+      (d, i, m) => graft.operators.Multimodal.imageAHash(d, i, m),
+      idCol, mediaCol, maxHamming)
+
+  /** [[perceptualDedupSink]] with the audio energy hash (round 14) —
+    * same hamming-6 operating point as the oracle-gated q_audio_dedup
+    * (planted twins measure ≤ 1; the radius is banding headroom). */
+  def audioDedupSink(newAudio: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String = "doc_id", mediaCol: String = "media",
+      maxHamming: Int = 6): StreamingQuery =
+    perceptualDedupSink(newAudio, corpus, outDir, checkpoint,
+      (d, i, m) => graft.operators.Multimodal.audioEnergyHash(d, i, m),
+      idCol, mediaCol, maxHamming)
+
+  /** [[perceptualDedupSink]] with the frame-sampled video aHash
+    * (round 14): `nSample` frames decoded per clip, the rest skipped as
+    * byte ranges — the Δ-side cost per micro-batch is k decodes per
+    * clip, not nFrames. */
+  def videoDedupSink(newVideo: DataFrame, corpus: DataFrame, outDir: String,
+      checkpoint: String, idCol: String = "doc_id", mediaCol: String = "media",
+      maxHamming: Int = 6, nSample: Int = 3): StreamingQuery =
+    perceptualDedupSink(newVideo, corpus, outDir, checkpoint,
+      (d, i, m) => graft.operators.Multimodal.videoAHash(d, i, m, nSample),
+      idCol, mediaCol, maxHamming)
 
   /** Marker file whose existence commits generation `id` — one flat
     * `_commits/` directory per table, so resolving EVERY commit bit is a

@@ -66,6 +66,82 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(out.filter(col("id") >= 300L && col("id") < 340L)
       .filter(col("is_dup") === 1).count() == 0)
   }
+
+  // round 14: the generalized perceptualDedupSink drives audio and video
+  // through the SAME machinery; each spec checks the stream against a
+  // driver-computed exact reference (best corpus neighbor by (hamming,
+  // id) from the same hasher), so no fixture collision-range assumption
+  // is baked in — whatever the true neighbor structure is, the sink must
+  // reproduce it.
+  private def bestNeighborReference(arriving: Map[Long, Long],
+      corpus: Map[Long, Long], maxHamming: Int): Map[Long, Option[(Long, Int)]] =
+    arriving.map { case (id, h) =>
+      val cands = corpus.toSeq
+        .map { case (nbr, nh) => (nbr, java.lang.Long.bitCount(h ^ nh)) }
+        .filter(_._2 <= maxHamming)
+      id -> (if (cands.isEmpty) None
+             else Some(cands.minBy { case (nbr, hm) => (hm, nbr) })
+               .map { case (nbr, hm) => (nbr, hm) })
+    }
+
+  private def hashMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def runSinkAndCheck(kind: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      arriving: org.apache.spark.sql.DataFrame,
+      hasher: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mkSink: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String) => org.apache.spark.sql.streaming.StreamingQuery,
+      maxHamming: Int): Unit = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft-${kind}dd").toString
+    arriving.write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val q = mkSink(spark.readStream.schema(schema).parquet(s"$base/in"),
+      corpus, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val want = bestNeighborReference(
+      hashMap(hasher(arriving)), hashMap(hasher(corpus)), maxHamming)
+    val got = spark.read.parquet(s"$base/out").collect().map { r =>
+      r.getLong(0) -> (if (r.getInt(1) == 1) Some((r.getLong(2), r.getInt(3)))
+                       else None)
+    }.toMap
+    assert(got.keySet == want.keySet, s"$kind: id sets differ")
+    want.foreach { case (id, w) =>
+      assert(got(id) == w, s"$kind id=$id: got ${got(id)} want $w")
+    }
+    // the fixture must actually exercise both outcomes
+    assert(want.values.exists(_.isDefined), s"$kind: no dup in fixture")
+    assert(want.values.exists(_.isEmpty), s"$kind: no non-dup in fixture")
+  }
+
+  test("streaming audio dedup matches the exact best-neighbor reference") {
+    import graft.operators.Multimodal
+    val ids = (0L until 80L).toDF("doc_id")
+    val corpus = Multimodal.attachWavCorpus(ids, noisyEvery = 0)
+    val arriving = Multimodal.attachWavCorpus(
+        ids.filter(col("doc_id") % 7 === 0), noisyEvery = 1)
+      .filter(col("doc_id") >= 1000000L) // noisy twins of every 7th doc
+      .unionByName(Multimodal.attachWavCorpus(
+        (500L until 520L).toDF("doc_id"), noisyEvery = 0))
+    runSinkAndCheck("audio", corpus, arriving,
+      d => Multimodal.audioEnergyHash(d),
+      (s, c, o, ck) => Streams.audioDedupSink(s, c, o, ck), maxHamming = 6)
+  }
+
+  test("streaming video dedup matches the exact best-neighbor reference") {
+    import graft.operators.Multimodal
+    val ids = (0L until 60L).toDF("doc_id")
+    val corpus = Multimodal.attachVideoCorpus(ids, noisyEvery = 0)
+    val arriving = Multimodal.attachVideoCorpus(
+        ids.filter(col("doc_id") % 7 === 0), noisyEvery = 1)
+      .filter(col("doc_id") >= 1000000L)
+      .unionByName(Multimodal.attachVideoCorpus(
+        (500L until 515L).toDF("doc_id"), noisyEvery = 0))
+    runSinkAndCheck("video", corpus, arriving,
+      d => Multimodal.videoAHash(d, nSample = 3),
+      (s, c, o, ck) => Streams.videoDedupSink(s, c, o, ck), maxHamming = 6)
+  }
 }
 
 /** CDC ingest: micro-batches MERGE into keyed generations; the current
