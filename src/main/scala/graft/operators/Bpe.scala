@@ -257,7 +257,11 @@ object Bpe {
       val narrow = applyStages(
         charInit(base.select(col(key), col(textCol)))
           .select(col(key), col(outCol)))
-      base.join(narrow, Seq(key)).drop(key)
+      // drop a pre-existing outCol before the join-back (round-14
+      // review): withColumn on the single-stage path REPLACES it, so the
+      // join appending a second column of the same name would make the
+      // branches diverge and any select(outCol) ambiguous
+      base.drop(outCol).join(narrow, Seq(key)).drop(key)
     }
   }
 }

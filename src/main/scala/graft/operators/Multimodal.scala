@@ -420,8 +420,15 @@ object Multimodal {
       : Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // meta-less (id, media) frames stay valid (round-14 review — the
+    // attach*Corpus fixtures and any pre-round caller): absent media_meta
+    // reads as an empty kind, which decodeByKind routes to the byte-level
+    // default, the pre-kind-dispatch behavior
+    val kindCol =
+      if (df.columns.contains("media_meta")) col("media_meta.kind")
+      else lit("")
     df.select(col(idCol).cast("long"), col(mediaCol),
-        col("media_meta.kind")).as[(Long, Array[Byte], String)]
+        kindCol).as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // batch boundary = where a real decoder would run vectorized
@@ -684,9 +691,6 @@ object Multimodal {
     if (i % 37 == 0) math.min(255, p + 3) else p
   }
 
-  /** Video corpus for near-dup mining: one `nFrames`-frame clip per doc
-    * (every frame a real PNG in the GVID container), plus a noisy twin
-    * (id + `twinOffset`) for every `noisyEvery`-th doc. */
   /** One fixture clip (object-level, not a local def: executor closures
     * must reference it as a static module call, not capture it). */
   private[graft] def nearDupClip(d: Long, noisy: Boolean,
@@ -708,6 +712,9 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Video corpus for near-dup mining: one `nFrames`-frame clip per doc
+    * (every frame a real PNG in the GVID container), plus a noisy twin
+    * (id + `twinOffset`) for every `noisyEvery`-th doc. */
   def attachVideoCorpus(docs: DataFrame, idCol: String = "doc_id",
       noisyEvery: Int = 7, twinOffset: Long = 1000000L,
       nFrames: Int = 6, w: Int = 32, h: Int = 16): DataFrame = {

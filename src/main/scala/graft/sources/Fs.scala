@@ -158,18 +158,6 @@ object Fs {
     }
   }
 
-  /** Per-directory file counts as ONE distributed pass: each task lists
-    * its slice of directories through the Hadoop FS API and counts files
-    * whose name ends with `nameSuffix`. This is the 10⁵-partition shape
-    * (round-13 verdict): a driver loop issuing one LIST RPC per
-    * directory serializes 10⁵ round-trips; spread across executors the
-    * same listing is bounded by slice width, and at real scale the
-    * executors' aggregate RPC concurrency is exactly what the object
-    * store is provisioned for. Returns dir → count (missing/unlistable
-    * dirs count 0 — same as "no matching files" for the compaction
-    * decision). Small inputs short-circuit to a driver loop: a Spark
-    * job per maintenance call would cost more than it saves below a few
-    * hundred directories. */
   /** One directory's matching-file count (object-level, not a local def:
     * executor closures must reach it as a static module call, never
     * capture it). Missing/unlistable dirs count 0. */
@@ -182,12 +170,29 @@ object Fs {
     (p, cnt)
   }
 
+  /** Per-directory file counts as ONE distributed pass: each task lists
+    * its slice of directories through the Hadoop FS API and counts files
+    * whose name ends with `nameSuffix`. This is the 10⁵-partition shape
+    * (round-13 verdict): a driver loop issuing one LIST RPC per
+    * directory serializes 10⁵ round-trips; spread across executors the
+    * same listing is bounded by slice width, and at real scale the
+    * executors' aggregate RPC concurrency is exactly what the object
+    * store is provisioned for. Returns dir → count (missing/unlistable
+    * dirs count 0 — same as "no matching files" for the compaction
+    * decision). Small inputs short-circuit to a driver loop: a Spark
+    * job per maintenance call would cost more than it saves below a few
+    * hundred directories. BOTH branches resolve filesystems from the
+    * passed session's hadoopConfiguration (round-14 review: the driver
+    * loop used the thread-local `conf()`, which from a maintenance
+    * thread without an active session falls back to a credential-less
+    * default — every listStatus would throw and every count silently
+    * become 0). */
   def countFilesDistributed(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String], nameSuffix: String,
       driverLoopBelow: Int = 256): Map[String, Long] = {
     if (dirs.isEmpty) Map.empty
     else if (dirs.size < driverLoopBelow) {
-      val c = conf()
+      val c = spark.sparkContext.hadoopConfiguration
       dirs.map(countOneDir(_, nameSuffix, c)).toMap
     } else {
       val sc = spark.sparkContext

@@ -196,6 +196,15 @@ object Streams {
    * replay is a no-op. If the crash hit BEFORE the marker, the replayed
    * batch reads the previous committed generation and simply rewrites
    * the dangling directory — also safe.
+   *
+   * CONTRACT: the checkpoint and the table directory are a UNIT —
+   * generation ids ARE streaming batch ids. Resetting or deleting the
+   * checkpoint while keeping the table restarts batch ids at 0, which
+   * the replay guard cannot distinguish from a true replay: already-
+   * committed ids would be skipped (their NEW data dropped) and fresh
+   * ids would collide with existing generation directories. To
+   * reprocess, start a new table directory (or vacuum to empty) along
+   * with the new checkpoint.
    */
   def upsertSink(updates: DataFrame, tableDir: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String, parts: Int = 4,
@@ -205,13 +214,18 @@ object Streams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val gen = s"$tableDir/gen$batchId"
-        if (isCommitted(tableDir, batchId)) {
+        // ONE committed-generations resolution per micro-batch (round-14
+        // review: isCommitted + currentGeneration each re-listed the
+        // table and _commits dirs — doubled LIST/GET round-trips per
+        // batch on an object store, growing with generation count)
+        val cg = committedGenerations(tableDir)
+        if (cg.exists(_._1 == batchId)) {
           // replay of a batch that already committed its write AND its
           // marker: gen<batchId> is complete — rewriting it from itself
           // would be read-while-overwrite; skip.
           ()
         } else {
-          currentGeneration(tableDir) match {
+          cg.lastOption.map(_._2) match {
             case Some(c) =>
               graft.sources.ParquetIO.upsertWrite(
                 spark.read.parquet(c), batch.toDF(), gen, keyCols, versionCol,
@@ -504,9 +518,19 @@ object Streams {
       else id < maxCommitted
     }
     // orphan markers (marker present, directory gone — a previous vacuum
-    // crashed between dir delete and marker delete): sweep them too
+    // crashed between dir delete and marker delete): sweep them too.
+    // ONLY ids < maxCommitted (round-14 review): the marker listing here
+    // is FRESHER than the `all` directory snapshot above, so a live sink
+    // committing gen N concurrently (dir first, then marker) can appear
+    // in markerIds while its dir is absent from the stale dirIds — and
+    // generation ids are batch ids, strictly increasing, so any such
+    // concurrent commit has id > maxCommitted while a true crashed-vacuum
+    // orphan was deletable under an older (≤ current) maxCommitted.
+    // Without the bound the sweep would demote a freshly committed
+    // generation to dangling and a later vacuum would delete its data.
     val dirIds = all.map(_._1).toSet
-    markerIds(tableDir).filterNot(dirIds.contains)
+    markerIds(tableDir)
+      .filter(id => id < maxCommitted && !dirIds.contains(id))
       .foreach(id => graft.sources.Fs.deleteIfExists(commitMarkerPath(tableDir, id)))
     deletable.flatMap { case (id, path) =>
       // a failed delete (open handle, permission) must NOT be reported as

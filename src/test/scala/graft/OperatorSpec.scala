@@ -505,6 +505,17 @@ class MultimodalSpec extends AnyFunSuite {
       txt.take(5).map(b => (b & 0xff) / 255.0f).toSeq)
   }
 
+  test("extractFeatures accepts meta-less (id, media) frames with the byte default") {
+    // the attach*Corpus fixtures emit only (doc_id, media) — absent
+    // media_meta must route to the byte-level default, not throw
+    // (round-14 review)
+    val df = Seq((1L, "abc".getBytes("UTF-8")), (2L, "xyzw".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val got = Multimodal.extractFeatures(df).collect().map(f => f.doc_id -> f).toMap
+    assert(got(1L).n_bytes == 3 && got(2L).n_bytes == 4)
+    got.values.foreach(f => assert(math.abs(f.histogram.sum - 1.0f) < 1e-3))
+  }
+
   test("extractFeatures default is the REAL audio decode on attachWav rows") {
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(10)
     val feats = Multimodal.extractFeatures(Multimodal.attachWav(docs)).collect()

@@ -359,4 +359,30 @@ class GenerationLifecycleSpec extends AnyFunSuite {
     assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
     assert(Streams.currentGeneration(table).get.endsWith("gen2"))
   }
+
+  test("orphan-marker sweep never touches markers newer than maxCommitted (round 14)") {
+    // the race the bound closes: a live sink commits gen N (dir first,
+    // then marker) BETWEEN vacuum's directory snapshot and its marker
+    // listing — the marker is visible, the dir snapshot is stale, and an
+    // unbounded sweep would delete the fresh commit's marker, demoting a
+    // committed generation to dangling (data loss at the next vacuum).
+    // Simulated by the observable half: a marker with id > maxCommitted
+    // and no dir in the snapshot must SURVIVE; a dirless marker with
+    // id < maxCommitted is a true crashed-vacuum orphan and is swept.
+    val base = java.nio.file.Files.createTempDirectory("graft-vac4").toString
+    buildTable(base) // gens 0,1,2 committed
+    val table = s"$base/table"
+    // true orphan: gen0's dir deleted, marker left (vacuum crash window)
+    assert(graft.sources.Fs.deleteRecursive(
+      new org.apache.hadoop.fs.Path(s"$table/gen0")))
+    // concurrent-commit stand-in: marker for gen9, no dir in the snapshot
+    graft.sources.Fs.createMarker(Streams.commitMarkerPath(table, 9L), "race")
+    Streams.vacuumGenerations(table, keepLast = 2)
+    val markers = graft.sources.Fs.listFiles(s"$table/_commits")
+      .map(_.getPath.getName).sorted
+    assert(!markers.contains("gen0"), s"true orphan gen0 must be swept: $markers")
+    assert(markers.contains("gen9"), s"fresh gen9 marker must survive: $markers")
+    // cleanup the fake marker so later resolution in this dir stays sane
+    assert(graft.sources.Fs.deleteIfExists(Streams.commitMarkerPath(table, 9L)))
+  }
 }
