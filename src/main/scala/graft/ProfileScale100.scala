@@ -289,6 +289,37 @@ object ProfileScale100 {
       }
     }
 
+    if (which("facade100")) {
+      // round 14: the auto-switching facades at 100× — the whole point
+      // of the switchover rule is that it fires HERE, where the gate
+      // corpora never reach it. 500k docs → chooseNearDupTier must pick
+      // minhash banding (past the 10⁵ simhash regime); 200k vectors →
+      // chooseCosineTier must pick IMI. Walls recorded for SCALE.md.
+      val docs = spark.read.parquet(s"$Sf10Dir/documents.parquet")
+        .select("doc_id", "text")
+      val nDocs = docs.count()
+      val tTier = Dedup.chooseNearDupTier(nDocs, 0.9)
+      println(s"[scale100] text facade: n=$nDocs tier=$tTier")
+      require(tTier == Dedup.NearDupTier.MinHashBanding, s"expected banding, got $tTier")
+      time("text facade (nearDupPairs 0.9, 500k docs)") {
+        println(s"[scale100]   pairs=" +
+          Dedup.nearDupPairs(docs, "doc_id", "text", minJaccard = 0.9,
+            nDocsHint = Some(nDocs)).count())
+      }
+      val emb = spark.read.parquet(s"$Sf10Dir/embeddings.parquet")
+      val (corpusRaw, _) = PipelineQueries.clusteredEmbeddings(emb)
+      val corpus = Materialize.viaParquet(corpusRaw, "s100_facadecorpus")
+      val nVecs = corpus.count()
+      val vTier = graft.operators.Similarity.chooseCosineTier(nVecs, 0.9)
+      println(s"[scale100] vector facade: n=$nVecs tier=$vTier")
+      require(vTier == graft.operators.Similarity.CosineTier.Imi, s"expected Imi, got $vTier")
+      time("vector facade (cosinePairsAuto 0.9, 200k vecs)") {
+        println(s"[scale100]   pairs=" +
+          graft.operators.Similarity.cosinePairsAuto(corpus, "vec_id",
+            "embedding", minCos = 0.9, nDocsHint = Some(nVecs)).count())
+      }
+    }
+
     if (which("imidump")) {
       // round 14 (r13 verdict ask #4 follow-up): dump the SLICED IMI
       // pair set at a given nAssign so DuckDB can anti-join it against
