@@ -311,12 +311,23 @@ object ProfileScale100 {
       val corpus = Materialize.viaParquet(corpusRaw, "s100_facadecorpus")
       val nVecs = corpus.count()
       val vTier = graft.operators.Similarity.chooseCosineTier(nVecs, 0.9)
-      println(s"[scale100] vector facade: n=$nVecs tier=$vTier")
+      // round 15: the rule now also picks the OPERATING POINT — at 200k
+      // vectors the default 0.99 recall floor must escalate nAssign 2→3
+      // (measured 0.9888 vs 0.9982 cross-engine, SCALE.md r14)
+      val na = graft.operators.Similarity.chooseImiNAssign(nVecs)
+      println(s"[scale100] vector facade: n=$nVecs tier=$vTier nAssign=$na")
       require(vTier == graft.operators.Similarity.CosineTier.Imi, s"expected Imi, got $vTier")
-      time("vector facade (cosinePairsAuto 0.9, 200k vecs)") {
+      require(na == 3, s"default floor must escalate to nAssign=3 at 100x, got $na")
+      time("vector facade (cosinePairsAuto 0.9, 200k vecs, floor 0.99 -> nAssign 3)") {
         println(s"[scale100]   pairs=" +
           graft.operators.Similarity.cosinePairsAuto(corpus, "vec_id",
             "embedding", minCos = 0.9, nDocsHint = Some(nVecs)).count())
+      }
+      time("vector facade (floor 0.98 -> nAssign 2, the r14 operating point)") {
+        println(s"[scale100]   pairs=" +
+          graft.operators.Similarity.cosinePairsAuto(corpus, "vec_id",
+            "embedding", minCos = 0.9, nDocsHint = Some(nVecs),
+            imiRecallFloor = 0.98).count())
       }
     }
 

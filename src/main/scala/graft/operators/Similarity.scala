@@ -247,6 +247,49 @@ object Similarity {
     else if (minCos >= 0.45) CosineTier.SketchAnn
     else CosineTier.Exact
 
+  /** Largest corpus where IMI at nAssign = 2 has MEASURED recall 1.0:
+    * the sf1 sampled gate (2·10⁴ vectors), cross-engine (SCALE.md r13/
+    * r14). Above it the measured curve is the 2·10⁵-vector DuckDB slice. */
+  val ImiRecallOneMaxDocs: Long = 20000L
+  /** The r14 cross-engine (DuckDB-anti-joined) IMI recall measurements
+    * at 2·10⁵ vectors — the numbers [[chooseImiNAssign]] trades against. */
+  val ImiRecallAt2Large: Double = 0.9888
+  val ImiRecallAt3Large: Double = 0.9982
+  /** Default recall floor for the facade: above the measured-1.0 regime
+    * it forces the nAssign = 3 operating point (0.9982 ≥ 0.99 ≥ 0.9888). */
+  val ImiDefaultRecallFloor: Double = 0.99
+
+  /**
+   * The IMI OPERATING-POINT rule as code (round 15 — the r14 verdict:
+   * "the rule that picks the TIER should also pick the OPERATING
+   * POINT"): nAssign from corpus size and a recall floor, anchored to
+   * the measured curve rather than a fixed default —
+   *
+   *   - `nDocs ≤ 2·10⁴` → nAssign = 2: recall MEASURED 1.0 at both
+   *     oracle gates (sf0.01 full, sf1 sampled — cross-engine,
+   *     value-for-value).
+   *   - else recall floor ≤ 0.9888 → nAssign = 2 (the measured
+   *     2·10⁵-vector DuckDB-sliced recall; 30.0 s wall at 100×).
+   *   - else floor ≤ 0.9982 → nAssign = 3 (measured 0.9982 on the same
+   *     slice; ~5.8× the pair-stage wall — nAssign² product cells).
+   *   - else → REFUSE: no measured IMI operating point certifies a
+   *     higher floor; silently running one would be the exact recall
+   *     dishonesty this rule exists to prevent. Use
+   *     [[exactCosinePairs]] (or measure a higher point first).
+   */
+  def chooseImiNAssign(nDocs: Long,
+      recallFloor: Double = ImiDefaultRecallFloor): Int = {
+    require(recallFloor > 0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    if (nDocs <= ImiRecallOneMaxDocs) 2
+    else if (recallFloor <= ImiRecallAt2Large) 2
+    else if (recallFloor <= ImiRecallAt3Large) 3
+    else throw new IllegalArgumentException(
+      f"recallFloor $recallFloor exceeds the highest MEASURED IMI operating " +
+        f"point ($ImiRecallAt3Large at nAssign = 3, 2e5 vectors, SCALE.md r14) " +
+        "at this corpus size — use exactCosinePairs, or certify a higher point")
+  }
+
   /**
    * Auto-switching cosine-pair facade — the vector twin of
    * [[Dedup.nearDupPairs]]: one corpus stat (`count()`, skipped when
@@ -258,16 +301,29 @@ object Similarity {
    * is 1.0 — identical to the exact enumeration (the DuckDB oracle's
    * formulation; `q_embed_auto` gates the IMI branch at sf0.01 in full
    * and at 10× through the sampled slice).
+   *
+   * The IMI branch's OPERATING POINT scales with the corpus (round 15,
+   * [[chooseImiNAssign]]): nAssign = 2 where recall is measured 1.0
+   * (≤ 2·10⁴ vectors — every oracle gate), nAssign = 3 above it under
+   * the default 0.99 `imiRecallFloor` (measured 0.9982 vs 0.9888 at
+   * 2·10⁵ vectors, cross-engine), and a floor past the measured curve
+   * throws instead of silently under-delivering. Precision is 1.0 on
+   * every branch regardless — the exact-verify stage scores each
+   * candidate — so the floor trades only recall against the nAssign²
+   * pair-stage cost.
    */
   def cosinePairsAuto(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double, bruteMaxDocs: Long = 20000L,
-      nDocsHint: Option[Long] = None): DataFrame =
-    chooseCosineTier(nDocsHint.getOrElse(emb.count()), minCos,
-        bruteMaxDocs) match {
+      nDocsHint: Option[Long] = None,
+      imiRecallFloor: Double = ImiDefaultRecallFloor): DataFrame = {
+    val n = nDocsHint.getOrElse(emb.count())
+    chooseCosineTier(n, minCos, bruteMaxDocs) match {
       case CosineTier.Exact => exactCosinePairs(emb, idCol, vecCol, minCos)
       case CosineTier.SketchAnn => annPairs(emb, idCol, vecCol, minCos = minCos)
-      case CosineTier.Imi => imiPairs(emb, idCol, vecCol, minCos = minCos)
+      case CosineTier.Imi => imiPairs(emb, idCol, vecCol,
+        nAssign = chooseImiNAssign(n, imiRecallFloor), minCos = minCos)
     }
+  }
 
   /** The DIRECTED exact neighbor relation (id, nbr, cos_sim) — every
     * unordered pair emitted in both orientations inside the one
@@ -721,6 +777,16 @@ object Similarity {
       corpus.select(col(idCol).as("nbr"), col(vecCol).as("cvec")),
       half, dim, nAssign)
   }
+
+  /** Quantize a batch with a PRE-BUILT index — the (id, cl, cr)
+    * product-cell relation, |Δ|·2·√k broadcast dots, not spilled (one
+    * consumer decides). Round 15: exposed so the streaming dedup sinks
+    * can APPEND each committed micro-batch's assignments to their
+    * standing cell table (the Δ×Δ fix) without re-quantizing history. */
+  private[graft] def imiAssignWithIndex(index: ImiIndex, df: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assignHalfProduct(df, idCol, vecCol, index.half, index.dim, index.cents,
+      index.nAssign, "inc_delta_cells", spill = false)
 
   /** Per new vector in `batch`, its top-`k` corpus neighbors through a
     * pre-built [[ImiIndex]] — |Δ|-sized work only: batch assignment

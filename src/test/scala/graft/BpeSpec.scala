@@ -206,6 +206,94 @@ class BpeSpec extends AnyFunSuite {
     assert(native.nonEmpty && native.values.forall(_.nonEmpty))
   }
 
+  test("auto learner picks the local tier and reproduces the hand table") {
+    val (merges, tier) = Bpe.learnMergesAutoWithTier(corpus, "text", numMerges = 5)
+    assert(tier == "local") // 9-word vocab, far under the gate
+    assert(merges == Seq(
+      (0, "e", "s"), (1, "es", "t"), (2, "est", Bpe.EndOfWord),
+      (3, "l", "o"), (4, "lo", "w")))
+  }
+
+  test("local learner == distributed learner on the real documents fixture") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").select("text")
+    val distributed = Bpe.learnMerges(docs, "text", numMerges = 12)
+    val (local, tier) = Bpe.learnMergesAutoWithTier(docs, "text", numMerges = 12)
+    assert(tier == "local")
+    assert(local == distributed,
+      "local merge table must be bit-identical to the distributed learner's")
+  }
+
+  test("local == distributed on adversarial tiny corpora (tie/collision paths)") {
+    val corpora = Seq(
+      "abc abc abc ab bc a b c abcabc",
+      "aa aa ab ab ba ba aab aba bab bb",
+      "xyz zyx xxyyzz xy yz zx xyzxyz xzy",
+      "aaa aaaa aaaaa aa a",
+      "deed deep peed pede deedeep")
+    for (c <- corpora) {
+      val df = Seq(c).toDF("text")
+      val d = Bpe.learnMerges(df, "text", numMerges = 10, batchSize = 1)
+      val (l, tier) = Bpe.learnMergesAutoWithTier(df, "text", numMerges = 10)
+      assert(tier == "local")
+      assert(l == d, s"divergence on corpus '$c': local=$l distributed=$d")
+    }
+  }
+
+  test("learner tier rule is pure; forcing the distributed tier agrees") {
+    assert(Bpe.chooseBpeLearner(5, 10) == "local")
+    assert(Bpe.chooseBpeLearner(10, 10) == "local") // gate is inclusive
+    assert(Bpe.chooseBpeLearner(11, 10) == "distributed")
+    assert(Bpe.chooseBpeLearner(20000) == "local") // r14 rehearsal vocab
+    assert(Bpe.chooseBpeLearner(100L * 1000 * 1000) == "distributed") // crawl-scale
+    // maxLocalVocab = 0 forces the distributed branch through the facade;
+    // the table must not depend on the tier taken
+    val (dist, tierD) =
+      Bpe.learnMergesAutoWithTier(corpus, "text", numMerges = 5, maxLocalVocab = 0)
+    assert(tierD == "distributed")
+    assert(dist == Bpe.learnMergesAuto(corpus, "text", numMerges = 5))
+  }
+
+  test("local tie-break is UTF-8 byte order, matching Spark string order") {
+    // U+FF41 (fullwidth a, BMP: EF BD 81) vs U+10428 (Deseret long i,
+    // astral: F0 90 90 A8): UTF-8 bytes rank the BMP char FIRST, Java's
+    // UTF-16 compareTo ranks the astral char first (surrogate D801 <
+    // FF41). Both pairs tie at count 1, so the tie-break decides rank 0 —
+    // a UTF-16 comparator in the local learner would flip the table.
+    val df = Seq("ａ 𐐨").toDF("text")
+    val distributed = Bpe.learnMerges(df, "text", numMerges = 2)
+    val (local, tier) = Bpe.learnMergesAutoWithTier(df, "text", numMerges = 2)
+    assert(tier == "local")
+    assert(distributed == Seq(
+      (0, "ａ", Bpe.EndOfWord), (1, "𐐨", Bpe.EndOfWord)))
+    assert(local == distributed)
+  }
+
+  test("local learner exhausts gracefully like the distributed one") {
+    val tiny = Seq("a a a").toDF("text")
+    val (local, tier) = Bpe.learnMergesAutoWithTier(tiny, "text", numMerges = 10)
+    assert(tier == "local")
+    assert(local == Seq((0, "a", Bpe.EndOfWord)))
+  }
+
+  test("encodeTable emits the same column order on both branches") {
+    // multi-stage keyed path (stageEvery=2 over 5 merges, multi-column
+    // input) vs single-stage path: round-14 advice — the join-back used
+    // to append outCol last while withColumn replaced it in place
+    val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
+    val in = Seq(("lowest", 1, "x"), ("widest", 2, "y"))
+      .toDF("text", "k", "toks") // pre-existing outCol in the MIDDLE? no — put it mid-schema
+      .select(col("text"), col("toks"), col("k"))
+    val multi = Bpe.encodeTable(in, "text", "toks", merges, stageEvery = 2)
+    val single = Bpe.encodeTable(in, "text", "toks", merges, stageEvery = 100)
+    assert(multi.columns.toSeq == single.columns.toSeq)
+    assert(multi.columns.toSeq == Seq("text", "toks", "k"),
+      "outCol must be replaced IN PLACE when the input already has it")
+    // and without a pre-existing outCol: appended last on both branches
+    val fresh = in.select(col("text"), col("k"))
+    assert(Bpe.encodeTable(fresh, "text", "toks", merges, stageEvery = 2).columns.toSeq
+      == Bpe.encodeTable(fresh, "text", "toks", merges, stageEvery = 100).columns.toSeq)
+  }
+
   test("encodeTable staged encoding equals the single-projection encode") {
     val merges = Bpe.learnMerges(corpus, "text", numMerges = 5)
     val in = Seq("lowest low newest", "wide widest lower").toDF("text")

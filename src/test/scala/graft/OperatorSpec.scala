@@ -311,6 +311,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.chooseCosineTier(200000L, 0.3) == Exact)
   }
 
+  test("chooseImiNAssign: the IMI operating-point rule as code (round 15)") {
+    // measured-1.0 regime (every oracle gate): nAssign = 2 at any floor
+    assert(Similarity.chooseImiNAssign(2000L) == 2)
+    assert(Similarity.chooseImiNAssign(20000L, recallFloor = 1.0) == 2)
+    // past the measured-1.0 regime, the default 0.99 floor escalates —
+    // 0.9888 measured at nAssign = 2 vs 0.9982 at 3 (2e5 vectors,
+    // DuckDB-anti-joined, SCALE.md r14)
+    assert(Similarity.chooseImiNAssign(20001L) == 3)
+    assert(Similarity.chooseImiNAssign(200000L) == 3)
+    // an explicit floor at/below the measured nAssign = 2 point keeps 2
+    assert(Similarity.chooseImiNAssign(200000L, recallFloor = 0.9888) == 2)
+    assert(Similarity.chooseImiNAssign(200000L, recallFloor = 0.98) == 2)
+    // boundary of the measured curve
+    assert(Similarity.chooseImiNAssign(200000L, recallFloor = 0.9982) == 3)
+    // a floor past every measured point REFUSES instead of silently
+    // under-delivering
+    intercept[IllegalArgumentException] {
+      Similarity.chooseImiNAssign(200000L, recallFloor = 0.999)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.chooseImiNAssign(100L, recallFloor = 0.0)
+    }
+  }
+
+  test("cosinePairsAuto honors an explicit imiRecallFloor on the IMI branch") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSet
+    // force the IMI branch; hint the corpus PAST the measured-1.0 regime
+    // so the floor decides nAssign: 0.98 → 2, default 0.99 → 3. At this
+    // fixture scale both operating points have recall 1.0, so the
+    // emitted pairs agree with each other and with nAssign = 3 invoked
+    // directly — the spec pins the PLUMBING (floor reaches imiPairs).
+    val hint = Some(50000L)
+    val at2 = rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.9, bruteMaxDocs = 0L, nDocsHint = hint, imiRecallFloor = 0.98))
+    val at3 = rows(Similarity.cosinePairsAuto(emb, "vec_id", "embedding",
+      minCos = 0.9, bruteMaxDocs = 0L, nDocsHint = hint))
+    assert(at3 == rows(Similarity.imiPairs(emb, "vec_id", "embedding",
+      nAssign = 3, minCos = 0.9)))
+    assert(at2 == rows(Similarity.imiPairs(emb, "vec_id", "embedding",
+      nAssign = 2, minCos = 0.9)))
+    // and a floor past the measured curve refuses through the facade too
+    intercept[IllegalArgumentException] {
+      Similarity.cosinePairsAuto(emb, "vec_id", "embedding", minCos = 0.9,
+        bruteMaxDocs = 0L, nDocsHint = hint, imiRecallFloor = 0.9999)
+    }
+  }
+
   test("cosinePairsAuto facade emits identical pairs to each chosen tier") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     def rows(df: org.apache.spark.sql.DataFrame) =

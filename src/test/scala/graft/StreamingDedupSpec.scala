@@ -73,10 +73,16 @@ class StreamingDedupSpec extends AnyFunSuite {
   // id) from the same hasher), so no fixture collision-range assumption
   // is baked in — whatever the true neighbor structure is, the sink must
   // reproduce it.
+  // Round 15 (Δ×Δ): within one micro-batch the standing side is the
+  // corpus PLUS every lower-id arrival (the least-id-canonical
+  // convention) — the reference mirrors the sink's full contract, so
+  // intra-arrival near-dups are part of the exact expectation, not an
+  // excluded case.
   private def bestNeighborReference(arriving: Map[Long, Long],
       corpus: Map[Long, Long], maxHamming: Int): Map[Long, Option[(Long, Int)]] =
     arriving.map { case (id, h) =>
-      val cands = corpus.toSeq
+      val standing = corpus ++ arriving.filter { case (aid, _) => aid < id }
+      val cands = standing.toSeq
         .map { case (nbr, nh) => (nbr, java.lang.Long.bitCount(h ^ nh)) }
         .filter(_._2 <= maxHamming)
       id -> (if (cands.isEmpty) None
@@ -127,6 +133,84 @@ class StreamingDedupSpec extends AnyFunSuite {
     runSinkAndCheck("audio", corpus, arriving,
       d => Multimodal.audioEnergyHash(d),
       (s, c, o, ck) => Streams.audioDedupSink(s, c, o, ck), maxHamming = 6)
+  }
+
+  test("perceptual sink flags twins split ACROSS micro-batches (round 15)") {
+    import graft.operators.Multimodal
+    // corpus: bases 0..99. Batch 1 delivers the BASE image of doc 300
+    // (collision-free vs the corpus — must pass). Batch 2 delivers its
+    // noisy twin 1000300 — under the r14 corpus-only contract it passed
+    // silently; the Δ×Δ standing table must flag it with dup_of = 300.
+    // Batch 2 also carries a SAME-BATCH twin pair (301, 1000301): the
+    // higher id flags against the lower, the lower passes.
+    val corpus = Multimodal.attachPngCorpus((0L until 100L).toDF("doc_id"),
+      noisyEvery = 0)
+    val b1 = Multimodal.attachPngCorpus(Seq(300L).toDF("doc_id"), noisyEvery = 0)
+    val twinOf = (ids: Seq[Long]) => Multimodal.attachPngCorpus(
+        ids.toDF("doc_id"), noisyEvery = 1)
+      .filter(col("doc_id") >= 1000000L)
+    val b2 = twinOf(Seq(300L))
+      .unionByName(Multimodal.attachPngCorpus(Seq(301L).toDF("doc_id"), noisyEvery = 0))
+      .unionByName(twinOf(Seq(301L)))
+    val base = java.nio.file.Files.createTempDirectory("graft-xbatch").toString
+    b1.coalesce(1).write.parquet(s"$base/in/f0")
+    b2.coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = Streams.imageDedupSink(stream, corpus, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got.keySet == Set(300L, 1000300L, 301L, 1000301L))
+    assert(got(300L) == ((0, None)), "first copy (batch 1) must pass")
+    assert(got(1000300L) == ((1, Some(300L))),
+      "the cross-batch twin must flag with dup_of = the EARLIER ARRIVAL")
+    assert(got(301L) == ((0, None)), "same-batch lower id is canonical")
+    assert(got(1000301L) == ((1, Some(301L))),
+      "the same-batch twin's higher id must flag against the lower")
+  }
+
+  test("semantic sink flags twins split ACROSS micro-batches (round 15)") {
+    // corpus: 5 planted clusters. Batch 1 delivers a vector FAR from the
+    // corpus (id 9000 — must pass); batch 2 its near-copy (id 9001 —
+    // must flag with dup_of = 9000) plus a same-batch twin pair
+    // (9100, 9101) also far from the corpus: 9101 flags against 9100.
+    val rnd = new scala.util.Random(47)
+    val centers = Seq.fill(5)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus = for (c <- 0 until 5; i <- 0 until 18) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val far1 = Array.fill(32)(rnd.nextGaussian().toFloat * 5f)
+    val far2 = Array.fill(32)(rnd.nextGaussian().toFloat * 5f)
+    val b1 = Seq((9000L, far1.toSeq))
+    val b2 = Seq(
+      (9001L, far1.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq),
+      (9100L, far2.toSeq),
+      (9101L, far2.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+    val base = java.nio.file.Files.createTempDirectory("graft-xbsem").toString
+    b1.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f0")
+    b2.toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = Streams.semanticDedupSink(stream, corpus.toDF("vec_id", "embedding"),
+      s"$base/out", s"$base/ckpt", "vec_id", "embedding", minCos = 0.9)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+      .toMap
+    assert(got.keySet == Set(9000L, 9001L, 9100L, 9101L))
+    assert(got(9000L) == ((0, None)), "first copy (batch 1) must pass")
+    assert(got(9001L)._1 == 1 && got(9001L)._2 == Some(9000L),
+      "the cross-batch twin must flag with dup_of = the EARLIER ARRIVAL")
+    assert(got(9100L) == ((0, None)), "same-batch lower id is canonical")
+    assert(got(9101L)._1 == 1 && got(9101L)._2 == Some(9100L),
+      "the same-batch twin's higher id must flag against the lower")
   }
 
   test("streaming video dedup matches the exact best-neighbor reference") {
