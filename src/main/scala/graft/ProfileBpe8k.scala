@@ -65,15 +65,17 @@ object ProfileBpe8k {
     for ((tag, docs) <- Seq(("sf1-real", real), ("rich-20k-vocab", rich))) {
       val frozen = graft.operators.Materialize.viaParquet(docs, s"bpe8k_$tag")
       val n = frozen.count()
-      // batchSize 64 for the rehearsal: the batching contract provably
-      // preserves the single-merge table at ANY batch size, and at 8k+
-      // rules the long flat tail of pair counts is where wide batches
-      // pay — the driver round-trip count is the wall here
-      val ((merges, rounds), learnWall) = time(s"$tag learn (target $numMerges)")(
-        Bpe.learnMergesWithRounds(frozen, "text", numMerges, batchSize = 64))
+      // round 15: the AUTO learner — one distributed vocab pass, then the
+      // size gate picks the in-process merge loop (both corpora's vocabs
+      // are ~2-3 orders under the 2M-word gate). The r14 row for the same
+      // rehearsal was the distributed loop: 1322 s / 3074 pair-count jobs
+      // at 8192 rules; the table is bit-identical by the spec-pinned
+      // tier-parity contract (batchSize 64 kept for a forced-distributed
+      // re-run via maxLocalVocab = 0 if ever needed)
+      val ((merges, tier), learnWall) = time(s"$tag learn (target $numMerges)")(
+        Bpe.learnMergesAutoWithTier(frozen, "text", numMerges, batchSize = 64))
       System.err.println(
-        f"[bpe8k] $tag%-16s rules=${merges.size} pair-count jobs=$rounds " +
-          f"(batch economy ${merges.size.toDouble / math.max(1, rounds)}%.1fx) docs=$n")
+        f"[bpe8k] $tag%-16s rules=${merges.size} tier=$tier docs=$n")
       val nat = frozen.select(col("doc_id"),
         Bpe.encodeNative(spark, col("text"), merges).as("toks"))
       val (total, natWall) = time(s"$tag native encode (full corpus)")(

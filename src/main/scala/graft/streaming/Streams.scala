@@ -208,7 +208,11 @@ object Streams {
    */
   def upsertSink(updates: DataFrame, tableDir: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String, parts: Int = 4,
-      opCol: Option[String] = None): StreamingQuery =
+      opCol: Option[String] = None): StreamingQuery = {
+    // one-time legacy upgrade (round 15): attaching the writer to a
+    // pre-marker table converts its _CURRENT pointer into markers, so
+    // every later resolution is the single _commits LIST
+    migrateLegacyGenerations(tableDir)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -242,6 +246,7 @@ object Streams {
         ()
       }
       .start()
+  }
 
   /**
    * Streaming ANN enrichment (round 12): every micro-batch of NEW vectors
@@ -501,11 +506,48 @@ object Streams {
   private[graft] def commitMarkerPath(tableDir: String, id: Long): String =
     s"$tableDir/_commits/gen$id"
 
-  /** Is generation `id` committed? Marker existence, plus the legacy
-    * `_CURRENT` pointer for tables written before the marker protocol
-    * (see [[committedGenerations]]). */
+  /** Is generation `id` committed? Marker existence (the `_CURRENT`
+    * pointer era is handled by a one-time [[migrateLegacyGenerations]];
+    * see [[committedGenerations]]). */
   private[graft] def isCommitted(tableDir: String, id: Long): Boolean =
     committedGenerations(tableDir).exists(_._1 == id)
+
+  /**
+   * One-time migration of a pre-marker table (round 15, retiring the
+   * permanent `_CURRENT` fallback): if the legacy pointer exists, every
+   * generation id ≤ its target — each a committed snapshot under the old
+   * protocol — gets a create-once commit marker, then the pointer is
+   * deleted. Ordering is the crash-safety: markers first, pointer last,
+   * so a crash mid-migration leaves the pointer in place and a re-run
+   * completes (markers are create-once; re-creating is a no-op).
+   * Idempotent — a marker-native table returns 0 without any write.
+   * [[upsertSink]] runs this at sink creation, so attaching the writer
+   * to a legacy table upgrades it; read-only consumers of a
+   * NOT-yet-migrated legacy table must run it once explicitly (the
+   * read path no longer pays the pointer GET per resolution).
+   * Returns the number of markers written.
+   */
+  def migrateLegacyGenerations(tableDir: String): Int =
+    graft.sources.Fs.readUtf8(s"$tableDir/_CURRENT").map(_.trim) match {
+      case None => 0
+      case Some(ptr) =>
+        val all = listGenerations(tableDir)
+        val q = graft.sources.Fs.qualified(ptr)
+        val target = all.collectFirst {
+          case (id, p) if graft.sources.Fs.qualified(p) == q => id
+        }
+        val written = target.toSeq.flatMap { p =>
+          all.collect { case (id, path) if id <= p => (id, path) }
+        }.map { case (id, path) =>
+          if (graft.sources.Fs.createMarker(commitMarkerPath(tableDir, id), path)) 1 else 0
+        }.sum
+        // the pointer goes LAST — and only when it resolved to a live
+        // generation (a dangling pointer is surfaced, not swallowed)
+        require(target.isDefined,
+          s"$tableDir/_CURRENT names '$ptr', which matches no generation directory")
+        graft.sources.Fs.deleteIfExists(s"$tableDir/_CURRENT")
+        written
+    }
 
   /** Generation ids with a commit marker (ascending). One listing. */
   private def markerIds(tableDir: String): Seq[Long] = {
@@ -520,27 +562,17 @@ object Streams {
 
   /** COMMITTED generations of the table, ascending — (id, path). The
     * read-side resolution of the round-14 commit protocol: a generation
-    * counts iff its directory exists AND it is committed, where
-    * committed means its `_commits/gen<id>` marker exists — or, for
-    * tables written before the marker protocol, the legacy `_CURRENT`
-    * pointer names some generation P (qualified-path compare, so
-    * `file:/x` matches `/x`) and id ≤ P: under the old protocol every
-    * generation up to the pointer target had been pointed at once, i.e.
-    * was a committed snapshot. Mixed tables (old generations under the
-    * pointer, new ones under markers) resolve correctly by the union. */
+    * counts iff its directory exists AND its `_commits/gen<id>` marker
+    * exists. ONE `_commits` listing resolves every bit — since round 15
+    * there is no `_CURRENT` pointer GET on this path: pre-marker tables
+    * are upgraded once by [[migrateLegacyGenerations]] (automatic at
+    * [[upsertSink]] creation), after which the pointer file is gone. */
   def committedGenerations(tableDir: String): Seq[(Long, String)] = {
     val all = listGenerations(tableDir)
     if (all.isEmpty) Seq.empty
     else {
       val marked = markerIds(tableDir).toSet
-      val legacyMax: Option[Long] =
-        graft.sources.Fs.readUtf8(s"$tableDir/_CURRENT").map(_.trim) match {
-          case Some(ptr) =>
-            val q = graft.sources.Fs.qualified(ptr)
-            all.collectFirst { case (id, p) if graft.sources.Fs.qualified(p) == q => id }
-          case None => None
-        }
-      all.filter { case (id, _) => marked.contains(id) || legacyMax.exists(id <= _) }
+      all.filter { case (id, _) => marked.contains(id) }
     }
   }
 
