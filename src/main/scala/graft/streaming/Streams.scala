@@ -635,6 +635,13 @@ object Streams {
    */
   def vacuumGenerations(tableDir: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, s"vacuumGenerations: keepLast must be >= 1, got $keepLast")
+    // Vacuum is a WRITE path, so it migrates a legacy `_CURRENT` table
+    // first (round-16 review): without this, legacy generations on a
+    // mixed table (pointer-era snapshots + newer marker-era ones) have
+    // no markers, classify as crashed leftovers (id < maxCommitted), and
+    // their committed data would be deleted. Read paths stay pure —
+    // only explicit migration or a writer attachment upgrades a table.
+    migrateLegacyGenerations(tableDir)
     val all = listGenerations(tableDir)
     val committed = committedGenerations(tableDir)
     if (committed.isEmpty) return Seq.empty // nothing provably garbage

@@ -148,24 +148,109 @@ class LifecycleFsSpec extends AnyFunSuite {
     assert(Streams.readGeneration(spark, table, 2L).count() == 9)
   }
 
-  test("legacy _CURRENT-pointer tables resolve and vacuum through the marker-era API") {
+  test("legacy _CURRENT-pointer tables: unmigrated reads are empty+loud; migration restores them") {
     // tables written before round 14 have no _commits dir — the pointer
     // names generation P, and every generation id <= P was once pointed
-    // at (a committed snapshot). The qualified-path compare still
-    // matters: the pointer may spell the dir without the scheme.
+    // at (a committed snapshot). Since round 15 the read path is
+    // marker-ONLY: an unmigrated legacy table resolves to zero committed
+    // generations and readGeneration fails loudly, until a one-time
+    // migrateLegacyGenerations (automatic at upsertSink creation and at
+    // vacuum, both write paths) mints markers and deletes the pointer.
+    // The qualified-path compare still matters: the pointer may spell
+    // the target dir without the scheme.
     val table = schemeDir("graft-fs-legacy") + "/table"
     for (g <- 0 to 2)
       (1L to (g + 1) * 3L).map(i => (i, s"g$g")).toDF("id", "tag")
         .coalesce(1).write.parquet(s"$table/gen$g")
     val localGen2 = table.stripPrefix("file:") + "/gen2" // unqualified spelling
     Fs.writeUtf8(s"$table/_CURRENT", localGen2)
+    // pre-migration contract: nothing committed, loud error, no silent reads
+    assert(Streams.committedGenerations(table).isEmpty)
+    assert(Streams.currentGeneration(table).isEmpty)
+    val err = intercept[IllegalArgumentException](Streams.readGeneration(spark, table, 1L))
+    assert(err.getMessage.contains("not committed"))
+    // migration: a marker per id <= pointer target, pointer deleted LAST
+    assert(Streams.migrateLegacyGenerations(table) == 3)
+    assert(Fs.readUtf8(s"$table/_CURRENT").isEmpty)
+    for (g <- 0 to 2) assert(Fs.exists(s"$table/_commits/gen$g"))
+    // resolution now matches the old pointer-fallback semantics exactly
     assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
     assert(Streams.currentGeneration(table).get.endsWith("gen2"))
     assert(Streams.readGeneration(spark, table, 1L).count() == 6)
+    // idempotent: marker-native table migrates as a no-op
+    assert(Streams.migrateLegacyGenerations(table) == 0)
+    // crash-mid-migration: markers partially written, pointer still
+    // present (it goes last) — a re-run completes the remainder
+    Fs.deleteIfExists(s"$table/_commits/gen1")
+    Fs.writeUtf8(s"$table/_CURRENT", localGen2)
+    assert(Streams.migrateLegacyGenerations(table) == 1)
+    assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L, 2L))
+    assert(Fs.readUtf8(s"$table/_CURRENT").isEmpty)
+    // vacuum honors keepLast over the migrated snapshots
     val deleted = Streams.vacuumGenerations(table, keepLast = 1)
     assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen0", "gen1"))
     assert(Streams.listGenerations(table).map(_._1) == Seq(2L))
     assert(Streams.vacuumGenerations(table, keepLast = 1).isEmpty)
+  }
+
+  test("vacuum on a MIXED legacy+marker table auto-migrates instead of deleting legacy snapshots") {
+    // round-16 review: legacy generations on a mixed table (pointer-era
+    // snapshots plus a newer marker-era one) have no markers, so without
+    // migration they classify as crashed leftovers (id < maxCommitted)
+    // and vacuum would DELETE committed data. Vacuum is a write path, so
+    // it migrates first; with keepLast covering them nothing is deleted.
+    val table = schemeDir("graft-fs-mixed") + "/table"
+    for (g <- 0 to 3)
+      (1L to 3L).map(i => (i, s"g$g")).toDF("id", "tag")
+        .coalesce(1).write.parquet(s"$table/gen$g")
+    Fs.writeUtf8(s"$table/_CURRENT", s"$table/gen2") // legacy era: gens 0..2
+    Fs.createMarker(s"$table/_commits/gen3", s"$table/gen3") // marker era
+    assert(Streams.vacuumGenerations(table, keepLast = 4).isEmpty)
+    assert(Streams.committedGenerations(table).map(_._1) == Seq(0L, 1L, 2L, 3L))
+    assert(Fs.readUtf8(s"$table/_CURRENT").isEmpty)
+    assert(Streams.readGeneration(spark, table, 0L).count() == 3)
+  }
+
+  test("migrateLegacyGenerations surfaces a dangling _CURRENT pointer") {
+    val table = schemeDir("graft-fs-dangle") + "/table"
+    (1L to 3L).map(i => (i, "g0")).toDF("id", "tag")
+      .coalesce(1).write.parquet(s"$table/gen0")
+    Fs.writeUtf8(s"$table/_CURRENT", s"$table/gen9") // names no live generation
+    val err = intercept[IllegalArgumentException](Streams.migrateLegacyGenerations(table))
+    assert(err.getMessage.contains("matches no generation directory"))
+    // the pointer survives the failure — nothing was swallowed
+    assert(Fs.readUtf8(s"$table/_CURRENT").isDefined)
+  }
+
+  test("upsertSink attachment auto-migrates a legacy _CURRENT table") {
+    val root = schemeDir("graft-fs-attach")
+    val table = root + "/table"
+    (1L to 4L).map(i => (i, "seed", 0L)).toDF("id", "tag", "v")
+      .coalesce(1).write.parquet(s"$table/gen0")
+    Fs.writeUtf8(s"$table/_CURRENT", s"$table/gen0")
+    val src = java.nio.file.Files.createTempDirectory("graft-fs-attach-src").toString
+    Seq((100L, "b0", 1L)).toDF("id", "tag", "v").coalesce(1)
+      .write.mode("append").json(src)
+    val stream = spark.readStream.schema("id LONG, tag STRING, v LONG").json(src)
+    val q = Streams.upsertSink(stream, table, root + "/ckpt", Seq("id"), "v", parts = 1)
+    try {
+      // batch 0 collides with the migrated legacy gen0 and is replay-
+      // skipped (documented contract: generation ids ARE batch ids; a
+      // fresh checkpoint against a non-empty table drops colliding ids)
+      q.processAllAvailable()
+      assert(Fs.readUtf8(s"$table/_CURRENT").isEmpty) // migration ran at attach
+      assert(Fs.exists(s"$table/_commits/gen0"))
+      assert(Streams.committedGenerations(table).map(_._1) == Seq(0L))
+      // batch 1 merges ON TOP of the migrated legacy snapshot
+      Seq((200L, "b1", 2L)).toDF("id", "tag", "v").coalesce(1)
+        .write.mode("append").json(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cur = Streams.currentGeneration(table).get
+    assert(cur.endsWith("gen1"))
+    val rows = spark.read.parquet(cur)
+    assert(rows.count() == 5) // 4 legacy-seed rows + batch-1 upsert
+    assert(rows.filter(col("tag") === "seed").count() == 4)
   }
 
   test("upsertSink replay guard matches the commit across path spellings") {
