@@ -204,7 +204,7 @@ object Bpe {
     * When that vocab fits in driver memory, running the merge loop
     * in-process replaces one Spark pair-count JOB per batch (~0.43 s of
     * scheduling floor each — 3074 jobs / 1322 s for 8192 rules at r14)
-    * with an in-memory heap update (SCALE.md r15: seconds). */
+    * with an in-memory heap update (SCALE.md r16: 4.7 s at 8192 rules). */
   def chooseBpeLearner(vocabSize: Long, maxLocalVocab: Long = MaxLocalVocab): String =
     if (vocabSize <= maxLocalVocab) "local" else "distributed"
 
@@ -278,7 +278,7 @@ object Bpe {
    * every touched pair re-enqueues its fresh count). No per-merge
    * full-vocab pass, no Spark jobs: 8192 rules on the r14 rehearsal's
    * 20k-word vocab run in seconds where the distributed loop needed
-   * 3074 jobs / 1322 s (SCALE.md r15).
+   * 3074 jobs / 1322 s (measured: SCALE.md r16, 4.7 s vs 1322 s).
    */
   private[graft] def learnMergesLocal(vocab: IndexedSeq[(String, Long)],
       numMerges: Int): Seq[(Int, String, String)] = {

@@ -778,6 +778,26 @@ object Similarity {
       half, dim, nAssign)
   }
 
+  /** Rebuild an [[ImiIndex]] from a PERSISTED centroid table instead of
+    * retraining (round 16): the streaming sinks persist `cents` under
+    * their output dir at first creation, and a restarted sink must keep
+    * quantizing under the SAME centroids its standing stream-state cell
+    * assignments were written with — a retrain from a since-changed
+    * corpus would silently shift the cell space and cross-restart
+    * neighbors would stop colliding. The corpus assignments ARE
+    * re-derived here (the current corpus under the frozen quantizer),
+    * so corpus refreshes keep working; only the cell GEOMETRY is pinned
+    * until an explicit index-rebuild epoch. */
+  def imiBuildIndexFrom(cents: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nAssign: Int = 2): ImiIndex = {
+    val (half, dim) = halfDims(corpus, vecCol)
+    val corpProduct = assignHalfProduct(corpus, idCol, vecCol, half, dim,
+      cents, nAssign, "inc_corp_cells")
+    ImiIndex(cents, corpProduct,
+      corpus.select(col(idCol).as("nbr"), col(vecCol).as("cvec")),
+      half, dim, nAssign)
+  }
+
   /** Quantize a batch with a PRE-BUILT index — the (id, cl, cr)
     * product-cell relation, |Δ|·2·√k broadcast dots, not spilled (one
     * consumer decides). Round 15: exposed so the streaming dedup sinks

@@ -248,28 +248,138 @@ object Streams {
       .start()
   }
 
+  /** Standing stream-state layout (round 16): one `batch=<tag>` subdir
+    * per committed micro-batch, each written with mode OVERWRITE — a
+    * replayed micro-batch (foreachBatch is at-least-once) rewrites ITS
+    * OWN subdir instead of appending duplicate rows, so the standing
+    * state no longer grows under replays. Parquet partition discovery
+    * reads the whole dir; [[standingRead]]'s explicit column selection
+    * drops the inferred `batch` partition column. `_`-prefixed marker
+    * files at the root are invisible to discovery. */
+  private def standingWrite(df: DataFrame, dir: String, tag: String): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/batch=$tag")
+
+  private def standingRead(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame =
+    spark.read.parquet(dir).select(cols.map(col): _*)
+
+  /** Fold a standing stream-state dir's per-batch subdirs into ONE
+    * compacted subdir — the stream-state small-files bound (round 16):
+    * without it the dir grows one subdir per micro-batch forever, and
+    * every later batch's standing join pays the listing + open cost.
+    * Runs INSIDE foreachBatch (single-writer by the checkpoint
+    * contract). Ordering is the crash-safety: the folded subdir lands
+    * FIRST (its name is keyed by batchId, so a replayed compaction
+    * overwrites it idempotently), the source subdirs are deleted after —
+    * a crash in between leaves duplicate rows, which every consumer
+    * tolerates (candidate sets are distinct()-ed before scoring) and the
+    * next compaction sweeps. */
+  private def compactStanding(spark: SparkSession, dir: String,
+      batchId: Long): Unit = {
+    val target = s"batch=c$batchId"
+    val sources = graft.sources.Fs.listDirs(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("batch=") && p.getName != target)
+    if (sources.size > 1) {
+      spark.read.parquet(sources.map(_.toString): _*).distinct()
+        .coalesce(4).write.mode("overwrite").parquet(s"$dir/$target")
+      sources.foreach(p => graft.sources.Fs.deleteRecursive(p))
+    }
+  }
+
+  /** Load-or-train a sink's coarse quantizer (round 16 review): the
+    * centroid table is persisted under `outDir` at FIRST creation
+    * (write, then a create-once `_SAVED` marker — an unmarked dir is a
+    * crashed partial write and retrains) and reloaded on resume, so the
+    * standing stream-state cell assignments stay quantized under the
+    * SAME centroids across a restart even when the corpus has since
+    * changed. Corpus assignments are re-derived under the frozen
+    * quantizer; see [[graft.operators.Similarity.imiBuildIndexFrom]]. */
+  private def loadOrBuildImiIndex(corpus: DataFrame, outDir: String,
+      idCol: String, vecCol: String, nAssign: Int): graft.operators.Similarity.ImiIndex = {
+    val Similarity = graft.operators.Similarity
+    val centsDir = s"$outDir/_index_cents"
+    if (graft.sources.Fs.exists(s"$centsDir/_SAVED"))
+      Similarity.imiBuildIndexFrom(
+        corpus.sparkSession.read.parquet(centsDir), corpus, idCol, vecCol, nAssign)
+    else {
+      val idx = Similarity.imiBuildIndex(corpus, idCol, vecCol, nAssign = nAssign)
+      idx.cents.write.mode("overwrite").parquet(centsDir)
+      graft.sources.Fs.createMarker(s"$centsDir/_SAVED", centsDir)
+      idx
+    }
+  }
+
   /**
    * Streaming ANN enrichment (round 12): every micro-batch of NEW vectors
    * gets its top-`k` corpus neighbors and lands as parquet — the
    * ingest-time similarity join every embedding pipeline runs (tag each
    * arriving document with its nearest standing neighbors for dedup /
    * retrieval / labeling downstream). The IMI index is built ONCE at sink
-   * creation ([[graft.operators.Similarity.imiBuildIndex]] — a corpus
-   * artifact, spilled); each batch pays only its own assignment (|Δ|·2·√k
-   * broadcast dots) and the cell join — never |Δ|·n, and never a retrain.
-   * Rebuild the sink on a corpus compaction epoch to refresh the index.
+   * creation (a corpus artifact, spilled; the centroid table persists
+   * under `outDir` and a restart reloads it — see
+   * [[graft.operators.Similarity.imiBuildIndexFrom]]); each batch pays
+   * only its own assignment (|Δ|·2·√k broadcast dots) and the cell join —
+   * never |Δ|·n, and never a retrain. Round 16 (Δ×Δ, same recipe as
+   * [[semanticDedupSink]]): each committed batch's cell assignments and
+   * vectors APPEND to a standing feed under `outDir`, so a later
+   * arrival's top-`k` draws from corpus ∪ strictly-earlier stream
+   * arrivals — not just the build-time corpus. Same-batch vectors are
+   * NOT neighbors (ids of the current batch are anti-joined off the
+   * standing side, which also makes an at-least-once replay score
+   * identically to its first attempt). Standing subdirs fold every
+   * `compactEvery` batches ([[compactStanding]]); rebuild the sink on a
+   * corpus compaction epoch to refresh the index itself.
    */
   def annEnrichSink(newVecs: DataFrame, corpus: DataFrame, outDir: String,
       checkpoint: String, idCol: String, vecCol: String, k: Int = 3,
-      nAssign: Int = 2): StreamingQuery = {
-    val index = graft.operators.Similarity.imiBuildIndex(
-      corpus, idCol, vecCol, nAssign = nAssign)
+      nAssign: Int = 2, compactEvery: Int = 16): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, round, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val index = loadOrBuildImiIndex(corpus, outDir, idCol, vecCol, nAssign)
+    val cellsDir = s"$outDir/_stream_cells"
+    val vecsDir = s"$outDir/_stream_vecs"
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Similarity
-          .imiQueryIndex(index, batch.toDF(), idCol, vecCol, k)
+        val spark = batch.sparkSession
+        val bvecs = graft.operators.Materialize.viaParquet(
+          batch.toDF().select(col(idCol).as("id"), col(vecCol).as("qvec")),
+          "ann_sink_batch")
+        val bCells = graft.operators.Materialize.viaParquet(
+          graft.operators.Similarity.imiAssignWithIndex(index, bvecs, "id", "qvec"),
+          "ann_sink_bcells")
+        val haveStream = graft.sources.Fs.isDirectory(cellsDir)
+        val standCells =
+          if (haveStream) index.corpusCells.unionByName(
+            standingRead(spark, cellsDir, Seq("id", "cl", "cr")))
+          else index.corpusCells
+        val standVecs =
+          if (haveStream) index.corpusVecs.unionByName(
+            standingRead(spark, vecsDir, Seq("nbr", "cvec")))
+          else index.corpusVecs
+        val cands = bCells.as("q")
+          .join(standCells.withColumnRenamed("id", "nbr").as("c"), Seq("cl", "cr"))
+          .select(col("q.id").as("id"), col("nbr"))
+          .join(bvecs.select(col("id").as("nbr")), Seq("nbr"), "left_anti")
+          .distinct()
+        val scored = cands.join(bvecs, "id").join(standVecs, "nbr")
+          .withColumn("cos_sim", round(graft.plans.GraftExtensions
+            .graftCosine(spark, col("qvec"), col("cvec")), 4))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("cos_sim").desc, col("nbr"))
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= k)
+          .select(col("id"), col("nbr"), col("cos_sim"))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        // commit into the standing feeds AFTER the output (crash between
+        // = replay, made idempotent by the anti-join + subdir overwrite)
+        standingWrite(bCells, cellsDir, s"b$batchId")
+        standingWrite(bvecs.select(col("id").as("nbr"), col("qvec").as("cvec")),
+          vecsDir, s"b$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactStanding(spark, cellsDir, batchId)
+          compactStanding(spark, vecsDir, batchId)
+        }
         ()
       }
       .start()
@@ -287,17 +397,23 @@ object Streams {
    */
   def semanticDedupSink(newVecs: DataFrame, corpus: DataFrame, outDir: String,
       checkpoint: String, idCol: String, vecCol: String, minCos: Double = 0.9,
-      nAssign: Int = 2): StreamingQuery = {
+      nAssign: Int = 2, compactEvery: Int = 16): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, lit, round, row_number}
     import org.apache.spark.sql.expressions.Window
     val Similarity = graft.operators.Similarity
-    val index = Similarity.imiBuildIndex(corpus, idCol, vecCol, nAssign = nAssign)
+    // centroids persist under outDir (round 16): a restart re-derives the
+    // corpus assignments under the ORIGINAL quantizer instead of
+    // retraining, so the standing cell history below stays collision-
+    // compatible even when the corpus changed across the restart
+    val index = loadOrBuildImiIndex(corpus, outDir, idCol, vecCol, nAssign)
     // Δ×Δ state (round 15, judge ask #3): each committed micro-batch's
     // cell assignments and vectors APPEND to a standing parquet feed —
     // IMI's incremental shape, no state store, no re-quantizing history —
     // so later arrivals flag against earlier STREAM arrivals, not just
     // the build-time corpus. Kept under outDir (not a scratch dir) so a
-    // restarted sink resumes with its stream history intact.
+    // restarted sink resumes with its stream history intact; one subdir
+    // per committed batch (replay = overwrite), folded every
+    // `compactEvery` batches ([[compactStanding]]).
     val cellsDir = s"$outDir/_stream_cells"
     val vecsDir = s"$outDir/_stream_vecs"
     newVecs.writeStream
@@ -314,10 +430,12 @@ object Streams {
           "sem_sink_bcells")
         val haveStream = graft.sources.Fs.isDirectory(cellsDir)
         val standCells =
-          if (haveStream) index.corpusCells.unionByName(spark.read.parquet(cellsDir))
+          if (haveStream) index.corpusCells.unionByName(
+            standingRead(spark, cellsDir, Seq("id", "cl", "cr")))
           else index.corpusCells
         val standVecs =
-          if (haveStream) index.corpusVecs.unionByName(spark.read.parquet(vecsDir))
+          if (haveStream) index.corpusVecs.unionByName(
+            standingRead(spark, vecsDir, Seq("nbr", "cvec")))
           else index.corpusVecs
         // standing candidates (corpus ∪ earlier arrivals): any direction.
         // Batch ids are ANTI-JOINED off the standing side so a replayed
@@ -359,10 +477,15 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // commit the batch into the standing feed AFTER its output: a
         // crash in between replays the batch, which the anti-join above
-        // makes idempotent
-        bCells.write.mode("append").parquet(cellsDir)
-        bvecs.select(col("id").as("nbr"), col("qvec").as("cvec"))
-          .write.mode("append").parquet(vecsDir)
+        // makes idempotent (and the per-batch subdir overwrite keeps the
+        // replayed append from duplicating rows)
+        standingWrite(bCells, cellsDir, s"b$batchId")
+        standingWrite(bvecs.select(col("id").as("nbr"), col("qvec").as("cvec")),
+          vecsDir, s"b$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactStanding(spark, cellsDir, batchId)
+          compactStanding(spark, vecsDir, batchId)
+        }
         ()
       }
       .start()
@@ -399,7 +522,7 @@ object Streams {
       outDir: String, checkpoint: String,
       hasher: (DataFrame, String, String) => DataFrame,
       idCol: String = "doc_id", mediaCol: String = "media",
-      maxHamming: Int = 6): StreamingQuery = {
+      maxHamming: Int = 6, compactEvery: Int = 16): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, explode, row_number}
     import org.apache.spark.sql.expressions.Window
     val bands = maxHamming + 1
@@ -408,13 +531,21 @@ object Streams {
           explode(graft.functions.TextFunctions.simHashBands(col("nbr_hash"), bands)).as("bk"))
         .select(col("nbr"), col("nbr_hash"), col("bk.band"), col("bk.bucket"))
     // the standing hash table: seeded with the corpus hashes at sink
-    // creation (skipped when resuming — the dir already carries corpus +
-    // committed stream history), appended per committed batch
+    // creation, appended per committed batch. The seed is gated on a
+    // create-once `_SEEDED` marker written strictly AFTER the seed data
+    // (round-16 review: gating on directory existence treated a crashed
+    // partial seed as complete on restart, silently never flagging the
+    // missing corpus items) — an unmarked dir re-seeds, and the subdir
+    // overwrite makes the re-seed idempotent. No stream history can
+    // predate the marker: the query below only starts once it exists.
     val standingDir = s"$outDir/_stream_hashes"
-    if (!graft.sources.Fs.isDirectory(standingDir))
-      hasher(corpus, idCol, mediaCol)
-        .select(col(idCol).as("nbr"), col("ahash").as("nbr_hash"))
-        .write.mode("overwrite").parquet(standingDir)
+    if (!graft.sources.Fs.exists(s"$standingDir/_SEEDED")) {
+      standingWrite(
+        hasher(corpus, idCol, mediaCol)
+          .select(col(idCol).as("nbr"), col("ahash").as("nbr_hash")),
+        standingDir, "seed")
+      graft.sources.Fs.createMarker(s"$standingDir/_SEEDED", standingDir)
+    }
     newMedia.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -433,7 +564,8 @@ object Streams {
         // standing hits (corpus ∪ earlier batches): any direction; batch
         // ids anti-joined off for replay idempotence
         val standingHits = bKeyed
-          .join(banded(spark.read.parquet(standingDir)), Seq("band", "bucket"))
+          .join(banded(standingRead(spark, standingDir, Seq("nbr", "nbr_hash"))),
+            Seq("band", "bucket"))
           .join(bh.select(col(idCol).as("nbr")), Seq("nbr"), "left_anti")
           .select(col("id"),
             graft.functions.TextFunctions.hamming64(col("ahash"), col("nbr_hash"))
@@ -461,9 +593,12 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         // commit the batch's hashes into the standing table AFTER its
         // output — a crash in between replays the batch, which the
-        // anti-join above makes idempotent
-        bh.select(col(idCol).as("nbr"), col("ahash").as("nbr_hash"))
-          .write.mode("append").parquet(standingDir)
+        // anti-join above makes idempotent (and the per-batch subdir
+        // overwrite keeps the replayed append from duplicating rows)
+        standingWrite(bh.select(col(idCol).as("nbr"), col("ahash").as("nbr_hash")),
+          standingDir, s"b$batchId")
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactStanding(spark, standingDir, batchId)
         ()
       }
       .start()

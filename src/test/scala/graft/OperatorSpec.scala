@@ -1039,6 +1039,42 @@ class StreamingAnnEnrichSpec extends AnyFunSuite {
     assert(hits == batch.size,
       s"streamed top-3 != exact for ${batch.size - hits} of ${batch.size}")
   }
+
+  test("enrichment top-k includes EARLIER STREAM ARRIVALS, not just the corpus (round 16)") {
+    // batch 1 delivers a vector FAR from the corpus (id 9000); batch 2
+    // its near-copy (9001). Under the corpus-only r15 contract 9001's
+    // top-1 was a distant corpus member; the Δ×Δ standing feed must
+    // surface 9000 at cos ≈ 1.
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(5)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus = for (c <- 0 until 5; i <- 0 until 18) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val far = Array.fill(32)(rnd.nextGaussian().toFloat * 5f)
+    val base = java.nio.file.Files.createTempDirectory("graft-sannxb").toString
+    Seq((9000L, far.toSeq)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    Seq((9001L, far.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f1")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = graft.streaming.Streams.annEnrichSink(stream,
+      corpus.toDF("vec_id", "embedding"), s"$base/out", s"$base/ckpt",
+      "vec_id", "embedding", k = 1)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "nbr", "cos_sim")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    // batch 1: standing = corpus only — its top-1 is some corpus member
+    assert(got(9000L).map(_._2).forall(_ < 9000L),
+      s"batch-1 arrival must enrich against the corpus only: ${got(9000L).toSeq}")
+    // batch 2: the standing feed now carries 9000
+    val (_, nbr, cos) = got(9001L).head
+    assert(nbr == 9000L && cos >= 0.99,
+      s"batch-2 top-1 must be the batch-1 arrival at cos~1, got ($nbr, $cos)")
+  }
 }
 
 class StreamingSemanticDedupSpec extends AnyFunSuite {

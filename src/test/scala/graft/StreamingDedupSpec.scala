@@ -213,6 +213,116 @@ class StreamingDedupSpec extends AnyFunSuite {
       "the same-batch twin's higher id must flag against the lower")
   }
 
+  test("a crashed partial seed is re-seeded on restart (round 16: _SEEDED marker)") {
+    import graft.operators.Multimodal
+    val corpus = Multimodal.attachPngCorpus((0L until 100L).toDF("doc_id"),
+      noisyEvery = 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-seedcrash").toString
+    // simulate a crash mid-seed: HALF the corpus hashes land, no _SEEDED
+    // marker. Under the old directory-existence gate the restart treated
+    // this as complete and the missing half never flagged anything.
+    graft.operators.Multimodal.imageAHash(
+        corpus.filter(col("doc_id") >= 50L), "doc_id", "media")
+      .select(col("doc_id").as("nbr"), col("ahash").as("nbr_hash"))
+      .write.parquet(s"$base/out/_stream_hashes/batch=seed")
+    // arriving: a noisy twin of doc 0 — its base hash is in the MISSING
+    // half of the partial seed
+    val twin = Multimodal.attachPngCorpus(Seq(0L).toDF("doc_id"), noisyEvery = 1)
+      .filter(col("doc_id") >= 1000000L)
+    twin.coalesce(1).write.parquet(s"$base/in")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val q = Streams.imageDedupSink(
+      spark.readStream.schema(schema).parquet(s"$base/in"),
+      corpus, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.sources.Fs.exists(s"$base/out/_stream_hashes/_SEEDED"))
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq((1000000L, 1, Some(0L))),
+      s"the re-seeded sink must flag the twin of the once-missing base: $got")
+  }
+
+  test("standing stream-state compaction bounds subdir growth without changing flags (round 16)") {
+    import graft.operators.Multimodal
+    val corpus = Multimodal.attachPngCorpus((0L until 50L).toDF("doc_id"),
+      noisyEvery = 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    def png(ids: Seq[Long], noisy: Boolean) = {
+      val df = Multimodal.attachPngCorpus(ids.toDF("doc_id"),
+        noisyEvery = if (noisy) 1 else 0)
+      if (noisy) df.filter(col("doc_id") >= 1000000L) else df
+    }
+    // four single-file micro-batches; compactEvery=2 folds after ids 1, 3
+    png(Seq(300L), noisy = false).coalesce(1).write.parquet(s"$base/in/f0")
+    png(Seq(300L), noisy = true).coalesce(1).write.parquet(s"$base/in/f1")
+    png(Seq(310L), noisy = false).coalesce(1).write.parquet(s"$base/in/f2")
+    png(Seq(310L), noisy = true).coalesce(1).write.parquet(s"$base/in/f3")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*")
+    val q = Streams.perceptualDedupSink(stream, corpus, s"$base/out",
+      s"$base/ckpt", (d, i, m) => Multimodal.imageAHash(d, i, m),
+      compactEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+    // the standing dir is ONE folded subdir, not seed + 4 batch subdirs
+    val subdirs = graft.sources.Fs.listDirs(s"$base/out/_stream_hashes")
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+    assert(subdirs == Seq("batch=c3"), s"standing subdirs not folded: $subdirs")
+    // flags are what the uncompacted run produces: cross-batch twins
+    // resolve to their earlier arrival, first copies pass
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(300L) == ((0, None)) && got(310L) == ((0, None)))
+    assert(got(1000300L) == ((1, Some(300L))))
+    assert(got(1000310L) == ((1, Some(310L))))
+  }
+
+  test("semantic sink restart reloads the persisted quantizer across a corpus change (round 16)") {
+    val rnd = new scala.util.Random(53)
+    val centers = Seq.fill(5)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val corpus1 = for (c <- 0 until 5; i <- 0 until 18) yield {
+      val v = centers(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      ((c * 100 + i).toLong, v.toSeq)
+    }
+    val far = Array.fill(32)(rnd.nextGaussian().toFloat * 5f)
+    val base = java.nio.file.Files.createTempDirectory("graft-restartsem").toString
+    Seq((9000L, far.toSeq)).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    def start(corpus: Seq[(Long, Seq[Float])]) = Streams.semanticDedupSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in/*"),
+      corpus.toDF("vec_id", "embedding"),
+      s"$base/out", s"$base/ckpt", "vec_id", "embedding", minCos = 0.9)
+    val q1 = start(corpus1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(graft.sources.Fs.exists(s"$base/out/_index_cents/_SAVED"))
+    // the corpus CHANGES across the restart (new clusters appended) — a
+    // retrained quantizer would shift the cell space under the standing
+    // stream history; the persisted centroids keep 9000's persisted
+    // cells collision-compatible with its arriving near-copy
+    val extra = for (c <- 0 until 5; i <- 0 until 10) yield {
+      val nc = Array.fill(32)(rnd.nextGaussian().toFloat)
+      ((2000 + c * 100 + i).toLong,
+        nc.map(x => x + 0.15f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    Seq((9001L, far.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(s"$base/in/f1")
+    val q2 = start(corpus1 ++ extra)
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("id", "is_dup", "dup_of").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(9000L) == ((0, None)), "the first copy (pre-restart) must pass")
+    assert(got(9001L)._1 == 1 && got(9001L)._2 == Some(9000L),
+      s"the cross-RESTART twin must flag against the pre-restart arrival: ${got(9001L)}")
+  }
+
   test("streaming video dedup matches the exact best-neighbor reference") {
     import graft.operators.Multimodal
     val ids = (0L until 60L).toDF("doc_id")
