@@ -1451,6 +1451,62 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_delete_vectors" -> ((s, dir) => {
+      // merge-on-read deletes (round 16): orders lands as an 8-file
+      // table; two delete batches mark rows WITHOUT rewriting any data
+      // file — epoch 0 a keyed erasure (o_orderkey % 7), epoch 1 an
+      // overlapping customer sweep (o_custkey % 13) whose bitmaps
+      // OR-compose per file at read time. The DV-applied scan aggregate
+      // equals the oracle's plain double-NOT reconstruction, proving the
+      // sparse bitmap round-trip (build → epoch commit → OR-merge →
+      // O(1) bit test) row-exactly. The table files are untouched:
+      // at 100 TB this is the difference between a GDPR batch costing
+      // one matched-rows shuffle and costing a full-table rewrite.
+      import graft.sources.DeleteVectors
+      val tmp = graft.operators.Materialize.scratch(s, "delvec")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .repartition(8).write.parquet(s"$tmp/t")
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("o_orderkey") % 7 === 0)
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("o_custkey") % 13 === 0)
+      DeleteVectors.read(s, s"$tmp/t")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_file_skip" -> ((s, dir) => {
+      // manifest-driven file skipping (round 16): lineitem is
+      // sort-compacted on l_orderkey (disjoint per-file key ranges —
+      // the layout half), then ONE footer pass builds the stats
+      // manifest and the range scan reads only files whose [min, max]
+      // overlaps the predicate (the planning half — no per-file footer
+      // GETs at query time). The skipped-scan aggregate equals the
+      // oracle's plain WHERE on the raw table: file skipping is an
+      // optimization, never a semantics change. StatsManifestSpec pins
+      // the pruning itself (survivor count < file count).
+      import graft.sources.{ParquetIO, StatsManifest}
+      val tmp = graft.operators.Materialize.scratch(s, "fileskip")
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.parquet(s"$tmp/in")
+      ParquetIO.compactSorted(s, Seq(s"$tmp/in"), s"$tmp/t",
+        Seq("l_orderkey"), targetFileBytes = 64L * 1024)
+      StatsManifest.build(s, s"$tmp/t", Seq("l_orderkey"))
+      StatsManifest.readSkipping(s, s"$tmp/t", "l_orderkey", 1000L, 5000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_compact_zorder" -> ((s, dir) => {
       // layout maintenance, oracle-gated (round 11): round-trip orders
       // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
@@ -3015,6 +3071,22 @@ object PipelineQueries {
     // [min, max] (double division BEFORE the *32768 multiply, matching
     // Spark's expression order bit-for-bit), then the Morton interleave as
     // a sum of disjoint bit terms
+    // the DV-applied scan == the table minus both delete predicates
+    "q_delete_vectors" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders
+         WHERE o_orderkey % 7 <> 0 AND o_custkey % 13 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    // the manifest-skipped scan == the plain range WHERE
+    "q_file_skip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 5000
+         GROUP BY 1 ORDER BY 1""",
     "q_compact_zorder" ->
       s"""WITH b AS (SELECT MIN(o_custkey) AS mn0, MAX(o_custkey) AS mx0,
                   MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1 FROM orders),

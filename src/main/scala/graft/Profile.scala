@@ -35,7 +35,8 @@ object Profile {
     "simhash-phases" -> (ProfileSimhashPhases.run _, "simhash per-phase breakdown"),
     "plandump-r9" -> (PlanDumpR9.run _, "round-9 plan dumps"),
     "listing" -> (ProfileListing.run _, "partition-listing wall at >=10^4 dirs: driver loop vs distributed (args: nDirs nFiles)"),
-    "bpe8k" -> (ProfileBpe8k.run _, "tokenizer-scale BPE: learn+encode at >=8k rules, native-vs-fold parity (args: numMerges)"))
+    "bpe8k" -> (ProfileBpe8k.run _, "tokenizer-scale BPE: learn+encode at >=8k rules, native-vs-fold parity (args: numMerges)"),
+    "delvec" -> (ProfileDeleteVectors.run _, "merge-on-read deletes at 100x: mark/read/fold walls vs copy-on-write rewrite"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

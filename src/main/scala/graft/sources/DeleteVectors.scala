@@ -1,0 +1,214 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Merge-on-read deletes via per-file deletion vectors (round 16).
+ *
+ * [[ParquetIO.upsert]] is copy-on-write: every MERGE rewrites the whole
+ * surviving generation. Correct, and the right call when the update side
+ * is a meaningful fraction of the table — but a 100 TB table asked to
+ * drop 0.1 % of its rows (a GDPR erasure batch, a spam sweep, a bad
+ * crawl day) should not pay a 100 TB rewrite. The lakehouse answer
+ * (Delta deletion vectors, Iceberg positional delete files) is
+ * merge-on-read: record WHICH rows of WHICH files are dead in a tiny
+ * sidecar, apply it at scan time, and fold it into a physical rewrite
+ * only when the dead fraction justifies one.
+ *
+ * Representation: one row per data file holding a sparse 64-bit-word
+ * bitmap — `map<word_index, or-mask>` over the file's parquet row
+ * indexes (`_metadata.row_index`, the reader-provided physical row
+ * position Spark exposes for parquet scans). Sparse because deletes
+ * cluster: a file with d dead rows costs ≤ d map entries, never
+ * rows-per-file bits. The bitmap is BUILT distributively — word =
+ * index / 64 is a second grouping key, so the heaviest shuffle row is a
+ * single (file, word, mask) triple, regardless of how many rows die in
+ * one file; the per-file map assembly aggregates ≤ rows/64 entries.
+ *
+ * Scan-time application is a broadcast LEFT join on file path + an O(1)
+ * per-row bit test (`try_element_at` on the map, shift, mask — all
+ * codegen'd builtins; no UDF touches the 100 TB side). The DV relation
+ * has one row per file WITH deletes — bounded by file count, not table
+ * rows — which is exactly the shape `broadcast()` is for. Rows whose
+ * file carries no vector pass through the join null-armed and are kept.
+ *
+ * Epoch layout under `<table>/_deletes/epoch=<k>/` with the repo's
+ * create-once commit markers (`_deletes/_commits/epoch<k>`): a crashed
+ * [[deleteWhere]] leaves an unmarked directory that readers ignore and
+ * the next epoch number skips past — no rename, no pointer, the same
+ * object-store contract as the generation lifecycle
+ * (reference capability: the merge/lifecycle surface of
+ * parquet-merge.cc:1 re-expressed for mutating tables at scale).
+ * Readers OR the committed epochs' bitmaps per file, so overlapping
+ * delete batches compose; [[deleteWhere]] evaluates its predicate over
+ * the LIVE view, so re-marking already-dead rows is a no-op by
+ * construction as well as by bitmap algebra.
+ *
+ * [[rewriteDeleted]] is the fold-down: when `deletedFraction` crosses
+ * the caller's threshold, materialize the live rows as a sized
+ * generation (one scan, the same sized-write path as every compactor)
+ * and drop the vectors. Until then, every reader pays one tiny
+ * broadcast — not a rewrite.
+ */
+object DeleteVectors {
+
+  private def epochRoot(table: String) = s"$table/_deletes"
+  private def commitsDir(table: String) = s"${epochRoot(table)}/_commits"
+  private def epochDir(table: String, k: Long) = s"${epochRoot(table)}/epoch=$k"
+
+  /** Committed epoch ids, ascending: directory exists AND marker exists —
+    * the generation-lifecycle resolution rule, one `_commits` listing. */
+  private[sources] def committedEpochs(table: String): Seq[Long] = {
+    if (!Fs.isDirectory(commitsDir(table))) return Seq.empty
+    val marked = Fs.listFiles(commitsDir(table))
+      .map(_.getPath.getName)
+      .filter(_.matches("epoch\\d+"))
+      .map(_.stripPrefix("epoch").toLong)
+      .toSet
+    Fs.listDirs(epochRoot(table))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("epoch="))
+      .map(_.stripPrefix("epoch=").toLong)
+      .filter(marked.contains)
+      .sorted
+  }
+
+  /** The scan with physical row identity attached — every DV operation
+    * hangs off these two metadata columns. */
+  private def scanWithRowId(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+      .select(col("*"),
+        col("_metadata.file_path").as("__dv_file"),
+        col("_metadata.row_index").as("__dv_row"))
+
+  /** Merged DV state: (file_path, dv map<word,mask>) — committed epochs
+    * OR-folded per file. Empty (schema-stable) when no epoch exists.
+    * Tiny by construction: one row per file with deletes. */
+  def deletionVectors(spark: SparkSession, table: String): DataFrame = {
+    val epochs = committedEpochs(table)
+    if (epochs.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__dv_fp",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__dv_map",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.LongType)))))
+    } else {
+      spark.read.parquet(epochs.map(epochDir(table, _)): _*)
+        .select(col("file_path"), explode(col("dv")).as(Seq("word", "mask")))
+        .groupBy("file_path", "word")
+        .agg(bit_or(col("mask")).as("mask"))
+        .groupBy("file_path")
+        .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+          .as("__dv_map"))
+        .withColumnRenamed("file_path", "__dv_fp")
+    }
+  }
+
+  /** Is the row at (`rowCol`) dead under map column `dvCol`? Pure
+    * builtin arithmetic — O(1) per row, codegen'd, null-safe for rows
+    * whose file has no vector (left-join miss ⇒ dv null ⇒ alive). */
+  private def isDeleted(dvCol: Column, rowCol: Column): Column = {
+    val mask = coalesce(
+      try_element_at(dvCol, shiftright(rowCol, 6)), lit(0L))
+    // shiftleft with a column amount has no functions-API overload; the
+    // Catalyst node accepts expressions, so go through expr-built shift
+    shiftright(mask, (rowCol % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
+  }
+
+  // functions.shiftright(Column, Int) can't take a column amount either;
+  // build the dynamic-shift via the SQL function which can
+  private def shiftright(c: Column, bits: Column): Column =
+    call_function("shiftright", c, bits.cast("int"))
+  private def shiftright(c: Column, bits: Int): Column =
+    org.apache.spark.sql.functions.shiftright(c, bits)
+  private def shiftleftDyn(c: Column, bits: Column): Column =
+    call_function("shiftleft", c, bits.cast("int"))
+
+  /** The LIVE view of the table: scan minus deletion vectors. The 100 TB
+    * side stays a plain parquet scan (pushdown/pruning intact — the DV
+    * join is on metadata columns, not data); the DV side broadcasts. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val dv = deletionVectors(spark, table)
+    val base = scanWithRowId(spark, table)
+    base.join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
+      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
+      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map")
+  }
+
+  /**
+   * Mark every LIVE row matching `predicate` deleted, as one new
+   * committed epoch. Returns the number of rows marked. The predicate
+   * runs over the DV-applied view, so a second call with the same
+   * predicate marks 0 rows; overlapping predicates compose by bitmap
+   * OR at read time. Cost: one scan of the table (predicate-pushed) +
+   * a shuffle of the MATCHED rows only — never a rewrite.
+   */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    val dv = deletionVectors(spark, table)
+    val base = scanWithRowId(spark, table)
+    val hits = base
+      .join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
+      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
+      .filter(predicate)
+      .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+    // distributed bitmap assembly: (file, word) first so no single
+    // aggregation row ever holds more than one 64-bit mask
+    val vectors = hits
+      .groupBy(col("file_path"), shiftright(col("ri"), 6).as("word"))
+      .agg(bit_or(shiftleftDyn(lit(1L), col("ri") % 64)).as("mask"),
+        count(lit(1)).as("n"))
+      .groupBy("file_path")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("dv"),
+        sum(col("n")).as("n_deleted"))
+    val epoch = committedEpochs(table).lastOption.map(_ + 1).getOrElse(0L)
+    val out = epochDir(table, epoch)
+    vectors.write.mode("overwrite").parquet(out)
+    // count from the WRITTEN sidecar (tiny) — never a second table scan
+    val hasData = Fs.listFiles(out).exists { f =>
+      val n = f.getPath.getName; n.endsWith(".parquet") && f.getLen > 0
+    }
+    val n = if (!hasData) 0L
+      else spark.read.parquet(out)
+        .agg(coalesce(sum("n_deleted"), lit(0L))).head.getLong(0)
+    if (n == 0L) { Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out)); 0L }
+    else {
+      // data first, marker last — the create-once commit protocol; a
+      // crash before this line leaves an unmarked dir readers ignore
+      Fs.createMarker(s"${commitsDir(table)}/epoch$epoch", out)
+      n
+    }
+  }
+
+  /** Dead-row count and fraction — the rewrite trigger's inputs, read
+    * from the vectors alone (no table scan). */
+  def deletedCount(spark: SparkSession, table: String): Long = {
+    val epochs = committedEpochs(table)
+    if (epochs.isEmpty) 0L
+    else deletionVectors(spark, table)
+      .select(explode(col("__dv_map")).as(Seq("w", "m")))
+      .agg(coalesce(sum(bit_count(col("m"))), lit(0L)).cast("long"))
+      .head.getLong(0)
+  }
+
+  /**
+   * Fold the vectors down: write the live rows as a sized table at
+   * `outPath` and (on success) the caller can retire the old table+DVs.
+   * The one-scan rewrite merge-on-read defers until the dead fraction
+   * makes it worth a pass — the Delta/Iceberg maintenance contract.
+   */
+  def rewriteDeleted(spark: SparkSession, table: String, outPath: String,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      opts: ParquetIO.WriteOptions = ParquetIO.WriteOptions()): Unit = {
+    val live = read(spark, table)
+    val totalBytes = ParquetIO.inputBytes(spark, Seq(table))
+    val parts = math.max(1L, totalBytes / math.max(1L, targetFileBytes)).toInt
+    ParquetIO.write(live.repartition(parts), outPath, opts)
+  }
+}
