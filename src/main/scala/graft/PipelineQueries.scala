@@ -1507,6 +1507,96 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_bloom_skip" -> ((s, dir) => {
+      // equality file skipping via bloom bitsets (round 16): orders
+      // lands hash-scattered across 8 files with a bloom on o_custkey.
+      // Min/max can't cut a point probe on an unsorted high-cardinality
+      // key (every file spans ~the whole domain — StatsManifestSpec pins
+      // that premise), but pruneEquality's second stage fans the
+      // candidates across executors and keeps only files whose bloom
+      // bitset admits the key — a rejection is proof of absence, so the
+      // skipped scan equals the plain WHERE. At 100 TB this is "find one
+      // customer in 2·10⁵ files" paying footer+bitset KBs, not a scan.
+      import graft.sources.{ParquetIO, StatsManifest}
+      val tmp = graft.operators.Materialize.scratch(s, "bloomskip")
+      ParquetIO.writeWithBloomFilters(
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8),
+        s"$tmp/t", Seq("o_custkey"), expectedNdv = 100000L)
+      StatsManifest.build(s, s"$tmp/t", Seq("o_custkey"))
+      StatsManifest.readSkippingEquality(s, s"$tmp/t", "o_custkey", 71L)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_manifest_refresh" -> ((s, dir) => {
+      // incremental manifest maintenance (round 16): the base orders
+      // batch lands sorted and gets a manifest; a late ingest appends
+      // two more files and refresh restats ONLY those (cost ∝ files
+      // ADDED — the hourly-ingest contract at 2·10⁵-file scale), while
+      // dropped files would fall out of the manifest for free. The
+      // skipped range scan over the refreshed manifest equals the plain
+      // WHERE over the whole table; grouping by the ingest lane proves
+      // BOTH batches' files survive the refresh and contribute.
+      import graft.sources.{ParquetIO, StatsManifest}
+      val tmp = graft.operators.Materialize.scratch(s, "mrefresh")
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ParquetIO.write(o.filter(col("o_orderkey") % 4 =!= 0)
+        .repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), s"$tmp/t")
+      StatsManifest.build(s, s"$tmp/t", Seq("o_orderkey"))
+      o.filter(col("o_orderkey") % 4 === 0)
+        .repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("append").parquet(s"$tmp/t")
+      StatsManifest.refresh(s, s"$tmp/t", Seq("o_orderkey"))
+      StatsManifest.readSkipping(s, s"$tmp/t", "o_orderkey", 300L, 900L)
+        .groupBy((col("o_orderkey") % 4).as("lane"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("lane"))
+    }),
+
+    "q_dv_skip" -> ((s, dir) => {
+      // the two round-16 sidecars COMPOSED: lineitem sort-compacted on
+      // l_orderkey carries a stats manifest (planning cuts files) and
+      // two overlapping delete epochs (merge-on-read cuts rows);
+      // readFiles applies the DV broadcast over only the
+      // manifest-surviving files. Equality with the oracle's
+      // WHERE range AND NOT(deleted) reconstruction proves the stack:
+      // a selective query on a mutated 100 TB table pays
+      // (surviving files) scan + one KB-scale broadcast — neither a
+      // listing-width scan nor a rewrite.
+      import graft.sources.{DeleteVectors, ParquetIO, StatsManifest}
+      val tmp = graft.operators.Materialize.scratch(s, "dvskip")
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.parquet(s"$tmp/in")
+      ParquetIO.compactSorted(s, Seq(s"$tmp/in"), s"$tmp/t",
+        Seq("l_orderkey"), targetFileBytes = 64L * 1024)
+      StatsManifest.build(s, s"$tmp/t", Seq("l_orderkey"))
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("l_quantity") > 45)
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("l_orderkey") % 11 === 0)
+      val files = StatsManifest.prune(s, s"$tmp/t", "l_orderkey", 1000L, 5000L)
+      DeleteVectors.readFiles(s, s"$tmp/t", files)
+        .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 5000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q_compact_zorder" -> ((s, dir) => {
       // layout maintenance, oracle-gated (round 11): round-trip orders
       // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
@@ -3086,6 +3176,31 @@ object PipelineQueries {
            MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
          FROM lineitem
          WHERE l_orderkey BETWEEN 1000 AND 5000
+         GROUP BY 1 ORDER BY 1""",
+    // the bloom-skipped point lookup == the plain equality WHERE
+    "q_bloom_skip" ->
+      """SELECT o_custkey, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_custkey = 71
+         GROUP BY 1 ORDER BY 1""",
+    // refreshed-manifest skip over base+appended batches == plain WHERE;
+    // the lane grouping separates the two ingest batches
+    "q_manifest_refresh" ->
+      """SELECT o_orderkey % 4 AS lane, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_orderkey BETWEEN 300 AND 900
+         GROUP BY 1 ORDER BY 1""",
+    // manifest-pruned + DV-applied == range WHERE minus both delete batches
+    "q_dv_skip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 5000
+           AND NOT (l_quantity > 45) AND l_orderkey % 11 <> 0
          GROUP BY 1 ORDER BY 1""",
     "q_compact_zorder" ->
       s"""WITH b AS (SELECT MIN(o_custkey) AS mn0, MAX(o_custkey) AS mx0,

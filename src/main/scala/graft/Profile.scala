@@ -36,7 +36,8 @@ object Profile {
     "plandump-r9" -> (PlanDumpR9.run _, "round-9 plan dumps"),
     "listing" -> (ProfileListing.run _, "partition-listing wall at >=10^4 dirs: driver loop vs distributed (args: nDirs nFiles)"),
     "bpe8k" -> (ProfileBpe8k.run _, "tokenizer-scale BPE: learn+encode at >=8k rules, native-vs-fold parity (args: numMerges)"),
-    "delvec" -> (ProfileDeleteVectors.run _, "merge-on-read deletes at 100x: mark/read/fold walls vs copy-on-write rewrite"))
+    "delvec" -> (ProfileDeleteVectors.run _, "merge-on-read deletes at 100x: mark/read/fold walls vs copy-on-write rewrite"),
+    "manifest" -> (ProfileStatsManifest.run _, "stats-manifest skipping at 2048 files: build/prune/refresh walls, bloom point lookup at 256 files"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

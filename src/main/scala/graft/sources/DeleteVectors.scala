@@ -3,6 +3,8 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /**
  * Merge-on-read deletes via per-file deletion vectors (round 16).
  *
@@ -77,7 +79,10 @@ object DeleteVectors {
   /** The scan with physical row identity attached — every DV operation
     * hangs off these two metadata columns. */
   private def scanWithRowId(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(table)
+    scanWithRowId(spark, Seq(table))
+
+  private def scanWithRowId(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.parquet(paths: _*)
       .select(col("*"),
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_row"))
@@ -132,9 +137,24 @@ object DeleteVectors {
   /** The LIVE view of the table: scan minus deletion vectors. The 100 TB
     * side stays a plain parquet scan (pushdown/pruning intact — the DV
     * join is on metadata columns, not data); the DV side broadcasts. */
-  def read(spark: SparkSession, table: String): DataFrame = {
+  def read(spark: SparkSession, table: String): DataFrame =
+    readFiles(spark, table, Seq(table))
+
+  /**
+   * The live view over a SUBSET of the table's data files — the
+   * composition point with planning-time file skipping
+   * ([[StatsManifest.prune]]/[[StatsManifest.pruneEquality]] hand back
+   * exactly such a subset): the two sidecars stack, a selective query
+   * on a mutated table pays (surviving files) scan + one DV broadcast,
+   * neither a full listing-width scan nor a rewrite. `files` must
+   * belong to `table` — the DV relation is still resolved (and
+   * broadcast) from the TABLE root, keyed by `_metadata.file_path`, so
+   * vectors for unread files simply never match.
+   */
+  def readFiles(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame = {
     val dv = deletionVectors(spark, table)
-    val base = scanWithRowId(spark, table)
+    val base = scanWithRowId(spark, files)
     base.join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
       .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
       .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map")
@@ -176,7 +196,7 @@ object DeleteVectors {
     }
     val n = if (!hasData) 0L
       else spark.read.parquet(out)
-        .agg(coalesce(sum("n_deleted"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("n_deleted"), lit(0L))).head().getLong(0)
     if (n == 0L) { Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out)); 0L }
     else {
       // data first, marker last — the create-once commit protocol; a
@@ -194,7 +214,35 @@ object DeleteVectors {
     else deletionVectors(spark, table)
       .select(explode(col("__dv_map")).as(Seq("w", "m")))
       .agg(coalesce(sum(bit_count(col("m"))), lit(0L)).cast("long"))
-      .head.getLong(0)
+      .head().getLong(0)
+  }
+
+  /** Dead fraction of the table — the [[rewriteDeleted]] trigger.
+    * Numerator is [[deletedCount]] (vectors only); denominator is the
+    * footer row-count sum, a distributed metadata-only pass over the
+    * data files (cost ∝ file COUNT — no data pages, same shape as
+    * [[StatsManifest.build]]). 0.0 on an untouched table. */
+  def deletedFraction(spark: SparkSession, table: String): Double = {
+    val dead = deletedCount(spark, table)
+    if (dead == 0L) return 0.0
+    val conf = new StatsManifest.SerConf(
+      spark.sparkContext.hadoopConfiguration)
+    val files = Fs.listFiles(table)
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".parquet") &&
+        !new org.apache.hadoop.fs.Path(p).getName.startsWith("_"))
+    val total = spark.createDataset(files)(
+        org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(files.size, 64))
+      .map { f: String =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf.value))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .agg(sum("value")).head().getLong(0)
+    dead.toDouble / math.max(1L, total)
   }
 
   /**

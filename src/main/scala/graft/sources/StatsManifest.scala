@@ -138,6 +138,29 @@ object StatsManifest {
     } finally reader.close()
   }
 
+  /** The table's parquet data files (sidecar dirs like `_stats`/`_deletes`
+    * excluded by the underscore rule Spark itself uses). */
+  private def dataFiles(table: String): Seq[String] =
+    Fs.listFiles(table)
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".parquet") &&
+        !new org.apache.hadoop.fs.Path(p).getName.startsWith("_"))
+
+  /** The distributed footer pass: files fan out, each task reads only
+    * footers and emits (file, column) stats rows. */
+  private def statsFor(spark: SparkSession, files: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val colSet = cols.toSet
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(files.size, 64))
+      .mapPartitions { it =>
+        val c = conf.value
+        it.flatMap(f => fileStats(f, c, colSet))
+      }(org.apache.spark.sql.Encoders.product[ColStats])
+      .toDF()
+  }
+
   /**
    * Build (or rebuild) the manifest for `table`: one row per
    * (data file, column). Footer reads only — cost is proportional to
@@ -147,21 +170,48 @@ object StatsManifest {
    */
   def build(spark: SparkSession, table: String,
       cols: Seq[String] = Seq.empty): DataFrame = {
-    import spark.implicits._
-    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
-    val files = Fs.listFiles(table)
-      .map(_.getPath.toString)
-      .filter(p => p.endsWith(".parquet") &&
-        !new org.apache.hadoop.fs.Path(p).getName.startsWith("_"))
+    val files = dataFiles(table)
     require(files.nonEmpty, s"statsManifest: no parquet data files under $table")
-    val colSet = cols.toSet
-    val stats = spark.createDataset(files)
-      .repartition(math.min(files.size, 64))
-      .mapPartitions { it =>
-        val c = conf.value
-        it.flatMap(f => fileStats(f, c, colSet))
-      }
-    stats.toDF().write.mode("overwrite").parquet(manifestPath(table))
+    statsFor(spark, files, cols)
+      .write.mode("overwrite").parquet(manifestPath(table))
+    spark.read.parquet(manifestPath(table))
+  }
+
+  /**
+   * Incremental maintenance: bring the manifest up to date after
+   * appends/compactions WITHOUT re-reading footers the manifest already
+   * covers. New files get the same distributed footer pass as [[build]]
+   * (cost ∝ files ADDED — an hourly ingest of 500 files restats 500
+   * footers, not 2·10⁵); rows for files that no longer exist are
+   * dropped (a compaction retires its inputs' rows for free). The
+   * rewrite goes through a temp dir because the new manifest is
+   * derived from the old one (Spark refuses an overwrite of a path
+   * it is reading — the repo's own upsert lesson), and the manifest
+   * is KBs-to-MBs so the double write is noise. No-op (beyond the
+   * listing) when nothing changed. First call without a manifest
+   * degrades to [[build]].
+   */
+  def refresh(spark: SparkSession, table: String,
+      cols: Seq[String] = Seq.empty): DataFrame = {
+    if (!Fs.isDirectory(manifestPath(table))) return build(spark, table, cols)
+    val current = dataFiles(table)
+    require(current.nonEmpty, s"statsManifest: no parquet data files under $table")
+    val m = spark.read.parquet(manifestPath(table))
+    val known = m.select("file").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    val added = current.filterNot(known)
+    val removed = known -- current.toSet
+    if (added.isEmpty && removed.isEmpty) return m
+    val currentDf = spark.createDataset(current)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file")
+    val kept = m.join(currentDf, Seq("file"), "left_semi")
+    val next =
+      if (added.isEmpty) kept
+      else kept.unionByName(statsFor(spark, added, cols))
+    val tmp = s"${manifestDir(table)}/manifest_tmp"
+    next.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(manifestPath(table))
+    Fs.deleteRecursive(new org.apache.hadoop.fs.Path(tmp))
     spark.read.parquet(manifestPath(table))
   }
 
@@ -216,9 +266,90 @@ object StatsManifest {
       spark.read.parquet(survivors: _*).filter(pred)
   }
 
+  /**
+   * Executor-side bloom probe: can `path` contain a row with
+   * `column == value`? A file is rejected ONLY when every row group's
+   * column chunk carries a bloom filter and every one of them rejects
+   * the value — no false negatives by the split-block bloom contract,
+   * so a rejection is proof of absence. Any missing bloom, missing
+   * chunk, or unsupported probe type keeps the file. Footer + bloom
+   * bitset reads only (a few KB per row group), never data pages.
+   */
+  private[sources] def bloomKeepsFile(path: String, conf: Configuration,
+      column: String, value: Any): Boolean = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      blocks.isEmpty || blocks.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column).forall {
+          chunk =>
+            val bf = reader.getBloomFilterDataReader(b).readBloomFilter(chunk)
+            if (bf == null) true
+            else {
+              // hash in the CHUNK's physical domain, not the literal's —
+              // parquet blooms hash plain-encoded physical values, so a
+              // Long probe against an INT32 chunk would mis-hash and
+              // could wrongly reject a present value
+              val hash = (chunk.getPrimitiveType.getPrimitiveTypeName, value) match {
+                case (PrimitiveTypeName.INT64, v: Number)  => Some(bf.hash(v.longValue))
+                case (PrimitiveTypeName.INT32, v: Number)  => Some(bf.hash(v.intValue))
+                case (PrimitiveTypeName.DOUBLE, v: Number) => Some(bf.hash(v.doubleValue))
+                case (PrimitiveTypeName.FLOAT, v: Number)  => Some(bf.hash(v.floatValue))
+                case (PrimitiveTypeName.BINARY, v: String) => Some(bf.hash(
+                  org.apache.parquet.io.api.Binary.fromString(v)))
+                case _ => None
+              }
+              hash.forall(bf.findHash)
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /**
+   * Files that can contain rows with `column == value` — the POINT-
+   * LOOKUP prune. Min/max ranges are useless for equality on a
+   * high-cardinality column that is not the sort key (every file spans
+   * most of the domain), which is exactly the 100 TB "find one
+   * document id in 2·10⁵ files" shape. Two stages, both metadata-only:
+   * the manifest overlap cut ([[prune]] at [value, value]) runs
+   * against ONE small parquet, then the survivors fan out across
+   * executors for a bloom-bitset probe (written by
+   * [[ParquetIO.writeWithBloomFilters]]) — ~10 bits/distinct-value per
+   * row group, read without touching data pages. Files without blooms
+   * are kept; a bloom rejection is proof of absence, so the cut is
+   * exact-safe.
+   */
+  def pruneEquality(spark: SparkSession, table: String, column: String,
+      value: Any): Seq[String] = {
+    val candidates = prune(spark, table, column, value, value)
+    if (candidates.isEmpty) Seq.empty
+    else {
+      val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+      spark.createDataset(candidates)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(candidates.size, 64))
+        .filter { f: String => bloomKeepsFile(f, conf.value, column, value) }
+        .collect().toSeq.sorted
+    }
+  }
+
+  /** Scan only the files whose stats AND blooms admit `column == value`;
+    * the equality filter is still applied (and pushed — parquet-mr then
+    * re-checks blooms per row group below the file cut), so the result
+    * equals the unpruned filtered scan. */
+  def readSkippingEquality(spark: SparkSession, table: String,
+      column: String, value: Any): DataFrame = {
+    val survivors = pruneEquality(spark, table, column, value)
+    if (survivors.isEmpty)
+      spark.read.parquet(table).filter(lit(false))
+    else
+      spark.read.parquet(survivors: _*).filter(col(column) === lit(value))
+  }
+
   /** Serializable Hadoop-conf carrier for the footer tasks (the
     * Writable-backed trick Spark uses internally). */
-  private class SerConf(@transient var value: Configuration)
+  private[sources] class SerConf(@transient var value: Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

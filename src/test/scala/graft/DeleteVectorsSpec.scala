@@ -43,6 +43,7 @@ class DeleteVectorsSpec extends AnyFunSuite {
     val row = live.filter(col("id") === 7L).head
     assert(row.getString(1) === "name7" && row.getInt(2) === 7)
     assert(DeleteVectors.deletedCount(spark, t) === 334L)
+    assert(math.abs(DeleteVectors.deletedFraction(spark, t) - 0.334) < 1e-9)
   }
 
   test("overlapping epochs OR-compose; re-deleting marks zero") {
@@ -101,6 +102,30 @@ class DeleteVectorsSpec extends AnyFunSuite {
     assert(!Fs.isDirectory(s"$t/_deletes") ||
       Fs.listDirs(s"$t/_deletes").forall(_.getPath.getName == "_commits"))
     assert(DeleteVectors.read(spark, t).count() === 1000L)
+    assert(DeleteVectors.deletedFraction(spark, t) === 0.0)
+  }
+
+  test("readFiles composes with manifest pruning: skip + DV == filter + DV") {
+    import graft.sources.{ParquetIO, StatsManifest}
+    val t = tmp() + "/t"
+    import spark.implicits._
+    // sorted layout so the manifest can actually cut files…
+    ParquetIO.write(
+      (0 until 10000).map(i => (i.toLong, i % 10)).toDF("id", "bucket")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"), t)
+    StatsManifest.build(spark, t, Seq("id"))
+    // …then a delete lands INSIDE the range a later query asks for
+    DeleteVectors.deleteWhere(spark, t, col("id") % 5 === 0)
+    val files = StatsManifest.prune(spark, t, "id", 2000L, 2999L)
+    assert(files.nonEmpty && files.size < 8, s"prune must cut (kept ${files.size})")
+    val got = DeleteVectors.readFiles(spark, t, files)
+      .filter(col("id") >= 2000L && col("id") <= 2999L)
+      .orderBy("id").collect().toSeq
+    val want = DeleteVectors.read(spark, t)
+      .filter(col("id") >= 2000L && col("id") <= 2999L)
+      .orderBy("id").collect().toSeq
+    assert(got === want && got.size === 800,
+      "the pruned-scan live view must equal the full-scan live view")
   }
 
   test("the scan side keeps pushdown: DV join is metadata-only") {

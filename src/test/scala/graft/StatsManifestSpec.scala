@@ -105,4 +105,77 @@ class StatsManifestSpec extends AnyFunSuite {
     val got = StatsManifest.readSkipping(spark, t, "id", 500L, 1500L).count()
     assert(got === 1001L)
   }
+
+  test("refresh restats only added files and drops rows for removed ones") {
+    val t = tmp() + "/t"
+    import spark.implicits._
+    sortedTable(t)
+    StatsManifest.build(spark, t, Seq("id"))
+    // an ingest appends two files beyond the existing id domain
+    (10000 until 12000).map(i => (i.toLong, i.toDouble / 7.0, f"k$i%05d", i % 100))
+      .toDF("id", "x", "k", "m")
+      .repartitionByRange(2, col("id")).sortWithinPartitions("id")
+      .write.mode("append").parquet(t)
+    val m = StatsManifest.refresh(spark, t, Seq("id"))
+    assert(m.select("file").distinct().count() === 10L)
+    // pruning into the appended range lands only on appended files
+    val s = StatsManifest.prune(spark, t, "id", 10000L, 10999L)
+    assert(s.nonEmpty && s.size <= 2,
+      s"appended-range prune must stay within the 2 new files (kept ${s.size})")
+    assert(StatsManifest.readSkipping(spark, t, "id", 10000L, 10999L)
+      .count() === 1000L)
+    // a compaction-style removal: drop one ORIGINAL file, refresh forgets it
+    val victim = StatsManifest.prune(spark, t, "id", 0L, 10L).head
+    graft.sources.Fs.deleteIfExists(victim)
+    val m2 = StatsManifest.refresh(spark, t, Seq("id"))
+    assert(m2.select("file").distinct().count() === 9L)
+    assert(!m2.select("file").distinct()
+      .as[String].collect().contains(victim))
+    // unchanged table: refresh is a read, manifest identical
+    assert(StatsManifest.refresh(spark, t, Seq("id"))
+      .select("file").distinct().count() === 9L)
+  }
+
+  test("equality prune uses blooms where ranges are useless; parity exact") {
+    val t = tmp() + "/t"
+    import spark.implicits._
+    // EVEN ids only, hash-scattered: every file spans ~the full domain,
+    // so min/max can never cut an equality probe — only blooms can
+    val df = (0 until 8000).map(i => (i.toLong * 2, s"v$i")).toDF("id", "v")
+      .repartition(8)
+    ParquetIO.writeWithBloomFilters(df, t, Seq("id"), expectedNdv = 2000L)
+    StatsManifest.build(spark, t, Seq("id"))
+    val all = StatsManifest.manifest(spark, t)
+      .select("file").distinct().count()
+    assert(all === 8L)
+    // range stage alone keeps everything (the useless-min/max premise)
+    assert(StatsManifest.prune(spark, t, "id", 37L * 2, 37L * 2).size === 8)
+    // present value: blooms keep its file(s), result matches a plain filter
+    val present = StatsManifest.pruneEquality(spark, t, "id", 74L)
+    assert(present.nonEmpty && present.size < 8,
+      s"bloom must cut non-member files (kept ${present.size} of 8)")
+    val got = StatsManifest.readSkippingEquality(spark, t, "id", 74L)
+      .orderBy("id").collect().toSeq
+    val want = spark.read.parquet(t).filter(col("id") === 74L)
+      .orderBy("id").collect().toSeq
+    assert(got === want && got.size === 1)
+    // absent IN-RANGE value (odd id): every bloom rejects — zero files,
+    // zero rows, and the empty frame keeps the schema
+    val absent = StatsManifest.pruneEquality(spark, t, "id", 75L)
+    assert(absent.isEmpty, s"all-bloom rejection must prune everything (kept $absent)")
+    val none = StatsManifest.readSkippingEquality(spark, t, "id", 75L)
+    assert(none.count() === 0L && none.columns.toSeq.sorted === Seq("id", "v"))
+  }
+
+  test("equality prune without blooms keeps every candidate file") {
+    val t = tmp() + "/t"
+    import spark.implicits._
+    (0 until 4000).map(i => (i.toLong, i % 13)).toDF("id", "m")
+      .repartition(5).write.parquet(t) // plain write: no bloom bitsets
+    StatsManifest.build(spark, t, Seq("id"))
+    val s = StatsManifest.pruneEquality(spark, t, "id", 1234L)
+    assert(s.size === 5, "no bloom ⇒ conservative keep, never a wrong skip")
+    assert(StatsManifest.readSkippingEquality(spark, t, "id", 1234L)
+      .count() === 1L)
+  }
 }
