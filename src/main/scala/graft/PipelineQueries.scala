@@ -1597,6 +1597,61 @@ object PipelineQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    "q_zorder_skip" -> ((s, dir) => {
+      // layout × manifest on TWO keys (round 16): z-ordering makes each
+      // file a small (o_custkey, o_orderkey) hyper-rectangle, and ONE
+      // manifest then makes BOTH keys file-skippable — the two legs
+      // below each range-prune on a different key over the SAME layout
+      // and the union equals the oracle's two plain WHEREs. A sorted
+      // layout buys this for one key only; z-order + manifest is the
+      // multi-dimension skipping answer at 2·10⁵ files (the ZOrderSpec
+      // footer-stats assertion, now driven through the planning path).
+      import graft.sources.{ParquetIO, StatsManifest}
+      val tmp = graft.operators.Materialize.scratch(s, "zskip")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.parquet(s"$tmp/in")
+      ParquetIO.compactZOrder(s, Seq(s"$tmp/in"), s"$tmp/t",
+        Seq("o_custkey", "o_orderkey"), targetFileBytes = 48L * 1024)
+      StatsManifest.build(s, s"$tmp/t", Seq("o_custkey", "o_orderkey"))
+      def leg(column: String, lo: Long, hi: Long, dim: String) =
+        StatsManifest.readSkipping(s, s"$tmp/t", column, lo, hi)
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .withColumn("dim", lit(dim))
+      leg("o_custkey", 100L, 200L, "cust")
+        .unionByName(leg("o_orderkey", 500L, 900L, "order"))
+        .select(col("dim"), col("n"), col("sum_price"))
+        .orderBy(col("dim"))
+    }),
+
+    "q_dv_changes" -> ((s, dir) => {
+      // the DELETE change feed (round 16): after the same two epochs as
+      // q_delete_vectors, the feed from epoch 1 returns exactly the
+      // customer sweep's NEW kills — rows epoch 0 already marked never
+      // reappear (bitmap AND-NOT against earlier epochs). This is the
+      // deletes half of CDC for a merge-on-read table: an incremental
+      // consumer (ANN index, dedup state) retires these rows instead of
+      // rebuilding, and the scan behind the feed touches only files
+      // CARRYING epoch-1 vectors — cost ∝ the delete, not the table.
+      import graft.sources.DeleteVectors
+      val tmp = graft.operators.Materialize.scratch(s, "dvchanges")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .repartition(8).write.parquet(s"$tmp/t")
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("o_orderkey") % 7 === 0)
+      DeleteVectors.deleteWhere(s, s"$tmp/t", col("o_custkey") % 13 === 0)
+      DeleteVectors.deletes(s, s"$tmp/t", fromEpoch = 1L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_compact_zorder" -> ((s, dir) => {
       // layout maintenance, oracle-gated (round 11): round-trip orders
       // through compactZOrder on (o_custkey, o_orderkey) — two parity-split
@@ -3193,6 +3248,25 @@ object PipelineQueries {
            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          FROM orders
          WHERE o_orderkey BETWEEN 300 AND 900
+         GROUP BY 1 ORDER BY 1""",
+    // each leg skips files on a DIFFERENT key of the same z-order layout;
+    // both must equal the plain WHERE
+    "q_zorder_skip" ->
+      """SELECT 'cust' AS dim, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_custkey BETWEEN 100 AND 200
+         UNION ALL
+         SELECT 'order' AS dim, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey BETWEEN 500 AND 900
+         ORDER BY 1""",
+    // epoch-1 delete feed == the sweep's NEW kills only (AND-NOT epoch 0)
+    "q_dv_changes" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+         FROM orders
+         WHERE o_custkey % 13 = 0 AND o_orderkey % 7 <> 0
          GROUP BY 1 ORDER BY 1""",
     // manifest-pruned + DV-applied == range WHERE minus both delete batches
     "q_dv_skip" ->

@@ -90,8 +90,14 @@ object DeleteVectors {
   /** Merged DV state: (file_path, dv map<word,mask>) — committed epochs
     * OR-folded per file. Empty (schema-stable) when no epoch exists.
     * Tiny by construction: one row per file with deletes. */
-  def deletionVectors(spark: SparkSession, table: String): DataFrame = {
-    val epochs = committedEpochs(table)
+  def deletionVectors(spark: SparkSession, table: String): DataFrame =
+    foldEpochs(spark, table, committedEpochs(table))
+
+  /** OR-fold a SUBSET of committed epochs into per-file maps — the
+    * shared core of [[deletionVectors]] (all epochs) and [[deletes]]
+    * (the epoch ranges either side of the change-feed cursor). */
+  private def foldEpochs(spark: SparkSession, table: String,
+      epochs: Seq[Long]): DataFrame = {
     if (epochs.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -215,6 +221,48 @@ object DeleteVectors {
       .select(explode(col("__dv_map")).as(Seq("w", "m")))
       .agg(coalesce(sum(bit_count(col("m"))), lit(0L)).cast("long"))
       .head().getLong(0)
+  }
+
+  /**
+   * The DELETE change feed: rows whose death was committed by epoch
+   * `fromEpoch` or later — each row exactly once, attributed to the
+   * first marking epoch (bitmap AND-NOT against the union of earlier
+   * epochs, so a row epoch 0 already killed never reappears when
+   * epoch 2 re-matches it). This is what downstream incremental
+   * consumers need from a mutating table: the upsert change feed
+   * carries inserts/updates, this carries the merge-on-read deletes —
+   * an ANN index or dedup state can retire exactly these rows instead
+   * of rebuilding.
+   *
+   * Scale shape: the scan is restricted to files that CARRY new-epoch
+   * vectors (their path list is the broadcast side's keys — bounded by
+   * files-touched, collected like every planner file list), so the
+   * feed costs (files touched by the delete) scan + two tiny
+   * broadcasts — independent of table size, like the delete itself.
+   * Returns the table schema unchanged (schema-stable empty frame when
+   * no committed epoch ≥ `fromEpoch` exists).
+   */
+  def deletes(spark: SparkSession, table: String,
+      fromEpoch: Long = 0L): DataFrame = {
+    val epochs = committedEpochs(table)
+    val newer = epochs.filter(_ >= fromEpoch)
+    if (newer.isEmpty)
+      return spark.read.parquet(table).filter(lit(false))
+    val dvNew = foldEpochs(spark, table, newer)
+    val dvOld = foldEpochs(spark, table, epochs.filter(_ < fromEpoch))
+      .withColumnRenamed("__dv_fp", "__dv_fp_old")
+      .withColumnRenamed("__dv_map", "__dv_map_old")
+    val files = dvNew.select("__dv_fp")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
+    val base = scanWithRowId(spark, files)
+    base
+      .join(broadcast(dvNew), base("__dv_file") === dvNew("__dv_fp"))
+      .join(broadcast(dvOld), base("__dv_file") === dvOld("__dv_fp_old"),
+        "left")
+      .filter(isDeleted(col("__dv_map"), col("__dv_row")) &&
+        !isDeleted(col("__dv_map_old"), col("__dv_row")))
+      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map",
+        "__dv_fp_old", "__dv_map_old")
   }
 
   /** Dead fraction of the table — the [[rewriteDeleted]] trigger.

@@ -105,6 +105,27 @@ class DeleteVectorsSpec extends AnyFunSuite {
     assert(DeleteVectors.deletedFraction(spark, t) === 0.0)
   }
 
+  test("deletes change feed: each death reported once, at its first epoch") {
+    val t = tmp() + "/t"
+    freshTable(t)
+    // no epochs yet: schema-stable empty feed
+    val pre = DeleteVectors.deletes(spark, t)
+    assert(pre.count() === 0L && pre.columns.toSeq === Seq("id", "name", "bucket"))
+    DeleteVectors.deleteWhere(spark, t, col("id") < 100)      // epoch 0
+    DeleteVectors.deleteWhere(spark, t, col("id") % 10 === 0) // epoch 1: 90 NEW
+    assert(DeleteVectors.deletes(spark, t).count() === 190L)
+    val delta = DeleteVectors.deletes(spark, t, fromEpoch = 1L)
+    assert(delta.count() === 90L,
+      "rows epoch 0 already killed must not reappear in epoch 1's feed")
+    assert(delta.filter(col("id") % 10 =!= 0 || col("id") < 100).count() === 0L)
+    // row payload comes back intact for a sampled change
+    val r = delta.filter(col("id") === 250L).head
+    assert(r.getString(1) === "name250" && r.getInt(2) === 0)
+    // cursor past the tip: empty, schema unchanged
+    val past = DeleteVectors.deletes(spark, t, fromEpoch = 2L)
+    assert(past.count() === 0L && past.columns.toSeq === Seq("id", "name", "bucket"))
+  }
+
   test("readFiles composes with manifest pruning: skip + DV == filter + DV") {
     import graft.sources.{ParquetIO, StatsManifest}
     val t = tmp() + "/t"
