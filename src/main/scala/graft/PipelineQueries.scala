@@ -1451,6 +1451,43 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_mor_upsert" -> ((s, dir) => {
+      // ATOMIC merge-on-read MERGE (round 16): the q_upsert_delete CDC
+      // fixture — repriced (%10=0) and negated-key inserts (%10=1) as
+      // version-1 upserts, tombstones (%10=5) — applied through
+      // TxTable.upsert instead of the copy-on-write generation rewrite.
+      // One commit id carries BOTH the deletion vectors over the base
+      // snapshot and the appended winners; the marker lands last, so
+      // the delete-then-append pair becomes visible atomically (a crash
+      // anywhere earlier leaves the snapshot byte-identical —
+      // TxTableSpec). Matching q_upsert_delete's oracle proves MERGE
+      // semantics survived the representation change; the 100 TB win is
+      // the write volume: a CDC batch costs batch-sized files + a KB DV
+      // sidecar, never a generation rewrite.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "morupsert")
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, s"$tmp/t", orders.withColumn("version", lit(0L)))
+      val repriced = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("op", lit("u"))
+      val inserted = orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+        .withColumn("op", lit("u"))
+      val deleted = orders.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("op", lit("d"))
+      val batch = repriced.unionByName(inserted).unionByName(deleted)
+        .withColumn("version", lit(1L))
+      TxTable.upsert(s, s"$tmp/t", batch, Seq("o_orderkey"), "version",
+        opCol = Some("op"))
+      TxTable.read(s, s"$tmp/t")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // merge-on-read deletes (round 16): orders lands as an 8-file
       // table; two delete batches mark rows WITHOUT rewriting any data
@@ -3249,6 +3286,22 @@ object PipelineQueries {
          FROM orders
          WHERE o_orderkey BETWEEN 300 AND 900
          GROUP BY 1 ORDER BY 1""",
+    // same reconstruction as q_upsert_delete: MERGE semantics must survive
+    // the copy-on-write -> merge-on-read representation change
+    "q_mor_upsert" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 1
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
     // each leg skips files on a DIFFERENT key of the same z-order layout;
     // both must equal the plain WHERE
     "q_zorder_skip" ->

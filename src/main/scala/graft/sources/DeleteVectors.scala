@@ -81,11 +81,33 @@ object DeleteVectors {
   private def scanWithRowId(spark: SparkSession, table: String): DataFrame =
     scanWithRowId(spark, Seq(table))
 
-  private def scanWithRowId(spark: SparkSession, paths: Seq[String]): DataFrame =
+  private[sources] def scanWithRowId(spark: SparkSession,
+      paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
       .select(col("*"),
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_row"))
+
+  /** Apply a folded DV relation to a row-identified scan: broadcast
+    * left join + the O(1) bit test, identity columns dropped. */
+  private[sources] def applyVectors(base: DataFrame, dv: DataFrame): DataFrame =
+    base.join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
+      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
+      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map")
+
+  /** Distributed bitmap assembly from (file_path, ri) hit rows —
+    * (file, word = ri/64) first so no single aggregation row ever holds
+    * more than one 64-bit mask, then the per-file map. Output schema is
+    * the sidecar schema every fold reads: (file_path, dv, n_deleted). */
+  private[sources] def buildVectors(hits: DataFrame): DataFrame =
+    hits
+      .groupBy(col("file_path"), shiftright(col("ri"), 6).as("word"))
+      .agg(bit_or(shiftleftDyn(lit(1L), col("ri") % 64)).as("mask"),
+        count(lit(1)).as("n"))
+      .groupBy("file_path")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
+        .as("dv"),
+        sum(col("n")).as("n_deleted"))
 
   /** Merged DV state: (file_path, dv map<word,mask>) — committed epochs
     * OR-folded per file. Empty (schema-stable) when no epoch exists.
@@ -97,8 +119,16 @@ object DeleteVectors {
     * shared core of [[deletionVectors]] (all epochs) and [[deletes]]
     * (the epoch ranges either side of the change-feed cursor). */
   private def foldEpochs(spark: SparkSession, table: String,
-      epochs: Seq[Long]): DataFrame = {
-    if (epochs.isEmpty) {
+      epochs: Seq[Long]): DataFrame =
+    foldDvDirs(spark, epochs.map(epochDir(table, _)))
+
+  /** OR-fold arbitrary DV sidecar dirs (each written by
+    * [[buildVectors]]'s shape) into per-file maps — shared with
+    * [[TxTable]], whose vectors live under its commit log rather than
+    * `_deletes` epochs. */
+  private[sources] def foldDvDirs(spark: SparkSession,
+      dirs: Seq[String]): DataFrame = {
+    if (dirs.isEmpty) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -109,7 +139,7 @@ object DeleteVectors {
               org.apache.spark.sql.types.LongType,
               org.apache.spark.sql.types.LongType)))))
     } else {
-      spark.read.parquet(epochs.map(epochDir(table, _)): _*)
+      spark.read.parquet(dirs: _*)
         .select(col("file_path"), explode(col("dv")).as(Seq("word", "mask")))
         .groupBy("file_path", "word")
         .agg(bit_or(col("mask")).as("mask"))
@@ -123,7 +153,7 @@ object DeleteVectors {
   /** Is the row at (`rowCol`) dead under map column `dvCol`? Pure
     * builtin arithmetic — O(1) per row, codegen'd, null-safe for rows
     * whose file has no vector (left-join miss ⇒ dv null ⇒ alive). */
-  private def isDeleted(dvCol: Column, rowCol: Column): Column = {
+  private[sources] def isDeleted(dvCol: Column, rowCol: Column): Column = {
     val mask = coalesce(
       try_element_at(dvCol, shiftright(rowCol, 6)), lit(0L))
     // shiftleft with a column amount has no functions-API overload; the
@@ -158,13 +188,8 @@ object DeleteVectors {
    * vectors for unread files simply never match.
    */
   def readFiles(spark: SparkSession, table: String,
-      files: Seq[String]): DataFrame = {
-    val dv = deletionVectors(spark, table)
-    val base = scanWithRowId(spark, files)
-    base.join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
-      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
-      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map")
-  }
+      files: Seq[String]): DataFrame =
+    applyVectors(scanWithRowId(spark, files), deletionVectors(spark, table))
 
   /**
    * Mark every LIVE row matching `predicate` deleted, as one new
@@ -183,16 +208,7 @@ object DeleteVectors {
       .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
       .filter(predicate)
       .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-    // distributed bitmap assembly: (file, word) first so no single
-    // aggregation row ever holds more than one 64-bit mask
-    val vectors = hits
-      .groupBy(col("file_path"), shiftright(col("ri"), 6).as("word"))
-      .agg(bit_or(shiftleftDyn(lit(1L), col("ri") % 64)).as("mask"),
-        count(lit(1)).as("n"))
-      .groupBy("file_path")
-      .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
-        .as("dv"),
-        sum(col("n")).as("n_deleted"))
+    val vectors = buildVectors(hits)
     val epoch = committedEpochs(table).lastOption.map(_ + 1).getOrElse(0L)
     val out = epochDir(table, epoch)
     vectors.write.mode("overwrite").parquet(out)

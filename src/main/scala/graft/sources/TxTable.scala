@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * A minimal transactional table layout (round 16) — the round's sidecar
+ * machinery composed into snapshot-isolated commits, so a mutating
+ * 100 TB table gets ATOMIC merge-on-read upserts instead of choosing
+ * between [[ParquetIO.upsert]]'s copy-on-write generations (rewrite ∝
+ * table) and raw [[DeleteVectors]] epochs (no atomicity across the
+ * delete-then-append pair a CDC batch needs).
+ *
+ * Layout, all under one root, all object-store safe (create-once
+ * markers only — no rename, no pointer, no listing-freshness
+ * assumption; the [[Streams]] generation-lifecycle contract):
+ *
+ * {{{
+ *   <root>/data/c<k>/part-….parquet   commit k's added rows (optional)
+ *   <root>/_txn/dv/<k>/part-….parquet commit k's deletion vectors (optional)
+ *   <root>/_txn/commits/c<k>          the commit bit (marker EXISTENCE)
+ * }}}
+ *
+ * A commit is convention, not manifest: marker c<k> present ⟺ commit
+ * k's data dir and DV dir (whichever exist) are visible — readers need
+ * ONE `_txn/commits` listing, never a JSON parse. A writer works
+ * data-first: rows into `data/c<k>`, vectors into `_txn/dv/<k>`, and
+ * only then the marker — a crash at any earlier point leaves
+ * directories no reader resolves and [[vacuum]] later sweeps. The
+ * delete-then-append pair of an upsert therefore becomes visible
+ * ATOMICALLY: both ride the same k, both appear at marker creation or
+ * not at all.
+ *
+ * Reads: the snapshot is (∪ committed data dirs) scanned once with row
+ * identity, minus the OR-fold of ALL committed DV dirs (one broadcast,
+ * the O(1) codegen'd bit test — [[DeleteVectors.applyVectors]]).
+ * [[readAt]] is time travel for free: resolve markers ≤ k only, and a
+ * later commit's deletes vanish WITH its adds, keeping historical
+ * snapshots exact.
+ *
+ * [[upsert]] is the merge-on-read MERGE: latest-version-per-key winner
+ * selection inside the batch (ties broken like [[ParquetIO.upsert]]),
+ * one scan of the live snapshot semi-joined against the batch's keys
+ * (broadcast — a CDC batch is small by premise) to mark every current
+ * version dead, surviving non-tombstone winners appended as c<k>.
+ * Cost: one table scan + work ∝ BATCH size — no generation rewrite.
+ * The scan itself stays a plain parquet scan (pushdown intact); at
+ * 0.1 %-of-table batches this is the regime where copy-on-write pays
+ * 1000× the write volume (SCALE.md round-16 `delvec`).
+ */
+object TxTable {
+
+  private def dataDir(root: String, k: Long) = s"$root/data/c$k"
+  private def dvDir(root: String, k: Long) = s"$root/_txn/dv/$k"
+  private def commitsDir(root: String) = s"$root/_txn/commits"
+  private def marker(root: String, k: Long) = s"${commitsDir(root)}/c$k"
+
+  /** Committed ids, ascending — one listing of the commits dir. */
+  def committedIds(root: String): Seq[Long] = {
+    if (!Fs.isDirectory(commitsDir(root))) return Seq.empty
+    Fs.listFiles(commitsDir(root))
+      .map(_.getPath.getName)
+      .filter(_.matches("c\\d+"))
+      .map(_.stripPrefix("c").toLong)
+      .sorted
+  }
+
+  /** Next free id: past every id any directory or marker has touched,
+    * committed or crashed — a crashed writer's id is never reused, so
+    * its leftovers can never be adopted by a later commit. */
+  private def nextId(root: String): Long = {
+    def ids(dir: String, prefix: String): Seq[Long] =
+      if (!Fs.isDirectory(dir)) Seq.empty
+      else Fs.listDirs(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit))
+        .map(_.drop(prefix.length).toLong)
+    (committedIds(root) ++ ids(s"$root/data", "c") ++
+      ids(s"$root/_txn/dv", "") :+ -1L).max + 1
+  }
+
+  private def existingDataDirs(root: String, ks: Seq[Long]): Seq[String] =
+    ks.map(dataDir(root, _)).filter(Fs.isDirectory(_))
+  private def existingDvDirs(root: String, ks: Seq[Long]): Seq[String] =
+    ks.map(dvDir(root, _)).filter(Fs.isDirectory(_))
+
+  /** Create the table: the initial snapshot becomes commit 0. */
+  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+    require(committedIds(root).isEmpty,
+      s"txtable: $root already has commits — use append/upsert")
+    val k = nextId(root)
+    df.write.mode("overwrite").parquet(dataDir(root, k))
+    Fs.createMarker(marker(root, k), dataDir(root, k))
+    k
+  }
+
+  /** Blind append (no keys touched): one data dir, one marker. */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val k = nextId(root)
+    df.write.mode("overwrite").parquet(dataDir(root, k))
+    Fs.createMarker(marker(root, k), dataDir(root, k))
+    k
+  }
+
+  /** The live snapshot at the latest commit. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAt(spark, root, Long.MaxValue)
+
+  /** Time travel: the snapshot as of commit `asOf` — commits after it,
+    * their adds AND their deletes, do not exist for this reader. */
+  def readAt(spark: SparkSession, root: String, asOf: Long): DataFrame = {
+    val ks = committedIds(root).filter(_ <= asOf)
+    require(ks.nonEmpty, s"txtable: no commits ≤ $asOf under $root")
+    val data = existingDataDirs(root, ks)
+    require(data.nonEmpty, s"txtable: no data dirs among commits ≤ $asOf")
+    DeleteVectors.applyVectors(
+      DeleteVectors.scanWithRowId(spark, data),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks)))
+  }
+
+  /**
+   * Merge-on-read MERGE of one CDC batch, committed atomically:
+   * latest `versionCol` per `keys` wins inside the batch; every LIVE
+   * row whose key appears in the batch is marked dead (deletion
+   * vectors under this commit's id); winners whose `opCol` is not
+   * "d" are appended as this commit's data dir; the marker lands
+   * last. Returns the commit id. A crash before the marker leaves
+   * the snapshot byte-identical.
+   */
+  def upsert(spark: SparkSession, root: String, batch: DataFrame,
+      keys: Seq[String], versionCol: String,
+      opCol: Option[String] = None): Long = {
+    require(keys.nonEmpty, "txtable.upsert needs key columns")
+    val k = nextId(root)
+    val ks = committedIds(root)
+    require(ks.nonEmpty, s"txtable: create $root before upserting")
+
+    // batch-internal winner per key: latest version, tombstones eligible
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    val winners = batch
+      .withColumn("__tx_rn", row_number().over(w))
+      .filter(col("__tx_rn") === 1).drop("__tx_rn")
+
+    // mark every live row for a batch key dead — one snapshot scan,
+    // key semi-join against the (small, broadcast) batch key set
+    val touched = winners.select(keys.map(col): _*).distinct()
+    val base = DeleteVectors.scanWithRowId(spark,
+      existingDataDirs(root, ks))
+    val live = base.join(
+      broadcast(DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks))),
+      base("__dv_file") === col("__dv_fp"), "left")
+      .filter(!DeleteVectors.isDeleted(col("__dv_map"), col("__dv_row")))
+    val hits = live.join(broadcast(touched), keys, "left_semi")
+      .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+    val vectors = DeleteVectors.buildVectors(hits)
+    vectors.write.mode("overwrite").parquet(dvDir(root, k))
+    val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
+      f.getPath.getName.endsWith(".parquet") && f.getLen > 0
+    } || spark.read.parquet(dvDir(root, k)).isEmpty
+    if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+
+    // append the surviving winners (tombstones drop their key)
+    val adds = opCol.map(c => winners.filter(col(c) =!= "d").drop(c))
+      .getOrElse(winners)
+    val anyAdds = !adds.isEmpty
+    if (anyAdds) adds.write.mode("overwrite").parquet(dataDir(root, k))
+
+    if (dvEmpty && !anyAdds) k // empty batch: nothing to commit
+    else { Fs.createMarker(marker(root, k), dataDir(root, k)); k }
+  }
+
+  /** Sweep crashed-writer leftovers: data/DV dirs whose id has no
+    * marker AND is below the newest committed id (an id above it may
+    * be an in-flight writer — never touched, the generation-vacuum
+    * rule). Returns the paths removed. */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val committed = committedIds(root).toSet
+    val tip = if (committed.isEmpty) -1L else committed.max
+    def sweep(dir: String, prefix: String, path: Long => String): Seq[String] =
+      if (!Fs.isDirectory(dir)) Seq.empty
+      else Fs.listDirs(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit))
+        .map(_.drop(prefix.length).toLong)
+        .filter(id => !committed.contains(id) && id < tip)
+        .map { id =>
+          val p = path(id)
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(p)); p
+        }
+    sweep(s"$root/data", "c", dataDir(root, _)) ++
+      sweep(s"$root/_txn/dv", "", dvDir(root, _))
+  }
+}

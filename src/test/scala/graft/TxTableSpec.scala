@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.{Fs, ParquetIO, TxTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Transactional merge-on-read table (round 16): create-once commit
+ * markers gate adds AND deletes atomically; upsert == copy-on-write
+ * MERGE semantics (engine-vs-engine parity with ParquetIO.upsert);
+ * time travel; crashed commits invisible and vacuumable.
+ */
+class TxTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-tx").toString
+
+  private def base(n: Int = 1000) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"name$i", 100.0 + i, 0L))
+      .toDF("id", "name", "price", "version")
+  }
+
+  test("create + read round-trips the initial snapshot") {
+    val t = tmp() + "/t"
+    assert(TxTable.create(spark, t, base()) === 0L)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 1000L)
+    assert(got.columns.toSeq === Seq("id", "name", "price", "version"))
+    assert(TxTable.committedIds(t) === Seq(0L))
+  }
+
+  test("upsert == ParquetIO.upsert on the same CDC batch (u/i/d, latest-wins)") {
+    import spark.implicits._
+    val dir = tmp()
+    val b = base()
+    b.write.parquet(s"$dir/base")
+    // updates for %10==0, inserts under negated keys, tombstones %10==5,
+    // plus an in-batch version race on id 40 (v2 must beat v1)
+    val upd = b.filter(col("id") % 10 === 0)
+      .withColumn("price", col("price") + 1000.0)
+      .withColumn("version", lit(1L)).withColumn("op", lit("u"))
+      .unionByName(b.filter(col("id") % 10 === 1)
+        .withColumn("id", -col("id") - 1L)
+        .withColumn("version", lit(1L)).withColumn("op", lit("u")))
+      .unionByName(b.filter(col("id") % 10 === 5)
+        .withColumn("version", lit(1L)).withColumn("op", lit("d")))
+      .unionByName(Seq((40L, "name40", 9999.0, 2L, "u"))
+        .toDF("id", "name", "price", "version", "op"))
+    upd.write.parquet(s"$dir/upd")
+
+    val t = s"$dir/t"
+    TxTable.create(spark, t, b)
+    TxTable.upsert(spark, t, spark.read.parquet(s"$dir/upd"),
+      Seq("id"), "version", opCol = Some("op"))
+
+    ParquetIO.upsert(spark, Seq(s"$dir/base"), Seq(s"$dir/upd"),
+      s"$dir/cow", Seq("id"), "version", targetFileBytes = 256L * 1024,
+      opCol = Some("op"))
+    val cow = spark.read.parquet(s"$dir/cow")
+      .select("id", "name", "price", "version").orderBy("id").collect().toSeq
+    val mor = TxTable.read(spark, t)
+      .select("id", "name", "price", "version").orderBy("id").collect().toSeq
+    assert(mor === cow, "merge-on-read snapshot must equal the copy-on-write MERGE")
+    // and the in-batch race really resolved to v2
+    assert(TxTable.read(spark, t).filter(col("id") === 40L)
+      .head.getDouble(2) === 9999.0)
+  }
+
+  test("a later upsert kills rows added by an earlier one") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    TxTable.upsert(spark, t,
+      Seq((7L, "name7", 1111.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    TxTable.upsert(spark, t,
+      Seq((7L, "name7", 2222.0, 2L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 100L)
+    assert(got.filter(col("id") === 7L).collect().map(_.getDouble(2)).toSeq
+      === Seq(2222.0))
+  }
+
+  test("time travel: a later commit's adds AND deletes vanish together") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                       // c0
+    TxTable.upsert(spark, t,
+      Seq((3L, "name3", 7777.0, 1L, "u"), (4L, "x", 0.0, 1L, "d"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))               // c1
+    val at0 = TxTable.readAt(spark, t, 0L)
+    assert(at0.count() === 100L)
+    assert(at0.filter(col("id") === 3L).head.getDouble(2) === 103.0)
+    assert(at0.filter(col("id") === 4L).count() === 1L, "pre-delete row visible at c0")
+    val now = TxTable.read(spark, t)
+    assert(now.count() === 99L)
+    assert(now.filter(col("id") === 3L).head.getDouble(2) === 7777.0)
+  }
+
+  test("uncommitted commit is invisible; vacuum sweeps it once superseded") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    val k = TxTable.upsert(spark, t,
+      Seq((5L, "name5", 5555.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    // simulate a crash BEFORE the marker: remove the commit bit
+    Fs.deleteIfExists(s"$t/_txn/commits/c$k")
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 100L)
+    assert(got.filter(col("id") === 5L).head.getDouble(2) === 105.0,
+      "an unmarked commit's adds AND deletes must both be invisible")
+    // a newer commit supersedes the crashed id → vacuum may sweep it
+    TxTable.append(spark, t,
+      Seq((1000L, "new", 1.0, 0L)).toDF("id", "name", "price", "version"))
+    val swept = TxTable.vacuum(spark, t)
+    assert(swept.exists(_.endsWith(s"/data/c$k")) &&
+      swept.exists(_.endsWith(s"/_txn/dv/$k")))
+    assert(!Fs.isDirectory(s"$t/data/c$k") && !Fs.isDirectory(s"$t/_txn/dv/$k"))
+    assert(TxTable.read(spark, t).count() === 101L)
+    // and the crashed id was never reused
+    assert(!TxTable.committedIds(t).contains(k))
+  }
+
+  test("insert-only and delete-only batches commit cleanly") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(50))
+    TxTable.upsert(spark, t,
+      Seq((900L, "ins", 9.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                   // pure insert
+    assert(TxTable.read(spark, t).count() === 51L)
+    TxTable.upsert(spark, t,
+      Seq((900L, "ins", 9.0, 2L, "d")).toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))               // pure delete
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 50L)
+    assert(got.filter(col("id") === 900L).count() === 0L)
+  }
+}
