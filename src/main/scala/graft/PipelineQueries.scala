@@ -1488,6 +1488,45 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_mor_checkpoint" -> ((s, dir) => {
+      // log checkpoint + history expiry UNDER the oracle (round 16):
+      // create → reprice batch (v1) → checkpoint → EXPIRE (collapses
+      // commits below the checkpoint) → tombstone+insert batch (v2) →
+      // read. The final snapshot must equal the plain reconstruction,
+      // proving the fold wrote exactly the live rows, expiry deleted
+      // only superseded history, and the post-checkpoint tail composes
+      // — the read plan is checkpoint + one tail commit regardless of
+      // how many commits preceded the fold, which is what bounds a
+      // long-lived CDC table's read at 100 TB (TxTableSpec pins the
+      // inputFiles claim directly).
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "morckpt")
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val t = s"$tmp/t"
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      TxTable.checkpoint(s, t)
+      TxTable.expire(s, t)
+      val b2 = orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+        .withColumn("op", lit("u"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("op", lit("d")))
+        .withColumn("version", lit(2L))
+      TxTable.upsert(s, t, b2, Seq("o_orderkey"), "version",
+        opCol = Some("op"))
+      TxTable.read(s, t)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // merge-on-read deletes (round 16): orders lands as an 8-file
       // table; two delete batches mark rows WITHOUT rewriting any data
@@ -3297,6 +3336,22 @@ object PipelineQueries {
            FROM orders WHERE o_orderkey % 10 <> 5
            UNION ALL
            SELECT -o_orderkey - 1, o_custkey, o_totalprice, 1
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
+    // checkpoint+expire must be invisible to the final state: reprices at
+    // v1 (folded into the checkpoint), tombstones drop, inserts land at v2
+    "q_mor_checkpoint" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 2
            FROM orders WHERE o_orderkey % 10 = 1)
          SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,

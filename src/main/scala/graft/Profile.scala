@@ -37,7 +37,8 @@ object Profile {
     "listing" -> (ProfileListing.run _, "partition-listing wall at >=10^4 dirs: driver loop vs distributed (args: nDirs nFiles)"),
     "bpe8k" -> (ProfileBpe8k.run _, "tokenizer-scale BPE: learn+encode at >=8k rules, native-vs-fold parity (args: numMerges)"),
     "delvec" -> (ProfileDeleteVectors.run _, "merge-on-read deletes at 100x: mark/read/fold walls vs copy-on-write rewrite"),
-    "manifest" -> (ProfileStatsManifest.run _, "stats-manifest skipping at 2048 files: build/prune/refresh walls, bloom point lookup at 256 files"))
+    "manifest" -> (ProfileStatsManifest.run _, "stats-manifest skipping at 2048 files: build/prune/refresh walls, bloom point lookup at 256 files"),
+    "txtable" -> (ProfileTxTable.run _, "transactional MOR merge vs copy-on-write at 100x: upsert/read/checkpoint walls + write volumes"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

@@ -28,12 +28,16 @@ import scala.jdk.CollectionConverters._
  * single (file, word, mask) triple, regardless of how many rows die in
  * one file; the per-file map assembly aggregates ≤ rows/64 entries.
  *
- * Scan-time application is a broadcast LEFT join on file path + an O(1)
- * per-row bit test (`try_element_at` on the map, shift, mask — all
- * codegen'd builtins; no UDF touches the 100 TB side). The DV relation
- * has one row per file WITH deletes — bounded by file count, not table
- * rows — which is exactly the shape `broadcast()` is for. Rows whose
- * file carries no vector pass through the join null-armed and are kept.
+ * Scan-time application is a broadcast HASH join on (file path,
+ * word = row_index/64) + an O(1) bit test (shift, mask — codegen'd
+ * builtins; no UDF touches the 100 TB side). The on-disk map explodes
+ * to (file, word, mask) ROWS at fold time precisely so the probe is a
+ * hash lookup: Spark's map `element_at` is a LINEAR scan of the map,
+ * which degrades with kills-per-file (measured 0.8 s → 31.9 s on a
+ * 2-file/15 k-kill layout — SCALE.md round-16 txtable). The DV
+ * relation is bounded by dead-rows/64, which is exactly the shape
+ * `broadcast()` is for. Rows whose (file, word) carries no vector row
+ * pass through the join null-armed and are kept.
  *
  * Epoch layout under `<table>/_deletes/epoch=<k>/` with the repo's
  * create-once commit markers (`_deletes/_commits/epoch<k>`): a crashed
@@ -89,11 +93,21 @@ object DeleteVectors {
         col("_metadata.row_index").as("__dv_row"))
 
   /** Apply a folded DV relation to a row-identified scan: broadcast
-    * left join + the O(1) bit test, identity columns dropped. */
+    * HASH join on (file, word = row/64) — an O(1) probe per scanned
+    * row, never a per-file map scan — then the bit test. Identity
+    * columns kept for callers that still need them. */
+  private[sources] def applyVectorsKeepId(base: DataFrame,
+      dv: DataFrame): DataFrame =
+    base.join(broadcast(dv),
+      base("__dv_file") === dv("__dv_fp") &&
+        shiftright(base("__dv_row"), 6) === dv("__dv_word"), "left")
+      .filter(!isDeleted(col("__dv_mask"), col("__dv_row")))
+      .drop("__dv_fp", "__dv_word", "__dv_mask")
+
+  /** [[applyVectorsKeepId]] with the row identity dropped — the
+    * reader-facing shape. */
   private[sources] def applyVectors(base: DataFrame, dv: DataFrame): DataFrame =
-    base.join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
-      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
-      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map")
+    applyVectorsKeepId(base, dv).drop("__dv_file", "__dv_row")
 
   /** Distributed bitmap assembly from (file_path, ri) hit rows —
     * (file, word = ri/64) first so no single aggregation row ever holds
@@ -109,9 +123,10 @@ object DeleteVectors {
         .as("dv"),
         sum(col("n")).as("n_deleted"))
 
-  /** Merged DV state: (file_path, dv map<word,mask>) — committed epochs
-    * OR-folded per file. Empty (schema-stable) when no epoch exists.
-    * Tiny by construction: one row per file with deletes. */
+  /** Merged DV state: (__dv_fp, __dv_word, __dv_mask) rows — committed
+    * epochs OR-folded per (file, 64-row word). Empty (schema-stable)
+    * when no epoch exists. Tiny by construction: bounded by dead-rows
+    * (≤ one row per 64 dead rows per file). */
   def deletionVectors(spark: SparkSession, table: String): DataFrame =
     foldEpochs(spark, table, committedEpochs(table))
 
@@ -123,9 +138,15 @@ object DeleteVectors {
     foldDvDirs(spark, epochs.map(epochDir(table, _)))
 
   /** OR-fold arbitrary DV sidecar dirs (each written by
-    * [[buildVectors]]'s shape) into per-file maps — shared with
-    * [[TxTable]], whose vectors live under its commit log rather than
-    * `_deletes` epochs. */
+    * [[buildVectors]]'s shape) into (file, word, mask) ROWS — shared
+    * with [[TxTable]], whose vectors live under its commit log rather
+    * than `_deletes` epochs. Rows, not per-file maps, deliberately:
+    * application is then a broadcast HASH join on (file, word) — O(1)
+    * per scanned row — where a per-file `map<word, mask>` probe is a
+    * LINEAR scan of the map under Spark's `element_at` and degrades
+    * with kills-per-file (measured: a post-checkpoint read over 2
+    * files carrying 15 k kills each went 0.8 s → 31.9 s on the map
+    * representation — SCALE.md round-16 txtable). */
   private[sources] def foldDvDirs(spark: SparkSession,
       dirs: Seq[String]): DataFrame = {
     if (dirs.isEmpty) {
@@ -134,32 +155,31 @@ object DeleteVectors {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("__dv_fp",
             org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("__dv_map",
-            org.apache.spark.sql.types.MapType(
-              org.apache.spark.sql.types.LongType,
-              org.apache.spark.sql.types.LongType)))))
+          org.apache.spark.sql.types.StructField("__dv_word",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__dv_mask",
+            org.apache.spark.sql.types.LongType))))
     } else {
       spark.read.parquet(dirs: _*)
         .select(col("file_path"), explode(col("dv")).as(Seq("word", "mask")))
         .groupBy("file_path", "word")
-        .agg(bit_or(col("mask")).as("mask"))
-        .groupBy("file_path")
-        .agg(map_from_entries(collect_list(struct(col("word"), col("mask"))))
-          .as("__dv_map"))
+        .agg(bit_or(col("mask")).as("__dv_mask"))
         .withColumnRenamed("file_path", "__dv_fp")
+        .withColumnRenamed("word", "__dv_word")
     }
   }
 
-  /** Is the row at (`rowCol`) dead under map column `dvCol`? Pure
-    * builtin arithmetic — O(1) per row, codegen'd, null-safe for rows
-    * whose file has no vector (left-join miss ⇒ dv null ⇒ alive). */
-  private[sources] def isDeleted(dvCol: Column, rowCol: Column): Column = {
-    val mask = coalesce(
-      try_element_at(dvCol, shiftright(rowCol, 6)), lit(0L))
-    // shiftleft with a column amount has no functions-API overload; the
-    // Catalyst node accepts expressions, so go through expr-built shift
-    shiftright(mask, (rowCol % 64).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-  }
+  /** Is the row at (`rowCol`) dead under the joined word-mask column?
+    * Pure builtin arithmetic — O(1) per row, codegen'd, null-safe for
+    * rows whose (file, word) has no vector row (left-join miss ⇒ mask
+    * null ⇒ alive). The word-alignment (mask is FOR rowCol's word) is
+    * the join condition's job — see [[applyVectors]]. */
+  private[sources] def isDeleted(maskCol: Column, rowCol: Column): Column =
+    // shiftleft/right with a column amount has no functions-API
+    // overload; the Catalyst node accepts expressions, so go through
+    // the SQL-function form of the shift
+    shiftright(coalesce(maskCol, lit(0L)), (rowCol % 64).cast("int"))
+      .bitwiseAND(lit(1L)) === lit(1L)
 
   // functions.shiftright(Column, Int) can't take a column amount either;
   // build the dynamic-shift via the SQL function which can
@@ -201,11 +221,8 @@ object DeleteVectors {
    */
   def deleteWhere(spark: SparkSession, table: String,
       predicate: Column): Long = {
-    val dv = deletionVectors(spark, table)
-    val base = scanWithRowId(spark, table)
-    val hits = base
-      .join(broadcast(dv), base("__dv_file") === dv("__dv_fp"), "left")
-      .filter(!isDeleted(col("__dv_map"), col("__dv_row")))
+    val hits = applyVectorsKeepId(
+        scanWithRowId(spark, table), deletionVectors(spark, table))
       .filter(predicate)
       .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
     val vectors = buildVectors(hits)
@@ -234,8 +251,7 @@ object DeleteVectors {
     val epochs = committedEpochs(table)
     if (epochs.isEmpty) 0L
     else deletionVectors(spark, table)
-      .select(explode(col("__dv_map")).as(Seq("w", "m")))
-      .agg(coalesce(sum(bit_count(col("m"))), lit(0L)).cast("long"))
+      .agg(coalesce(sum(bit_count(col("__dv_mask"))), lit(0L)).cast("long"))
       .head().getLong(0)
   }
 
@@ -267,18 +283,24 @@ object DeleteVectors {
     val dvNew = foldEpochs(spark, table, newer)
     val dvOld = foldEpochs(spark, table, epochs.filter(_ < fromEpoch))
       .withColumnRenamed("__dv_fp", "__dv_fp_old")
-      .withColumnRenamed("__dv_map", "__dv_map_old")
-    val files = dvNew.select("__dv_fp")
+      .withColumnRenamed("__dv_word", "__dv_word_old")
+      .withColumnRenamed("__dv_mask", "__dv_mask_old")
+    val files = dvNew.select("__dv_fp").distinct()
       .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq.sorted
     val base = scanWithRowId(spark, files)
     base
-      .join(broadcast(dvNew), base("__dv_file") === dvNew("__dv_fp"))
-      .join(broadcast(dvOld), base("__dv_file") === dvOld("__dv_fp_old"),
+      // inner: only words carrying NEW kills can contribute changes
+      .join(broadcast(dvNew),
+        base("__dv_file") === dvNew("__dv_fp") &&
+          shiftright(base("__dv_row"), 6) === dvNew("__dv_word"))
+      .join(broadcast(dvOld),
+        base("__dv_file") === dvOld("__dv_fp_old") &&
+          shiftright(base("__dv_row"), 6) === dvOld("__dv_word_old"),
         "left")
-      .filter(isDeleted(col("__dv_map"), col("__dv_row")) &&
-        !isDeleted(col("__dv_map_old"), col("__dv_row")))
-      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_map",
-        "__dv_fp_old", "__dv_map_old")
+      .filter(isDeleted(col("__dv_mask"), col("__dv_row")) &&
+        !isDeleted(col("__dv_mask_old"), col("__dv_row")))
+      .drop("__dv_file", "__dv_row", "__dv_fp", "__dv_word", "__dv_mask",
+        "__dv_fp_old", "__dv_word_old", "__dv_mask_old")
   }
 
   /** Dead fraction of the table — the [[rewriteDeleted]] trigger.

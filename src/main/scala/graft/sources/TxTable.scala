@@ -54,16 +54,27 @@ object TxTable {
   private def dataDir(root: String, k: Long) = s"$root/data/c$k"
   private def dvDir(root: String, k: Long) = s"$root/_txn/dv/$k"
   private def commitsDir(root: String) = s"$root/_txn/commits"
+  private def checkpointsDir(root: String) = s"$root/_txn/checkpoints"
   private def marker(root: String, k: Long) = s"${commitsDir(root)}/c$k"
 
-  /** Committed ids, ascending — one listing of the commits dir. */
-  def committedIds(root: String): Seq[Long] = {
-    if (!Fs.isDirectory(commitsDir(root))) return Seq.empty
-    Fs.listFiles(commitsDir(root))
+  private def markerIds(dir: String): Seq[Long] = {
+    if (!Fs.isDirectory(dir)) return Seq.empty
+    Fs.listFiles(dir)
       .map(_.getPath.getName)
       .filter(_.matches("c\\d+"))
       .map(_.stripPrefix("c").toLong)
       .sorted
+  }
+
+  /** Committed ids, ascending — one listing of the commits dir. */
+  def committedIds(root: String): Seq[Long] = markerIds(commitsDir(root))
+
+  /** Committed CHECKPOINT ids: both the checkpoint marker and the
+    * commit marker exist (a checkpoint marker alone is a crashed
+    * writer's leftover and resolves to nothing). */
+  def checkpointIds(root: String): Seq[Long] = {
+    val committed = committedIds(root).toSet
+    markerIds(checkpointsDir(root)).filter(committed.contains)
   }
 
   /** Next free id: past every id any directory or marker has touched,
@@ -107,10 +118,16 @@ object TxTable {
     readAt(spark, root, Long.MaxValue)
 
   /** Time travel: the snapshot as of commit `asOf` — commits after it,
-    * their adds AND their deletes, do not exist for this reader. */
+    * their adds AND their deletes, do not exist for this reader.
+    * Resolution starts from the newest committed CHECKPOINT ≤ `asOf`
+    * (the checkpoint's data dir IS the folded history before it), so a
+    * long-lived table's read plan covers checkpoint + tail, not every
+    * commit ever made. */
   def readAt(spark: SparkSession, root: String, asOf: Long): DataFrame = {
-    val ks = committedIds(root).filter(_ <= asOf)
-    require(ks.nonEmpty, s"txtable: no commits ≤ $asOf under $root")
+    val all = committedIds(root).filter(_ <= asOf)
+    require(all.nonEmpty, s"txtable: no commits ≤ $asOf under $root")
+    val base = checkpointIds(root).filter(_ <= asOf).lastOption
+    val ks = base.map(b => all.filter(_ >= b)).getOrElse(all)
     val data = existingDataDirs(root, ks)
     require(data.nonEmpty, s"txtable: no data dirs among commits ≤ $asOf")
     DeleteVectors.applyVectors(
@@ -145,12 +162,13 @@ object TxTable {
     // mark every live row for a batch key dead — one snapshot scan,
     // key semi-join against the (small, broadcast) batch key set
     val touched = winners.select(keys.map(col): _*).distinct()
-    val base = DeleteVectors.scanWithRowId(spark,
-      existingDataDirs(root, ks))
-    val live = base.join(
-      broadcast(DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks))),
-      base("__dv_file") === col("__dv_fp"), "left")
-      .filter(!DeleteVectors.isDeleted(col("__dv_map"), col("__dv_row")))
+    // resolve from the newest checkpoint like every reader — commits
+    // it superseded contribute nothing live
+    val base0 = checkpointIds(root).lastOption
+    val rks = base0.map(b => ks.filter(_ >= b)).getOrElse(ks)
+    val live = DeleteVectors.applyVectorsKeepId(
+      DeleteVectors.scanWithRowId(spark, existingDataDirs(root, rks)),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
     val hits = live.join(broadcast(touched), keys, "left_semi")
       .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
     val vectors = DeleteVectors.buildVectors(hits)
@@ -170,6 +188,56 @@ object TxTable {
     else { Fs.createMarker(marker(root, k), dataDir(root, k)); k }
   }
 
+  /**
+   * Fold the log: write the CURRENT live snapshot as one clean commit
+   * and mark it a checkpoint — readers at or past it resolve
+   * checkpoint + tail instead of every commit since creation, which
+   * bounds both the read plan and the DV fold of a long-lived CDC
+   * table (the same small-files pressure
+   * `compactFragmentedPartitions` exists for, answered in-log).
+   * Ordering: data dir, then the checkpoint marker, then the COMMIT
+   * marker — a crash leaves either invisible dirs or a
+   * checkpoint-marker-without-commit, which [[checkpointIds]] ignores
+   * and [[vacuum]] sweeps. History BEFORE the checkpoint stays
+   * readable ([[readAt]]) until [[expire]] collapses it.
+   */
+  def checkpoint(spark: SparkSession, root: String,
+      targetFileBytes: Long = 512L * 1024 * 1024): Long = {
+    val k = nextId(root)
+    val live = read(spark, root)
+    val bytes = ParquetIO.inputBytes(spark,
+      existingDataDirs(root, committedIds(root)))
+    val parts = math.max(1L, bytes / math.max(1L, targetFileBytes)).toInt
+    live.repartition(parts).write.mode("overwrite").parquet(dataDir(root, k))
+    Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k))
+    Fs.createMarker(marker(root, k), dataDir(root, k))
+    k
+  }
+
+  /**
+   * Collapse history below the newest committed checkpoint: delete the
+   * data dirs, DV dirs, and markers of every commit strictly older.
+   * The live snapshot is untouched (it resolves from the checkpoint
+   * forward); time travel BELOW the checkpoint fails loudly afterwards
+   * — the caller is trading history for storage, the generation-
+   * retention contract. No-op without a committed checkpoint.
+   */
+  def expire(spark: SparkSession, root: String): Seq[Long] =
+    checkpointIds(root).lastOption match {
+      case None => Seq.empty
+      case Some(cp) =>
+        committedIds(root).filter(_ < cp).map { id =>
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, id)))
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, id)))
+          // the marker goes LAST: a crash mid-expire leaves a committed
+          // id with missing dirs only below the checkpoint, where no
+          // reader resolves data from anyway
+          Fs.deleteIfExists(marker(root, id))
+          Fs.deleteIfExists(s"${checkpointsDir(root)}/c$id")
+          id
+        }
+    }
+
   /** Sweep crashed-writer leftovers: data/DV dirs whose id has no
     * marker AND is below the newest committed id (an id above it may
     * be an in-flight writer — never touched, the generation-vacuum
@@ -187,7 +255,14 @@ object TxTable {
           val p = path(id)
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(p)); p
         }
+    // a crashed checkpoint's marker-without-commit is litter too
+    val strayCps = markerIds(checkpointsDir(root))
+      .filter(id => !committed.contains(id) && id < tip)
+      .map { id =>
+        val p = s"${checkpointsDir(root)}/c$id"
+        Fs.deleteIfExists(p); p
+      }
     sweep(s"$root/data", "c", dataDir(root, _)) ++
-      sweep(s"$root/_txn/dv", "", dvDir(root, _))
+      sweep(s"$root/_txn/dv", "", dvDir(root, _)) ++ strayCps
   }
 }

@@ -139,6 +139,55 @@ class HostileFsSpec extends AnyFunSuite {
       .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("gen1"))
   }
 
+  test("TxTable's full lifecycle runs rename-free on the hostile scheme") {
+    import graft.sources.TxTable
+    val root = hostileDir("graft-hostile-tx") + "/t"
+    val before = HostileFileSystem.deniedRenames.get()
+    TxTable.create(spark, root,
+      (0L until 100L).map(i => (i, 100.0 + i, 0L)).toDF("id", "price", "version"))
+    TxTable.upsert(spark, root,
+      Seq((7L, 7777.0, 1L)).toDF("id", "price", "version"),
+      Seq("id"), "version")
+    TxTable.checkpoint(spark, root)
+    TxTable.expire(spark, root)
+    TxTable.upsert(spark, root,
+      Seq((8L, 0.0, 2L, "d")).toDF("id", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    val got = TxTable.read(spark, root)
+    assert(got.count() == 99)
+    assert(got.filter(col("id") === 7L).head.getDouble(1) == 7777.0)
+    assert(TxTable.vacuum(spark, root).isEmpty)
+    assert(HostileFileSystem.deniedRenames.get() == before,
+      "the TxTable layer attempted a rename — broken on object stores")
+  }
+
+  test("a stale TxTable commit listing yields the OLD snapshot; vacuum stays conservative") {
+    import graft.sources.TxTable
+    val root = hostileDir("graft-hostile-txstale") + "/t"
+    TxTable.create(spark, root,
+      (0L until 50L).map(i => (i, 100.0 + i, 0L)).toDF("id", "price", "version"))
+    // a reader's view of _txn/commits freezes BEFORE the next commit
+    HostileFileSystem.freeze(s"$root/_txn/commits")
+    try {
+      val k = TxTable.upsert(spark, root,
+        Seq((3L, 3333.0, 1L)).toDF("id", "price", "version"),
+        Seq("id"), "version")
+      // stale listing ⇒ the reader resolves the PREVIOUS snapshot —
+      // consistent, never an error, never a half-commit
+      val stale = TxTable.read(spark, root)
+      assert(stale.count() == 50)
+      assert(stale.filter(col("id") === 3L).head.getDouble(1) == 103.0)
+      // and vacuum under the stale view must not eat the fresh commit
+      // (its id is NOT below the stale tip — the id<tip bound holds)
+      val swept = TxTable.vacuum(spark, root)
+      assert(!swept.exists(_.endsWith(s"/data/c$k")),
+        "stale-listing vacuum destroyed a committed-but-unseen commit")
+    } finally HostileFileSystem.thaw(s"$root/_txn/commits")
+    // fresh listing: the commit is simply there
+    val fresh = TxTable.read(spark, root)
+    assert(fresh.filter(col("id") === 3L).head.getDouble(1) == 3333.0)
+  }
+
   test("legacy migration and time travel run rename-free on the hostile scheme") {
     val table = hostileDir("graft-hostile-legacy") + "/table"
     for (g <- 0 to 2)

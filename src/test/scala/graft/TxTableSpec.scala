@@ -126,6 +126,75 @@ class TxTableSpec extends AnyFunSuite {
     assert(!TxTable.committedIds(t).contains(k))
   }
 
+  test("checkpoint folds the log; reads resolve checkpoint + tail only") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                                  // c0
+    TxTable.upsert(spark, t,
+      Seq((1L, "name1", 1111.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                              // c1
+    TxTable.upsert(spark, t,
+      Seq((2L, "name2", 2222.0, 1L, "u"), (3L, "x", 0.0, 1L, "d"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))                          // c2
+    val cp = TxTable.checkpoint(spark, t)                                // c3
+    TxTable.upsert(spark, t,
+      Seq((5L, "name5", 5555.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                              // c4
+    assert(TxTable.checkpointIds(t) === Seq(cp))
+    val now = TxTable.read(spark, t)
+    assert(now.count() === 99L)
+    assert(now.filter(col("id") === 1L).head.getDouble(2) === 1111.0)
+    assert(now.filter(col("id") === 5L).head.getDouble(2) === 5555.0)
+    // the read PLAN touches only checkpoint + tail data files (the DV
+    // sidecar scan also appears in inputFiles — not a data dir)
+    val dataInputs = now.inputFiles.filter(_.contains("/data/"))
+    assert(dataInputs.nonEmpty && dataInputs.forall(f =>
+      f.contains(s"/data/c$cp/") || f.contains(s"/data/c${cp + 1}/")),
+      s"read must resolve from the checkpoint forward:\n${dataInputs.mkString("\n")}")
+    // history below the checkpoint still time-travels before expire
+    val at1 = TxTable.readAt(spark, t, 1L)
+    assert(at1.count() === 100L)
+    assert(at1.filter(col("id") === 2L).head.getDouble(2) === 102.0)
+  }
+
+  test("expire collapses history below the checkpoint; live snapshot intact") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                                  // c0
+    TxTable.upsert(spark, t,
+      Seq((9L, "name9", 9999.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                              // c1
+    val cp = TxTable.checkpoint(spark, t)                                // c2
+    val before = TxTable.read(spark, t).orderBy("id").collect().toSeq
+    val expired = TxTable.expire(spark, t)
+    assert(expired === Seq(0L, 1L))
+    assert(TxTable.read(spark, t).orderBy("id").collect().toSeq === before)
+    assert(!Fs.isDirectory(s"$t/data/c0") && !Fs.isDirectory(s"$t/data/c1"))
+    assert(TxTable.committedIds(t).head === cp)
+    intercept[IllegalArgumentException](TxTable.readAt(spark, t, 1L))
+    // idempotent: nothing further to expire
+    assert(TxTable.expire(spark, t) === Seq.empty)
+  }
+
+  test("a crashed checkpoint resolves to nothing and vacuums away") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(50))                                   // c0
+    val k = TxTable.checkpoint(spark, t)                                 // c1
+    // crash AFTER the checkpoint marker but BEFORE the commit marker
+    Fs.deleteIfExists(s"$t/_txn/commits/c$k")
+    assert(TxTable.checkpointIds(t).isEmpty,
+      "a checkpoint marker without its commit marker must resolve to nothing")
+    assert(TxTable.read(spark, t).count() === 50L)
+    TxTable.append(spark, t,
+      Seq((500L, "new", 1.0, 0L)).toDF("id", "name", "price", "version")) // tip
+    val swept = TxTable.vacuum(spark, t)
+    assert(swept.exists(_.endsWith(s"/data/c$k")))
+    assert(swept.exists(_.endsWith(s"/_txn/checkpoints/c$k")))
+    assert(TxTable.read(spark, t).count() === 51L)
+  }
+
   test("insert-only and delete-only batches commit cleanly") {
     import spark.implicits._
     val t = tmp() + "/t"
