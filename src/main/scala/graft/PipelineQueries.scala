@@ -1527,6 +1527,43 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_tx_skip" -> ((s, dir) => {
+      // file skipping ON the transactional table (round 16): sorted
+      // create → tombstone batch (v1) → buildManifest → reprice batch
+      // (v2, files the now-STALE manifest has never seen) →
+      // readSkipping. The file universe is the COMMIT LOG's resolution
+      // set, never the manifest's own list, so the post-manifest
+      // commit's files are conservatively kept — a stale manifest
+      // costs performance, never correctness. The oracle's sum_version
+      // column would expose dropped v2 files; its row count would
+      // expose unapplied deletes.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txskip")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("op", lit("d")).withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      TxTable.buildManifest(s, t, Seq("o_orderkey"))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(2L)),
+        Seq("o_orderkey"), "version")
+      TxTable.readSkipping(s, t, "o_orderkey", 1000L, 5000L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("version")).as("sum_version"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // merge-on-read deletes (round 16): orders lands as an 8-file
       // table; two delete batches mark rows WITHOUT rewriting any data
@@ -3324,6 +3361,22 @@ object PipelineQueries {
            MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          FROM orders
          WHERE o_orderkey BETWEEN 300 AND 900
+         GROUP BY 1 ORDER BY 1""",
+    // a repriced key (%10=0) returns at v2 even if tombstoned (%7=0);
+    // sum_version exposes dropped post-manifest files, n exposes
+    // unapplied deletes
+    "q_tx_skip" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 0 END AS version
+           FROM orders
+           WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 <> 0)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(version) AS BIGINT) AS sum_version
+         FROM survivors WHERE o_orderkey BETWEEN 1000 AND 5000
          GROUP BY 1 ORDER BY 1""",
     // same reconstruction as q_upsert_delete: MERGE semantics must survive
     // the copy-on-write -> merge-on-read representation change

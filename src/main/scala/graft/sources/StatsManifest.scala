@@ -147,8 +147,10 @@ object StatsManifest {
         !new org.apache.hadoop.fs.Path(p).getName.startsWith("_"))
 
   /** The distributed footer pass: files fan out, each task reads only
-    * footers and emits (file, column) stats rows. */
-  private def statsFor(spark: SparkSession, files: Seq[String],
+    * footers and emits (file, column) stats rows. Shared with
+    * [[TxTable.buildManifest]], whose manifest covers the commit log's
+    * resolution set rather than a directory listing. */
+  private[sources] def statsFor(spark: SparkSession, files: Seq[String],
       cols: Seq[String]): DataFrame = {
     val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val colSet = cols.toSet
@@ -230,10 +232,13 @@ object StatsManifest {
    * stats row for the column is kept. Literal type picks the stats
    * leg: integral → long, fractional → double, string → string.
    */
-  def prune(spark: SparkSession, table: String, column: String,
-      lo: Any, hi: Any): Seq[String] = {
-    val m = manifest(spark, table)
-    val allFiles = m.select("file").distinct()
+  /** Files a manifest PROVABLY excludes for `column` ∈ [lo, hi]: the
+    * stats row exists, has usable bounds, and the interval misses.
+    * Everything else — absent rows, null legs, unknown files — is NOT
+    * in this set, so callers subtracting it keep them (the
+    * conservative direction). Bounded by file count. */
+  private[sources] def excludedFiles(m: DataFrame, column: String,
+      lo: Any, hi: Any): Set[String] = {
     val (minC, maxC) = (lo, hi) match {
       case (_: Long, _) | (_: Int, _) => (col("minLong"), col("maxLong"))
       case (_: Double, _) | (_: Float, _) => (col("minDouble"), col("maxDouble"))
@@ -241,15 +246,22 @@ object StatsManifest {
       case _ => throw new IllegalArgumentException(
         s"statsManifest: unsupported literal type ${lo.getClass}")
     }
-    // anti-join semantics: drop a file only when its stats row EXISTS,
-    // has usable bounds, and provably excludes [lo, hi]
-    val excluded = m.filter(col("column") === column)
+    m.filter(col("column") === column)
       .filter(minC.isNotNull && maxC.isNotNull)
       .filter(maxC < lit(lo) || minC > lit(hi))
-      .select("file")
-    allFiles.join(excluded, Seq("file"), "left_anti")
+      .select("file").distinct()
       .as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().toSeq.sorted
+      .collect().toSet
+  }
+
+  def prune(spark: SparkSession, table: String, column: String,
+      lo: Any, hi: Any): Seq[String] = {
+    val m = manifest(spark, table)
+    val excluded = excludedFiles(m, column, lo, hi)
+    m.select("file").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
+      .filterNot(excluded).sorted
   }
 
   /** Scan only the files that can match `column` ∈ [lo, hi]. The range

@@ -188,6 +188,70 @@ object TxTable {
     else { Fs.createMarker(marker(root, k), dataDir(root, k)); k }
   }
 
+  private def statsPath(root: String) = s"$root/_txn/stats/manifest"
+
+  /** The data FILES of the current resolution set (checkpoint + tail),
+    * the universe every skipping decision is made against. */
+  private def resolvedFiles(root: String, asOf: Long = Long.MaxValue): Seq[String] = {
+    val all = committedIds(root).filter(_ <= asOf)
+    val base = checkpointIds(root).filter(_ <= asOf).lastOption
+    val ks = base.map(b => all.filter(_ >= b)).getOrElse(all)
+    existingDataDirs(root, ks).flatMap(d =>
+      Fs.listFiles(d).map(_.getPath.toString)
+        .filter(p => p.endsWith(".parquet") &&
+          !new org.apache.hadoop.fs.Path(p).getName.startsWith("_")))
+  }
+
+  /**
+   * Build (or rebuild) the file-stats manifest over the CURRENT
+   * resolution set — the [[StatsManifest]] footer pass pointed at the
+   * commit log's files instead of a directory listing (a raw listing
+   * of `data/` would also stat UNCOMMITTED dirs, which must never
+   * influence a read). The manifest is an advisory CACHE, not part of
+   * the commit protocol: [[readSkipping]] treats any file it doesn't
+   * cover as unprunable, so a stale manifest costs performance, never
+   * correctness — rebuild it at the same cadence as [[checkpoint]].
+   */
+  def buildManifest(spark: SparkSession, root: String,
+      cols: Seq[String] = Seq.empty): DataFrame = {
+    val files = resolvedFiles(root)
+    require(files.nonEmpty, s"txtable: nothing committed under $root")
+    StatsManifest.statsFor(spark, files, cols)
+      .write.mode("overwrite").parquet(statsPath(root))
+    spark.read.parquet(statsPath(root))
+  }
+
+  /**
+   * Range scan with file skipping AND deletion vectors: the file
+   * universe is the COMMIT LOG's resolution set (never the manifest's
+   * own file list — files committed after the last [[buildManifest]]
+   * are simply kept), the manifest's provable exclusions drop files,
+   * the DV broadcast drops rows, and the range filter still applies
+   * (pushed) on the survivors. Equals the unskipped live read filtered
+   * to the range, by construction, whatever the manifest's age.
+   */
+  def readSkipping(spark: SparkSession, root: String, column: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = resolvedFiles(root)
+    require(files.nonEmpty, s"txtable: nothing committed under $root")
+    val excluded: Set[String] =
+      if (!Fs.isDirectory(statsPath(root))) Set.empty
+      else StatsManifest.excludedFiles(
+        spark.read.parquet(statsPath(root)), column, lo, hi)
+    val survivors = files.filterNot(excluded)
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    if (survivors.isEmpty) read(spark, root).filter(lit(false))
+    else {
+      val ks = committedIds(root)
+      val base = checkpointIds(root).lastOption
+      val rks = base.map(b => ks.filter(_ >= b)).getOrElse(ks)
+      DeleteVectors.applyVectors(
+        DeleteVectors.scanWithRowId(spark, survivors),
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+        .filter(pred)
+    }
+  }
+
   /**
    * Fold the log: write the CURRENT live snapshot as one clean commit
    * and mark it a checkpoint — readers at or past it resolve

@@ -195,6 +195,38 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, t).count() === 51L)
   }
 
+  test("readSkipping: a stale manifest costs performance, never correctness") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    val df = (0 until 10000).map(i => (i.toLong, 100.0 + i, 0L))
+      .toDF("id", "price", "version")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    TxTable.create(spark, t, df)                                       // c0
+    TxTable.buildManifest(spark, t, Seq("id"))
+    def expect(): Seq[org.apache.spark.sql.Row] =
+      TxTable.read(spark, t).filter(col("id") >= 2000L && col("id") <= 2999L)
+        .orderBy("id").collect().toSeq
+    val skim = TxTable.readSkipping(spark, t, "id", 2000L, 2999L)
+    assert(skim.orderBy("id").collect().toSeq === expect())
+    val dataFiles = skim.inputFiles.filter(_.contains("/data/"))
+    assert(dataFiles.nonEmpty && dataFiles.length < 8,
+      s"manifest must cut the 8-file sorted layout (kept ${dataFiles.length})")
+    // files committed AFTER the manifest build: a reprice upsert whose
+    // new file the stale manifest knows nothing about — MUST be kept
+    TxTable.upsert(spark, t,
+      (2000 until 2100).map(i => (i.toLong, 9000.0 + i, 1L))
+        .toDF("id", "price", "version"),
+      Seq("id"), "version")                                            // c1
+    val stale = TxTable.readSkipping(spark, t, "id", 2000L, 2999L)
+    assert(stale.orderBy("id").collect().toSeq === expect(),
+      "stale-manifest skip must equal the live read — unknown files kept")
+    assert(stale.filter(col("id") === 2050L).head.getDouble(1) === 11050.0)
+    // rebuilding the manifest restores pruning over the new layout too
+    TxTable.buildManifest(spark, t, Seq("id"))
+    val fresh = TxTable.readSkipping(spark, t, "id", 2000L, 2999L)
+    assert(fresh.orderBy("id").collect().toSeq === expect())
+  }
+
   test("insert-only and delete-only batches commit cleanly") {
     import spark.implicits._
     val t = tmp() + "/t"
