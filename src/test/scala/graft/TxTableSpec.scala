@@ -227,6 +227,23 @@ class TxTableSpec extends AnyFunSuite {
     assert(fresh.orderBy("id").collect().toSeq === expect())
   }
 
+  test("replaying an identical batch leaves the live snapshot unchanged") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    val batch = Seq((6L, "name6", 6666.0, 1L, "u"), (7L, "x", 0.0, 1L, "d"))
+      .toDF("id", "name", "price", "version", "op")
+    TxTable.upsert(spark, t, batch, Seq("id"), "version", opCol = Some("op"))
+    val once = TxTable.read(spark, t).orderBy("id").collect().toSeq
+    // at-least-once delivery: the SAME batch lands again (a new commit
+    // id — the log records the replay, the snapshot must not move)
+    TxTable.upsert(spark, t, batch, Seq("id"), "version", opCol = Some("op"))
+    val twice = TxTable.read(spark, t).orderBy("id").collect().toSeq
+    assert(twice === once,
+      "an identical replayed batch must be a snapshot no-op")
+    assert(twice.length === 99)
+  }
+
   test("insert-only and delete-only batches commit cleanly") {
     import spark.implicits._
     val t = tmp() + "/t"
