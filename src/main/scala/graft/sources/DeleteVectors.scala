@@ -80,6 +80,27 @@ object DeleteVectors {
       .sorted
   }
 
+  /** Next free epoch id: past every id any epoch DIRECTORY or marker has
+    * touched — committed or crashed — matching [[TxTable]]'s never-reuse
+    * rule, so a crashed [[deleteWhere]]'s unmarked directory is skipped
+    * (and later vacuumable) instead of silently overwritten. */
+  private def nextEpoch(table: String): Long = {
+    val dirIds =
+      if (!Fs.isDirectory(epochRoot(table))) Seq.empty
+      else Fs.listDirs(epochRoot(table))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("epoch=") &&
+          n.stripPrefix("epoch=").forall(_.isDigit))
+        .map(_.stripPrefix("epoch=").toLong)
+    val markIds =
+      if (!Fs.isDirectory(commitsDir(table))) Seq.empty
+      else Fs.listFiles(commitsDir(table))
+        .map(_.getPath.getName)
+        .filter(_.matches("epoch\\d+"))
+        .map(_.stripPrefix("epoch").toLong)
+    (dirIds ++ markIds :+ -1L).max + 1
+  }
+
   /** The scan with physical row identity attached — every DV operation
     * hangs off these two metadata columns. */
   private def scanWithRowId(spark: SparkSession, table: String): DataFrame =
@@ -108,6 +129,17 @@ object DeleteVectors {
     * reader-facing shape. */
   private[sources] def applyVectors(base: DataFrame, dv: DataFrame): DataFrame =
     applyVectorsKeepId(base, dv).drop("__dv_file", "__dv_row")
+
+  /** The rows a DV relation KILLS — the inverse of [[applyVectors]]:
+    * inner broadcast join on (file, word) + a positive bit test, so the
+    * scan is bounded by the files the vectors reference. Feeds
+    * [[TxTable.changeFeed]]'s per-commit kill resolution. */
+  private[sources] def killedRows(base: DataFrame, dv: DataFrame): DataFrame =
+    base.join(broadcast(dv),
+      base("__dv_file") === dv("__dv_fp") &&
+        shiftright(base("__dv_row"), 6) === dv("__dv_word"))
+      .filter(isDeleted(col("__dv_mask"), col("__dv_row")))
+      .drop("__dv_fp", "__dv_word", "__dv_mask", "__dv_file", "__dv_row")
 
   /** Distributed bitmap assembly from (file_path, ri) hit rows —
     * (file, word = ri/64) first so no single aggregation row ever holds
@@ -226,7 +258,7 @@ object DeleteVectors {
       .filter(predicate)
       .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
     val vectors = buildVectors(hits)
-    val epoch = committedEpochs(table).lastOption.map(_ + 1).getOrElse(0L)
+    val epoch = nextEpoch(table)
     val out = epochDir(table, epoch)
     vectors.write.mode("overwrite").parquet(out)
     // count from the WRITTEN sidecar (tiny) — never a second table scan

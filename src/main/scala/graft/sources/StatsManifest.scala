@@ -258,10 +258,12 @@ object StatsManifest {
       lo: Any, hi: Any): Seq[String] = {
     val m = manifest(spark, table)
     val excluded = excludedFiles(m, column, lo, hi)
-    m.select("file").distinct()
-      .as[String](org.apache.spark.sql.Encoders.STRING)
-      .collect().toSeq
-      .filterNot(excluded).sorted
+    // the file UNIVERSE is the directory listing, never the manifest's
+    // own file list (round 17): files appended after the last
+    // build/refresh have no manifest row, are not in the excluded set,
+    // and are therefore KEPT — a stale manifest costs performance,
+    // never rows (the TxTable.readSkipping rule, applied here too)
+    dataFiles(table).filterNot(excluded).sorted
   }
 
   /** Scan only the files that can match `column` ∈ [lo, hi]. The range
@@ -334,16 +336,44 @@ object StatsManifest {
    * exact-safe.
    */
   def pruneEquality(spark: SparkSession, table: String, column: String,
-      value: Any): Seq[String] = {
-    val candidates = prune(spark, table, column, value, value)
-    if (candidates.isEmpty) Seq.empty
+      value: Any): Seq[String] =
+    bloomSurvivors(spark, prune(spark, table, column, value, value),
+      column, value)
+
+  /** The executor-fanout bloom cut over an explicit candidate list —
+    * shared by [[pruneEquality]] and [[TxTable.readSkippingEquality]]
+    * (whose candidate universe is the commit log's, not a listing's).
+    * Files without blooms survive; a rejection is proof of absence. */
+  private[sources] def bloomSurvivors(spark: SparkSession,
+      files: Seq[String], column: String, value: Any): Seq[String] = {
+    if (files.isEmpty) Seq.empty
     else {
       val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
-      spark.createDataset(candidates)(org.apache.spark.sql.Encoders.STRING)
-        .repartition(math.min(candidates.size, 64))
+      spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(math.min(files.size, 64))
         .filter { f: String => bloomKeepsFile(f, conf.value, column, value) }
         .collect().toSeq.sorted
     }
+  }
+
+  /** Per-file footer ROW COUNTS as one distributed metadata pass — the
+    * denominator of [[TxTable.compactFiles]]'s per-file dead fraction
+    * (cost ∝ file count, no data pages). */
+  private[sources] def rowCounts(spark: SparkSession,
+      files: Seq[String]): Map[String, Long] = {
+    if (files.isEmpty) return Map.empty
+    val conf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(files.size, 64))
+      .map { f: String =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf.value))
+        try (f, r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally r.close()
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toMap
   }
 
   /** Scan only the files whose stats AND blooms admit `column == value`;

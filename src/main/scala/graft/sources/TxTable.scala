@@ -3,14 +3,15 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /**
- * A minimal transactional table layout (round 16) — the round's sidecar
- * machinery composed into snapshot-isolated commits, so a mutating
- * 100 TB table gets ATOMIC merge-on-read upserts instead of choosing
- * between [[ParquetIO.upsert]]'s copy-on-write generations (rewrite ∝
- * table) and raw [[DeleteVectors]] epochs (no atomicity across the
- * delete-then-append pair a CDC batch needs).
+ * A minimal transactional table layout (round 16, hardened round 17) —
+ * the sidecar machinery composed into snapshot-isolated commits, so a
+ * mutating 100 TB table gets ATOMIC merge-on-read upserts instead of
+ * choosing between [[ParquetIO.upsert]]'s copy-on-write generations
+ * (rewrite ∝ table) and raw [[DeleteVectors]] epochs (no atomicity
+ * across the delete-then-append pair a CDC batch needs).
  *
  * Layout, all under one root, all object-store safe (create-once
  * markers only — no rename, no pointer, no listing-freshness
@@ -19,8 +20,27 @@ import org.apache.spark.sql.functions._
  * {{{
  *   <root>/data/c<k>/part-….parquet   commit k's added rows (optional)
  *   <root>/_txn/dv/<k>/part-….parquet commit k's deletion vectors (optional)
+ *   <root>/_txn/claims/c<k>           id claim (marker EXISTENCE, pre-write)
  *   <root>/_txn/commits/c<k>          the commit bit (marker EXISTENCE)
  * }}}
+ *
+ * Concurrency contract (round 17): every writer CLAIMS its id first —
+ * a create-once marker under `_txn/claims` placed BEFORE any data or
+ * vector write. Two racing writers that compute the same next id
+ * cannot both claim it: the loser's create-once returns false and it
+ * retries with a fresh id having written NOTHING under the contested
+ * one, so `mode("overwrite")` can never clobber another writer's
+ * directories. Commit-marker creation is likewise REQUIRED to succeed
+ * — a pre-existing commit marker for a claimed id means out-of-band
+ * interference and fails the operation loudly rather than reporting a
+ * commit that may not be this writer's. What the protocol guarantees:
+ * no committed data is ever lost or clobbered, and every commit id is
+ * written by exactly one writer. What it does NOT provide: key-level
+ * conflict detection — two CONCURRENT upserts touching the same key
+ * both commit (each kills what was live when IT read), so serializable
+ * MERGE semantics still assume one upserting writer per key space (the
+ * CDC-stream premise); maintenance ([[checkpoint]], [[compactFiles]],
+ * [[expire]], [[vacuum]]) assumes a single maintenance writer.
  *
  * A commit is convention, not manifest: marker c<k> present ⟺ commit
  * k's data dir and DV dir (whichever exist) are visible — readers need
@@ -35,25 +55,33 @@ import org.apache.spark.sql.functions._
  * Reads: the snapshot is (∪ committed data dirs) scanned once with row
  * identity, minus the OR-fold of ALL committed DV dirs (one broadcast,
  * the O(1) codegen'd bit test — [[DeleteVectors.applyVectors]]).
- * [[readAt]] is time travel for free: resolve markers ≤ k only, and a
- * later commit's deletes vanish WITH its adds, keeping historical
- * snapshots exact.
+ * Commits written under DIFFERENT schemas reconcile by name at read
+ * time (missing columns null — the [[ParquetIO.merge]] S13 contract,
+ * oldest commit's columns first); the uniform-schema fast path stays
+ * one multi-dir scan with pushdown intact. [[readAt]] is time travel
+ * for free: resolve markers ≤ k only, and a later commit's deletes
+ * vanish WITH its adds, keeping historical snapshots exact.
  *
- * [[upsert]] is the merge-on-read MERGE: latest-version-per-key winner
- * selection inside the batch (ties broken like [[ParquetIO.upsert]]),
- * one scan of the live snapshot semi-joined against the batch's keys
- * (broadcast — a CDC batch is small by premise) to mark every current
- * version dead, surviving non-tombstone winners appended as c<k>.
+ * [[upsert]] is the merge-on-read MERGE with the full latest-wins
+ * contract of [[ParquetIO.upsert]]: latest `versionCol` per key inside
+ * the batch, then the batch winner competes against the LIVE row —
+ * a live row dies only to a batch winner at `version >= live.version`
+ * (batch wins ties, the update-side-wins rule), and a batch winner
+ * that loses to a strictly newer live row is dropped entirely, so a
+ * late/out-of-order CDC batch can never regress committed data.
  * Cost: one table scan + work ∝ BATCH size — no generation rewrite.
- * The scan itself stays a plain parquet scan (pushdown intact); at
- * 0.1 %-of-table batches this is the regime where copy-on-write pays
- * 1000× the write volume (SCALE.md round-16 `delvec`).
+ * The batch key set broadcasts below `broadcastKeyLimit` keys and
+ * falls back to a shuffled join above it (a backfill is not a CDC
+ * batch). At 0.1 %-of-table batches this is the regime where
+ * copy-on-write pays 1000× the write volume (SCALE.md round-16
+ * `delvec`).
  */
 object TxTable {
 
   private def dataDir(root: String, k: Long) = s"$root/data/c$k"
   private def dvDir(root: String, k: Long) = s"$root/_txn/dv/$k"
   private def commitsDir(root: String) = s"$root/_txn/commits"
+  private def claimsDir(root: String) = s"$root/_txn/claims"
   private def checkpointsDir(root: String) = s"$root/_txn/checkpoints"
   private def marker(root: String, k: Long) = s"${commitsDir(root)}/c$k"
 
@@ -77,39 +105,117 @@ object TxTable {
     markerIds(checkpointsDir(root)).filter(committed.contains)
   }
 
-  /** Next free id: past every id any directory or marker has touched,
-    * committed or crashed — a crashed writer's id is never reused, so
-    * its leftovers can never be adopted by a later commit. */
+  /** Next free id: past every id any directory or marker — commit,
+    * claim, or checkpoint; committed or crashed — has touched, so a
+    * crashed or in-flight writer's id is never reused and its leftovers
+    * can never be adopted by a later commit. */
   private def nextId(root: String): Long = {
     def ids(dir: String, prefix: String): Seq[Long] =
       if (!Fs.isDirectory(dir)) Seq.empty
       else Fs.listDirs(dir).map(_.getPath.getName)
         .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit))
         .map(_.drop(prefix.length).toLong)
-    (committedIds(root) ++ ids(s"$root/data", "c") ++
+    (committedIds(root) ++ markerIds(claimsDir(root)) ++
+      markerIds(checkpointsDir(root)) ++ ids(s"$root/data", "c") ++
       ids(s"$root/_txn/dv", "") :+ -1L).max + 1
   }
+
+  /** Claim a commit id EXCLUSIVELY, before any write: a create-once
+    * marker under `_txn/claims`. A writer that loses the create race
+    * (two writers computed the same next id) retries with a fresh id —
+    * having written nothing under the contested one, so the winner's
+    * directories are never overwritten. The claim marker is litter
+    * after a crash; [[vacuum]] sweeps unredeemed claims below the tip. */
+  private def claimId(root: String): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      val k = nextId(root)
+      if (Fs.createMarker(s"${claimsDir(root)}/c$k", "claimed")) return k
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"txtable: could not claim a commit id under $root after 64 attempts")
+  }
+
+  /** The commit bit, REQUIRED to be this writer's: under the claim
+    * protocol nobody else can be on a claimed id, so a pre-existing
+    * commit marker means out-of-band interference — fail the operation
+    * loudly instead of reporting an id whose contents may not be ours. */
+  private[graft] def commit(root: String, k: Long): Unit =
+    require(Fs.createMarker(marker(root, k), dataDir(root, k)),
+      s"txtable: commit marker c$k already exists under $root — " +
+        "lost a commit race (id written outside the claim protocol?)")
 
   private def existingDataDirs(root: String, ks: Seq[Long]): Seq[String] =
     ks.map(dataDir(root, _)).filter(Fs.isDirectory(_))
   private def existingDvDirs(root: String, ks: Seq[Long]): Seq[String] =
     ks.map(dvDir(root, _)).filter(Fs.isDirectory(_))
 
+  /** The resolution set: commit ids a reader at `asOf` resolves —
+    * newest committed checkpoint ≤ asOf, plus the tail after it. */
+  private def resolvedIds(root: String, asOf: Long = Long.MaxValue): Seq[Long] = {
+    val all = committedIds(root).filter(_ <= asOf)
+    val base = checkpointIds(root).filter(_ <= asOf).lastOption
+    base.map(b => all.filter(_ >= b)).getOrElse(all)
+  }
+
+  /** Data write with optional parquet bloom filters on `bloomCols` —
+    * the write-side half of [[readSkippingEquality]]'s point-lookup
+    * path ([[ParquetIO.writeWithBloomFilters]]). */
+  private def writeData(df: DataFrame, path: String,
+      bloomCols: Seq[String]): Unit =
+    if (bloomCols.isEmpty) df.write.mode("overwrite").parquet(path)
+    else ParquetIO.writeWithBloomFilters(df, path, bloomCols)
+
+  /** One row-identified scan over data dirs, schema evolution
+    * reconciled by NAME: when commits were written under different
+    * schemas, each dir scans separately and unions by name with
+    * missing columns null ([[ParquetIO.merge]]'s S13 contract), oldest
+    * commit's columns leading. Same-schema commits — the common case —
+    * keep the single multi-dir scan (pushdown and pruning intact). */
+  private def scanResolved(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    val schemas = dirs.map(d => spark.read.parquet(d).schema)
+    if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, dirs)
+    else dirs.map(d => DeleteVectors.scanWithRowId(spark, Seq(d)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** [[scanResolved]] over an explicit FILE subset (the skipping
+    * paths): files group back to their commit dirs to detect schema
+    * drift, commit order preserved. */
+  private def scanResolvedFiles(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
+    val groups = files
+      .groupBy(f => new org.apache.hadoop.fs.Path(f).getParent.toString)
+      .toSeq
+      .sortBy { case (d, _) =>
+        new org.apache.hadoop.fs.Path(d).getName.stripPrefix("c").toLong
+      }
+    val schemas = groups.map { case (_, fs) =>
+      spark.read.parquet(fs.head).schema
+    }
+    if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, files)
+    else groups.map { case (_, fs) => DeleteVectors.scanWithRowId(spark, fs) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Create the table: the initial snapshot becomes commit 0. */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     require(committedIds(root).isEmpty,
       s"txtable: $root already has commits — use append/upsert")
-    val k = nextId(root)
-    df.write.mode("overwrite").parquet(dataDir(root, k))
-    Fs.createMarker(marker(root, k), dataDir(root, k))
+    val k = claimId(root)
+    writeData(df, dataDir(root, k), bloomCols)
+    commit(root, k)
     k
   }
 
   /** Blind append (no keys touched): one data dir, one marker. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val k = nextId(root)
-    df.write.mode("overwrite").parquet(dataDir(root, k))
-    Fs.createMarker(marker(root, k), dataDir(root, k))
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val k = claimId(root)
+    writeData(df, dataDir(root, k), bloomCols)
+    commit(root, k)
     k
   }
 
@@ -124,33 +230,41 @@ object TxTable {
     * long-lived table's read plan covers checkpoint + tail, not every
     * commit ever made. */
   def readAt(spark: SparkSession, root: String, asOf: Long): DataFrame = {
-    val all = committedIds(root).filter(_ <= asOf)
-    require(all.nonEmpty, s"txtable: no commits ≤ $asOf under $root")
-    val base = checkpointIds(root).filter(_ <= asOf).lastOption
-    val ks = base.map(b => all.filter(_ >= b)).getOrElse(all)
+    val ks = resolvedIds(root, asOf)
+    require(ks.nonEmpty, s"txtable: no commits ≤ $asOf under $root")
     val data = existingDataDirs(root, ks)
     require(data.nonEmpty, s"txtable: no data dirs among commits ≤ $asOf")
     DeleteVectors.applyVectors(
-      DeleteVectors.scanWithRowId(spark, data),
+      scanResolved(spark, data),
       DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks)))
   }
 
   /**
    * Merge-on-read MERGE of one CDC batch, committed atomically:
-   * latest `versionCol` per `keys` wins inside the batch; every LIVE
-   * row whose key appears in the batch is marked dead (deletion
-   * vectors under this commit's id); winners whose `opCol` is not
-   * "d" are appended as this commit's data dir; the marker lands
-   * last. Returns the commit id. A crash before the marker leaves
-   * the snapshot byte-identical.
+   * latest `versionCol` per `keys` wins inside the batch; each winner
+   * then competes against the LIVE rows of its key — a live row is
+   * marked dead (deletion vectors under this commit's id) only by a
+   * winner at `version >= live.version` (batch wins ties — the
+   * [[ParquetIO.upsertWrite]] update-side-wins rule), and a winner
+   * that loses to a strictly newer live row is dropped, so a late or
+   * out-of-order batch never regresses newer committed data. Winners
+   * whose `opCol` is not "d" are appended as this commit's data dir;
+   * the marker lands last. Returns the commit id. A crash before the
+   * marker leaves the snapshot byte-identical.
+   *
+   * The batch key set broadcasts when the batch has at most
+   * `broadcastKeyLimit` winners; above that (a backfill, not a CDC
+   * batch) the contested-row join falls back to the shuffled plan.
    */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], versionCol: String,
-      opCol: Option[String] = None): Long = {
+      opCol: Option[String] = None,
+      bloomCols: Seq[String] = Seq.empty,
+      broadcastKeyLimit: Long = 4L * 1000 * 1000): Long = {
     require(keys.nonEmpty, "txtable.upsert needs key columns")
-    val k = nextId(root)
     val ks = committedIds(root)
     require(ks.nonEmpty, s"txtable: create $root before upserting")
+    val k = claimId(root)
 
     // batch-internal winner per key: latest version, tombstones eligible
     val w = Window.partitionBy(keys.map(col): _*)
@@ -159,33 +273,44 @@ object TxTable {
       .withColumn("__tx_rn", row_number().over(w))
       .filter(col("__tx_rn") === 1).drop("__tx_rn")
 
-    // mark every live row for a batch key dead — one snapshot scan,
-    // key semi-join against the (small, broadcast) batch key set
-    val touched = winners.select(keys.map(col): _*).distinct()
-    // resolve from the newest checkpoint like every reader — commits
-    // it superseded contribute nothing live
-    val base0 = checkpointIds(root).lastOption
-    val rks = base0.map(b => ks.filter(_ >= b)).getOrElse(ks)
+    // contested live rows: one snapshot scan joined against the batch's
+    // (key, winner-version) set — broadcast below the key limit, the
+    // shuffled plan above it. Persisted (batch-bounded rows) so the
+    // kill pass and the beaten-winner pass share ONE table scan.
+    val keyed = winners.select(
+      keys.map(col) :+ col(versionCol).as("__tx_wv"): _*)
+    val keySide =
+      if (keyed.count() <= broadcastKeyLimit) broadcast(keyed) else keyed
+    val rks = resolvedIds(root)
     val live = DeleteVectors.applyVectorsKeepId(
-      DeleteVectors.scanWithRowId(spark, existingDataDirs(root, rks)),
+      scanResolved(spark, existingDataDirs(root, rks)),
       DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
-    val hits = live.join(broadcast(touched), keys, "left_semi")
-      .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-    val vectors = DeleteVectors.buildVectors(hits)
-    vectors.write.mode("overwrite").parquet(dvDir(root, k))
-    val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
-      f.getPath.getName.endsWith(".parquet") && f.getLen > 0
-    } || spark.read.parquet(dvDir(root, k)).isEmpty
-    if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+    val cand = live.join(keySide, keys.toSeq)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // live rows the batch winner beats (ties to the batch) die
+      val hits = cand.filter(col("__tx_wv") >= col(versionCol))
+        .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+      val vectors = DeleteVectors.buildVectors(hits)
+      vectors.write.mode("overwrite").parquet(dvDir(root, k))
+      val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
+        f.getPath.getName.endsWith(".parquet") && f.getLen > 0
+      } || spark.read.parquet(dvDir(root, k)).isEmpty
+      if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
 
-    // append the surviving winners (tombstones drop their key)
-    val adds = opCol.map(c => winners.filter(col(c) =!= "d").drop(c))
-      .getOrElse(winners)
-    val anyAdds = !adds.isEmpty
-    if (anyAdds) adds.write.mode("overwrite").parquet(dataDir(root, k))
+      // winners that LOSE to a strictly newer live row are dropped —
+      // the live side's latest-wins leg; tombstones drop their key
+      val beaten = cand.filter(col(versionCol) > col("__tx_wv"))
+        .select(keys.map(col): _*).distinct()
+      val adds0 = winners.join(beaten, keys.toSeq, "left_anti")
+      val adds = opCol.map(c => adds0.filter(col(c) =!= "d").drop(c))
+        .getOrElse(adds0)
+      val anyAdds = !adds.isEmpty
+      if (anyAdds) writeData(adds, dataDir(root, k), bloomCols)
 
-    if (dvEmpty && !anyAdds) k // empty batch: nothing to commit
-    else { Fs.createMarker(marker(root, k), dataDir(root, k)); k }
+      if (dvEmpty && !anyAdds) k // no-op batch: nothing to commit
+      else { commit(root, k); k }
+    } finally { cand.unpersist(); () }
   }
 
   private def statsPath(root: String) = s"$root/_txn/stats/manifest"
@@ -193,10 +318,7 @@ object TxTable {
   /** The data FILES of the current resolution set (checkpoint + tail),
     * the universe every skipping decision is made against. */
   private def resolvedFiles(root: String, asOf: Long = Long.MaxValue): Seq[String] = {
-    val all = committedIds(root).filter(_ <= asOf)
-    val base = checkpointIds(root).filter(_ <= asOf).lastOption
-    val ks = base.map(b => all.filter(_ >= b)).getOrElse(all)
-    existingDataDirs(root, ks).flatMap(d =>
+    existingDataDirs(root, resolvedIds(root, asOf)).flatMap(d =>
       Fs.listFiles(d).map(_.getPath.toString)
         .filter(p => p.endsWith(".parquet") &&
           !new org.apache.hadoop.fs.Path(p).getName.startsWith("_")))
@@ -241,15 +363,179 @@ object TxTable {
     val survivors = files.filterNot(excluded)
     val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     if (survivors.isEmpty) read(spark, root).filter(lit(false))
-    else {
-      val ks = committedIds(root)
-      val base = checkpointIds(root).lastOption
-      val rks = base.map(b => ks.filter(_ >= b)).getOrElse(ks)
+    else
       DeleteVectors.applyVectors(
-        DeleteVectors.scanWithRowId(spark, survivors),
-        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+        scanResolvedFiles(spark, survivors),
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, resolvedIds(root))))
         .filter(pred)
+  }
+
+  /**
+   * POINT LOOKUP with bloom skipping AND deletion vectors (round 17):
+   * [[StatsManifest.pruneEquality]]'s two metadata-only cuts — the
+   * manifest interval test, then the split-block bloom probe over the
+   * survivors ([[ParquetIO.writeWithBloomFilters]] wrote the bitsets
+   * when the table's writes passed `bloomCols`) — composed with the
+   * commit log's file universe and the DV broadcast. A bloom rejection
+   * is proof of absence, files without blooms or manifest rows are
+   * conservatively kept, and the equality filter still applies (and
+   * pushes down, re-checking blooms per row group below the file cut),
+   * so the result equals the unskipped live read filtered to the value
+   * — including zero rows for a key whose erasure is only recorded in
+   * deletion vectors.
+   */
+  def readSkippingEquality(spark: SparkSession, root: String,
+      column: String, value: Any): DataFrame = {
+    val files = resolvedFiles(root)
+    require(files.nonEmpty, s"txtable: nothing committed under $root")
+    val excluded: Set[String] =
+      if (!Fs.isDirectory(statsPath(root))) Set.empty
+      else StatsManifest.excludedFiles(
+        spark.read.parquet(statsPath(root)), column, value, value)
+    val candidates = files.filterNot(excluded)
+    val survivors = StatsManifest.bloomSurvivors(spark, candidates, column, value)
+    if (survivors.isEmpty) read(spark, root).filter(lit(false))
+    else
+      DeleteVectors.applyVectors(
+        scanResolvedFiles(spark, survivors),
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, resolvedIds(root))))
+        .filter(col(column) === lit(value))
+  }
+
+  /**
+   * Row-level CHANGE FEED out of the commit log (round 17) — the
+   * merge-on-read twin of [[ParquetIO.changeFeed]]: for each commit
+   * k ≥ `fromCommit`, the commit's adds (its data dir) are diffed by
+   * `keys` against its kills (`_txn/dv/<k>` resolved back through row
+   * identity — a scan bounded by the files the commit TOUCHED, never
+   * the table), emitting `op ∈ {i, u, d}` rows with the surviving
+   * payload and a `commit` column. An update is one `u` (new values),
+   * a pure delete one `d` (last-known values), a pure insert one `i`;
+   * a kill+re-add with identical payload — a [[compactFiles]] move —
+   * compares equal and is feed-INVISIBLE, and [[checkpoint]] commits
+   * (which supersede rather than change) are skipped, so maintenance
+   * never pollutes the feed. Replaying the feed in commit order
+   * reconstructs any snapshot; requires commits ≥ `fromCommit` to be
+   * unexpired. Cost: Σ per-commit (files touched) — run it at CDC
+   * cadence, before [[checkpoint]]+[[expire]] collapse the history.
+   */
+  def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
+      fromCommit: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "txtable.changeFeed needs key columns")
+    val all = committedIds(root)
+    require(all.nonEmpty, s"txtable: nothing committed under $root")
+    val cps = checkpointIds(root).toSet
+    val feeds = all.filter(k => k >= fromCommit && !cps.contains(k))
+      .flatMap(k => commitChanges(spark, root, k, keys))
+    if (feeds.isEmpty) {
+      val base = read(spark, root)
+      val payload = base.columns.filterNot(keys.contains).toSeq
+      base.select(keys.map(col) ++ Seq(lit("").as("op")) ++
+        payload.map(col) :+ lit(0L).as("commit"): _*).filter(lit(false))
+    } else feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One commit's i/u/d delta: kills (DV-resolved rows) diffed to adds
+    * (the data dir) by key — [[ParquetIO.changeFeed]] does the
+    * comparing; schema drift between the two sides reconciles by name
+    * first. None when the commit changed nothing. */
+  private def commitChanges(spark: SparkSession, root: String, k: Long,
+      keys: Seq[String]): Option[DataFrame] = {
+    val dDir = dataDir(root, k)
+    val vDir = dvDir(root, k)
+    val adds =
+      if (Fs.isDirectory(dDir)) Some(spark.read.parquet(dDir)) else None
+    val kills =
+      if (!Fs.isDirectory(vDir)) None
+      else {
+        val dv = DeleteVectors.foldDvDirs(spark, Seq(vDir))
+        val files = dv.select("__dv_fp").distinct()
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+          .collect().toSeq.sorted
+        if (files.isEmpty) None
+        else Some(DeleteVectors.killedRows(
+          scanResolvedFiles(spark, files), dv))
+      }
+    if (adds.isEmpty && kills.isEmpty) return None
+    // widen both sides to the union schema (nulls for the missing leg)
+    // so the diff survives schema evolution between commits
+    val fields = (adds.toSeq ++ kills.toSeq).flatMap(_.schema.fields)
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, f) => if (acc.exists(_.name == f.name)) acc else acc :+ f
+      }
+    def widen(dfo: Option[DataFrame]): DataFrame = {
+      val proto = dfo.orElse(adds).orElse(kills).get
+      val df = dfo.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema))
+      df.select(fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
     }
+    Some(ParquetIO.changeFeed(widen(kills), widen(adds), keys)
+      .withColumn("commit", lit(k)))
+  }
+
+  /** Scheme-insensitive identity for crossing the `_metadata.file_path`
+    * domain (scan-provided URIs) with listing paths. */
+  private def pathKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /**
+   * File-level FOLD-DOWN (round 17): rewrite ONLY the files whose dead
+   * fraction crossed `minDeadFraction`, as one commit — the commit's
+   * adds are those files' live rows, its deletion vectors re-kill the
+   * same rows at their OLD positions, so the live snapshot is
+   * unchanged, cold files stay byte-untouched, and a skewed delete
+   * pattern (one hot day-partition) folds at cost ∝ hot files where
+   * [[checkpoint]] would rewrite the whole table. Dead counts come
+   * from the DV sidecars alone (popcount per file); live totals from a
+   * footer pass over the DV-carrying files only — no data read decides
+   * anything. Returns the commit id, or None when no file crosses the
+   * threshold (or the hot files hold no live rows). Single maintenance
+   * writer, like every maintenance pass.
+   */
+  def compactFiles(spark: SparkSession, root: String,
+      minDeadFraction: Double = 0.3,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      bloomCols: Seq[String] = Seq.empty): Option[Long] = {
+    val ks = committedIds(root)
+    require(ks.nonEmpty, s"txtable: nothing committed under $root")
+    val rks = resolvedIds(root)
+    val dv = DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks))
+    val deadPerFile = dv.groupBy(col("__dv_fp"))
+      .agg(sum(bit_count(col("__dv_mask"))).cast("long").as("dead"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (deadPerFile.isEmpty) return None
+    // vectors can reference files already folded out of the resolution
+    // set (e.g. pre-checkpoint) — only files still resolved count
+    val universe = resolvedFiles(root).map(pathKey).toSet
+    val cands = deadPerFile.keys.filter(f => universe.contains(pathKey(f)))
+      .toSeq.sorted
+    if (cands.isEmpty) return None
+    val totals = StatsManifest.rowCounts(spark, cands)
+    val hot = cands.filter(f =>
+      deadPerFile(f).toDouble / math.max(1L, totals.getOrElse(f, 1L)) >=
+        minDeadFraction)
+    if (hot.isEmpty) return None
+
+    val liveHot = DeleteVectors.applyVectorsKeepId(
+      scanResolvedFiles(spark, hot), dv)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (liveHot.isEmpty) return None // fully dead files: nothing to move
+      val k = claimId(root)
+      val hits = liveHot.select(
+        col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+      DeleteVectors.buildVectors(hits)
+        .write.mode("overwrite").parquet(dvDir(root, k))
+      val hotBytes = ParquetIO.inputBytes(spark, hot)
+      val parts = math.max(1L, hotBytes / math.max(1L, targetFileBytes)).toInt
+      writeData(liveHot.drop("__dv_file", "__dv_row").coalesce(parts),
+        dataDir(root, k), bloomCols)
+      commit(root, k)
+      Some(k)
+    } finally { liveHot.unpersist(); () }
   }
 
   /**
@@ -259,22 +545,27 @@ object TxTable {
    * bounds both the read plan and the DV fold of a long-lived CDC
    * table (the same small-files pressure
    * `compactFragmentedPartitions` exists for, answered in-log).
-   * Ordering: data dir, then the checkpoint marker, then the COMMIT
-   * marker — a crash leaves either invisible dirs or a
+   * Output sizing is computed over the RESOLUTION set's bytes
+   * (checkpoint + tail — already-superseded history must not inflate
+   * the file count). Ordering: data dir, then the checkpoint marker,
+   * then the COMMIT marker — a crash leaves either invisible dirs or a
    * checkpoint-marker-without-commit, which [[checkpointIds]] ignores
    * and [[vacuum]] sweeps. History BEFORE the checkpoint stays
    * readable ([[readAt]]) until [[expire]] collapses it.
    */
   def checkpoint(spark: SparkSession, root: String,
-      targetFileBytes: Long = 512L * 1024 * 1024): Long = {
-    val k = nextId(root)
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val k = claimId(root)
     val live = read(spark, root)
     val bytes = ParquetIO.inputBytes(spark,
-      existingDataDirs(root, committedIds(root)))
+      existingDataDirs(root, resolvedIds(root)))
     val parts = math.max(1L, bytes / math.max(1L, targetFileBytes)).toInt
-    live.repartition(parts).write.mode("overwrite").parquet(dataDir(root, k))
-    Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k))
-    Fs.createMarker(marker(root, k), dataDir(root, k))
+    writeData(live.repartition(parts), dataDir(root, k), bloomCols)
+    require(Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k)),
+      s"txtable: checkpoint marker c$k already exists under $root — " +
+        "lost a commit race")
+    commit(root, k)
     k
   }
 
@@ -298,14 +589,15 @@ object TxTable {
           // reader resolves data from anyway
           Fs.deleteIfExists(marker(root, id))
           Fs.deleteIfExists(s"${checkpointsDir(root)}/c$id")
+          Fs.deleteIfExists(s"${claimsDir(root)}/c$id")
           id
         }
     }
 
-  /** Sweep crashed-writer leftovers: data/DV dirs whose id has no
-    * marker AND is below the newest committed id (an id above it may
-    * be an in-flight writer — never touched, the generation-vacuum
-    * rule). Returns the paths removed. */
+  /** Sweep crashed-writer leftovers: data/DV dirs and unredeemed claim
+    * markers whose id has no commit marker AND is below the newest
+    * committed id (an id above it may be an in-flight writer — never
+    * touched, the generation-vacuum rule). Returns the paths removed. */
   def vacuum(spark: SparkSession, root: String): Seq[String] = {
     val committed = committedIds(root).toSet
     val tip = if (committed.isEmpty) -1L else committed.max
@@ -319,14 +611,17 @@ object TxTable {
           val p = path(id)
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(p)); p
         }
-    // a crashed checkpoint's marker-without-commit is litter too
-    val strayCps = markerIds(checkpointsDir(root))
-      .filter(id => !committed.contains(id) && id < tip)
-      .map { id =>
-        val p = s"${checkpointsDir(root)}/c$id"
-        Fs.deleteIfExists(p); p
-      }
+    // a crashed checkpoint's marker-without-commit is litter, and so is
+    // a claim that never became a commit
+    def strayMarkers(dir: String): Seq[String] =
+      markerIds(dir)
+        .filter(id => !committed.contains(id) && id < tip)
+        .map { id =>
+          val p = s"$dir/c$id"
+          Fs.deleteIfExists(p); p
+        }
     sweep(s"$root/data", "c", dataDir(root, _)) ++
-      sweep(s"$root/_txn/dv", "", dvDir(root, _)) ++ strayCps
+      sweep(s"$root/_txn/dv", "", dvDir(root, _)) ++
+      strayMarkers(checkpointsDir(root)) ++ strayMarkers(claimsDir(root))
   }
 }

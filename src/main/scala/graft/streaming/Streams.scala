@@ -269,17 +269,26 @@ object Streams {
     * every later batch's standing join pays the listing + open cost.
     * Runs INSIDE foreachBatch (single-writer by the checkpoint
     * contract). Ordering is the crash-safety: the folded subdir lands
-    * FIRST (its name is keyed by batchId, so a replayed compaction
-    * overwrites it idempotently), the source subdirs are deleted after —
-    * a crash in between leaves duplicate rows, which every consumer
-    * tolerates (candidate sets are distinct()-ed before scoring) and the
-    * next compaction sweeps. */
-  private def compactStanding(spark: SparkSession, dir: String,
+    * FIRST, the source subdirs are deleted after. A replayed compaction
+    * (at-least-once foreachBatch) whose target already COMPLETED
+    * (`_SUCCESS` present) must NOT re-fold — by then some source
+    * subdirs may already be deleted, and an overwrite re-fold from the
+    * survivors would silently drop the deleted sources' rows from the
+    * standing state (round-17 advice); it only finishes the source
+    * sweep. A crash MID-fold (no `_SUCCESS`) re-folds from the sources,
+    * all of which are still present because deletes start only after
+    * the fold completes; a crash mid-sweep leaves duplicate rows, which
+    * every consumer tolerates (candidate sets are distinct()-ed before
+    * scoring) and the finished sweep removes. */
+  private[graft] def compactStanding(spark: SparkSession, dir: String,
       batchId: Long): Unit = {
     val target = s"batch=c$batchId"
     val sources = graft.sources.Fs.listDirs(dir).map(_.getPath)
       .filter(p => p.getName.startsWith("batch=") && p.getName != target)
-    if (sources.size > 1) {
+    val done = graft.sources.Fs.exists(s"$dir/$target/_SUCCESS")
+    if (done) {
+      sources.foreach(p => graft.sources.Fs.deleteRecursive(p))
+    } else if (sources.size > 1) {
       spark.read.parquet(sources.map(_.toString): _*).distinct()
         .coalesce(4).write.mode("overwrite").parquet(s"$dir/$target")
       sources.foreach(p => graft.sources.Fs.deleteRecursive(p))

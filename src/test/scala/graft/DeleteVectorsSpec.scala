@@ -75,9 +75,14 @@ class DeleteVectorsSpec extends AnyFunSuite {
       new org.apache.hadoop.fs.Path(dst), false, conf)
     assert(DeleteVectors.read(spark, t).count() === 950L,
       "uncommitted epoch must not apply")
-    // the next committed delete skips past the crashed dir's number
+    // the next committed delete skips PAST the crashed dir's number —
+    // never reuses/overwrites it (round 17: TxTable.nextId's rule)
     assert(DeleteVectors.deleteWhere(spark, t, col("id") === 999L) === 1L)
     assert(DeleteVectors.read(spark, t).count() === 949L)
+    assert(graft.sources.Fs.isDirectory(s"$t/_deletes/epoch=2"),
+      "the new epoch must take the next free number")
+    assert(!graft.sources.Fs.exists(s"$t/_deletes/_commits/epoch1"),
+      "the crashed epoch must stay uncommitted, not be adopted")
   }
 
   test("rewriteDeleted folds vectors into a clean sized table") {

@@ -136,6 +136,26 @@ class StatsManifestSpec extends AnyFunSuite {
       .select("file").distinct().count() === 9L)
   }
 
+  test("a STALE manifest keeps files appended after the build — rows, not just speed") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    sortedTable(t)
+    StatsManifest.build(spark, t, Seq("id"))
+    // appended AFTER the build: the manifest has no rows for these files,
+    // so the universe must come from the listing, never the manifest
+    (20000 until 21000).map(i => (i.toLong, i.toDouble / 7.0, f"k$i%05d", i % 100))
+      .toDF("id", "x", "k", "m")
+      .coalesce(1).write.mode("append").parquet(t)
+    val s = StatsManifest.prune(spark, t, "id", 20000L, 20999L)
+    assert(s.nonEmpty, "unknown files must survive the prune")
+    assert(StatsManifest.readSkipping(spark, t, "id", 20000L, 20999L)
+      .count() === 1000L,
+      "a stale manifest must cost performance, never result rows")
+    // and equality lookups keep the unknown file too
+    assert(StatsManifest.readSkippingEquality(spark, t, "id", 20500L)
+      .count() === 1L)
+  }
+
   test("equality prune uses blooms where ranges are useless; parity exact") {
     val t = tmp() + "/t"
     import spark.implicits._

@@ -281,6 +281,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(got(1000310L) == ((1, Some(310L))))
   }
 
+  test("replayed compaction after a partial source sweep loses no standing rows (round 17)") {
+    import graft.sources.Fs
+    val dir = java.nio.file.Files.createTempDirectory("graft-cst").toString + "/state"
+    def sub(tag: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").write.mode("overwrite").parquet(s"$dir/batch=$tag")
+    sub("0", Seq(1L, 2L)); sub("1", Seq(3L)); sub("2", Seq(4L))
+    Streams.compactStanding(spark, dir, 5L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
+    // two more micro-batches land, then compaction at batch 7 runs:
+    // fold completes (c7 has _SUCCESS), c5 is deleted — CRASH before
+    // deleting batch=6 and batch=6b
+    sub("6", Seq(5L)); sub("6b", Seq(6L))
+    spark.read.parquet(s"$dir/batch=c5", s"$dir/batch=6", s"$dir/batch=6b")
+      .distinct().coalesce(4).write.mode("overwrite").parquet(s"$dir/batch=c7")
+    Fs.deleteRecursive(new org.apache.hadoop.fs.Path(s"$dir/batch=c5"))
+    // foreachBatch replays batch 7: the completed fold must NOT re-run
+    // from the two surviving sources (that would drop ids 1..4, which
+    // now exist only in c7) — it only finishes the sweep
+    Streams.compactStanding(spark, dir, 7L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "rows folded before the crash must survive the replayed compaction")
+    assert(!Fs.isDirectory(s"$dir/batch=6") && !Fs.isDirectory(s"$dir/batch=6b"),
+      "the replay must still finish deleting the swept sources")
+    // a mid-FOLD crash (no _SUCCESS) re-folds from the intact sources
+    sub("8", Seq(7L))
+    Fs.writeUtf8(s"$dir/batch=c9/part-00000.parquet.crc", "torn")
+    Streams.compactStanding(spark, dir, 9L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("semantic sink restart reloads the persisted quantizer across a corpus change (round 16)") {
     val rnd = new scala.util.Random(53)
     val centers = Seq.fill(5)(Array.fill(32)(rnd.nextGaussian().toFloat))

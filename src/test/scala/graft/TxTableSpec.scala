@@ -244,6 +244,270 @@ class TxTableSpec extends AnyFunSuite {
     assert(twice.length === 99)
   }
 
+  test("two interleaved writers: loser claims a fresh id, neither clobbers") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                                  // c0
+    // writer B is in flight: it claimed id 1 but hasn't written yet
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "writer-B"))
+    // writer A lands concurrently — it must NOT take the claimed id 1
+    val ka = TxTable.upsert(spark, t,
+      Seq((5L, "name5", 5555.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    assert(ka === 2L, "a claimed id must never be reused by a racer")
+    // writer B now finishes: its data dir was never touched by A
+    Seq((1000L, "fromB", 1.0, 0L)).toDF("id", "name", "price", "version")
+      .write.parquet(s"$t/data/c1")
+    TxTable.commit(t, 1L)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 101L)
+    assert(got.filter(col("id") === 5L).head.getDouble(2) === 5555.0)
+    assert(got.filter(col("id") === 1000L).count() === 1L,
+      "both racing writers' commits must survive intact")
+    assert(TxTable.committedIds(t) === Seq(0L, 1L, 2L))
+  }
+
+  test("an out-of-band commit marker fails the commit loudly") {
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(10))
+    assert(Fs.createMarker(s"$t/_txn/commits/c9", "intruder"))
+    intercept[IllegalArgumentException](TxTable.commit(t, 9L))
+  }
+
+  test("vacuum sweeps unredeemed claims below the tip, keeps in-flight ones") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(10))                                   // c0
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "crashed"))             // dead
+    TxTable.append(spark, t,
+      Seq((50L, "x", 1.0, 0L)).toDF("id", "name", "price", "version"))   // c2
+    assert(Fs.createMarker(s"$t/_txn/claims/c3", "in-flight"))           // live
+    val swept = TxTable.vacuum(spark, t)
+    assert(swept.exists(_.endsWith("/_txn/claims/c1")))
+    assert(!Fs.exists(s"$t/_txn/claims/c1"))
+    assert(Fs.exists(s"$t/_txn/claims/c3"),
+      "a claim above the committed tip may be an in-flight writer")
+  }
+
+  test("a late CDC batch at an older version never regresses live data") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = s"$dir/t"
+    TxTable.create(spark, t, base(100))
+    TxTable.upsert(spark, t,
+      Seq((5L, "name5", 5555.0, 2L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    // out-of-order replays: an older update AND an older tombstone
+    TxTable.upsert(spark, t,
+      Seq((5L, "stale", 1.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    TxTable.upsert(spark, t,
+      Seq((5L, "stale", 1.0, 1L, "d")).toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 100L)
+    assert(got.filter(col("id") === 5L).collect().map(_.getDouble(2)).toSeq
+      === Seq(5555.0), "live v2 must survive late v1 update and tombstone")
+    // and copy-on-write agrees: same three batches through ParquetIO.upsert
+    base(100).write.parquet(s"$dir/g0")
+    Seq((5L, "name5", 5555.0, 2L, "u"), (5L, "stale", 1.0, 1L, "u"),
+        (5L, "stale", 1.0, 1L, "d"))
+      .toDF("id", "name", "price", "version", "op").write.parquet(s"$dir/upd")
+    ParquetIO.upsert(spark, Seq(s"$dir/g0"), Seq(s"$dir/upd"), s"$dir/cow",
+      Seq("id"), "version", targetFileBytes = 256L * 1024, opCol = Some("op"))
+    val cow = spark.read.parquet(s"$dir/cow")
+      .select("id", "name", "price", "version").orderBy("id").collect().toSeq
+    val mor = TxTable.read(spark, t)
+      .select("id", "name", "price", "version").orderBy("id").collect().toSeq
+    assert(mor === cow)
+  }
+
+  test("upsert parity holds through the shuffled (non-broadcast) fallback") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(200))
+    val batch = Seq((3L, "n3", 333.0, 1L, "u"), (4L, "x", 0.0, 1L, "d"),
+        (900L, "ins", 9.0, 1L, "u"))
+      .toDF("id", "name", "price", "version", "op")
+    // broadcastKeyLimit=0 forces the shuffled contested-row join
+    TxTable.upsert(spark, t, batch, Seq("id"), "version",
+      opCol = Some("op"), broadcastKeyLimit = 0L)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 200L) // -1 tombstone +1 insert
+    assert(got.filter(col("id") === 3L).head.getDouble(2) === 333.0)
+    assert(got.filter(col("id") === 4L).count() === 0L)
+    assert(got.filter(col("id") === 900L).count() === 1L)
+  }
+
+  test("checkpoint sizing follows the resolution set, not all history") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    // ~large enough that file counts reflect the byte math
+    val df = (0 until 20000).map(i => (i.toLong, s"name$i" * 8, 100.0 + i, 0L))
+      .toDF("id", "name", "price", "version").repartition(8)
+    TxTable.create(spark, t, df)
+    val cp1 = TxTable.checkpoint(spark, t, targetFileBytes = 128L * 1024)
+    val n1 = Fs.listFiles(s"$t/data/c$cp1")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    // NO expire: superseded history (c0) must not inflate the next fold
+    val cp2 = TxTable.checkpoint(spark, t, targetFileBytes = 128L * 1024)
+    val n2 = Fs.listFiles(s"$t/data/c$cp2")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(n2 <= n1 + 1,
+      s"second checkpoint wrote $n2 files vs $n1 — superseded bytes counted?")
+  }
+
+  test("schema evolution: commits reconcile by name, time travel keeps old shape") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                                  // c0
+    // c1 adds a column the table never had
+    TxTable.upsert(spark, t,
+      Seq((5L, "name5", 5555.0, 1L, "eu")).toDF(
+        "id", "name", "price", "version", "region"),
+      Seq("id"), "version")                                              // c1
+    val got = TxTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "name", "price", "version", "region"))
+    assert(got.count() === 100L)
+    assert(got.filter(col("id") === 5L).head.getString(4) === "eu")
+    assert(got.filter(col("id") === 6L).head.isNullAt(4),
+      "pre-evolution rows carry null for the added column")
+    // a batch MISSING a column: appended rows null-fill on read
+    TxTable.upsert(spark, t,
+      Seq((7L, 7777.0, 2L)).toDF("id", "price", "version"),
+      Seq("id"), "version")                                              // c2
+    val r7 = TxTable.read(spark, t).filter(col("id") === 7L).head
+    assert(r7.getDouble(2) === 7777.0 && r7.isNullAt(1) && r7.isNullAt(4))
+    // time travel below the evolution sees the ORIGINAL schema
+    assert(TxTable.readAt(spark, t, 0L).columns.toSeq
+      === Seq("id", "name", "price", "version"))
+    // checkpoint folds the union schema into one clean commit
+    TxTable.checkpoint(spark, t)
+    val folded = TxTable.read(spark, t)
+    assert(folded.count() === 100L)
+    assert(folded.filter(col("id") === 5L).head.getString(4) === "eu")
+  }
+
+  test("readSkippingEquality: bloom cut + DV erasure, exact through both") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    // UNSORTED high-cardinality id: min/max spans make range stats
+    // useless, so any file cut is the bloom's doing
+    val df = (0 until 8000).map(i => (i.toLong, 100.0 + i, 0L))
+      .toDF("id", "price", "version").repartition(8)
+    TxTable.create(spark, t, df, bloomCols = Seq("id"))
+    TxTable.buildManifest(spark, t, Seq("id"))
+    // GDPR-style erasure of one key, recorded only in deletion vectors
+    TxTable.upsert(spark, t,
+      Seq((4321L, 0.0, 1L, "d")).toDF("id", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    val gone = TxTable.readSkippingEquality(spark, t, "id", 4321L)
+    assert(gone.count() === 0L,
+      "the erased key must return zero rows THROUGH the bloom path")
+    val hit = TxTable.readSkippingEquality(spark, t, "id", 1234L)
+    assert(hit.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      === Seq((1234L, 1334.0)))
+    // and the bloom actually cut files: 8 round-robin files, one carrier
+    val dataInputs = hit.inputFiles.filter(_.contains("/data/"))
+    assert(dataInputs.nonEmpty && dataInputs.length < 8,
+      s"bloom probe kept ${dataInputs.length} of 8 files — no cut?")
+  }
+
+  test("changeFeed: i/u/d per commit; replay reconstructs the snapshot") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(50))                                   // c0
+    TxTable.upsert(spark, t,
+      Seq((3L, "name3", 3333.0, 1L, "u"), (4L, "x", 0.0, 1L, "d"),
+          (600L, "ins", 6.0, 1L, "u"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))                          // c1
+    TxTable.upsert(spark, t,
+      Seq((3L, "name3", 9999.0, 2L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                              // c2
+    val feed = TxTable.changeFeed(spark, t, Seq("id"))
+    // c0: 50 inserts; c1: u(3) d(4) i(600); c2: u(3)
+    assert(feed.filter(col("commit") === 0L && col("op") === "i").count() === 50L)
+    val c1 = feed.filter(col("commit") === 1L)
+      .select("id", "op").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(c1 === Set((3L, "u"), (4L, "d"), (600L, "i")))
+    assert(feed.filter(col("commit") === 2L)
+      .select("id", "op").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((3L, "u")))
+    // replay: latest op per key wins, d drops the key → live snapshot
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("id").orderBy(col("commit").desc)
+    val replayed = feed
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .select("id", "name", "price", "version")
+      .orderBy("id").collect().toSeq
+    val live = TxTable.read(spark, t)
+      .select("id", "name", "price", "version").orderBy("id").collect().toSeq
+    assert(replayed === live, "replaying the feed must reconstruct the snapshot")
+  }
+
+  test("changeFeed: checkpoint and compactFiles commits are feed-invisible") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(60))                                   // c0
+    TxTable.upsert(spark, t,
+      Seq((2L, "name2", 2222.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")                                              // c1
+    val cp = TxTable.checkpoint(spark, t)                                // c2
+    TxTable.upsert(spark, t,
+      (0 until 30).map(i => (i.toLong, s"name$i", 0.0, 2L, "d"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))                          // c3
+    val folded = TxTable.compactFiles(spark, t, minDeadFraction = 0.2)   // c4
+    assert(folded.nonEmpty)
+    val feed = TxTable.changeFeed(spark, t, Seq("id"))
+    assert(feed.filter(col("commit") === cp).count() === 0L,
+      "a checkpoint supersedes — it must not feed")
+    assert(feed.filter(col("commit") === folded.get).count() === 0L,
+      "a compaction moves rows unchanged — it must not feed")
+    assert(feed.filter(col("commit") === 3L && col("op") === "d").count() === 30L)
+  }
+
+  test("compactFiles rewrites only hot files; cold files byte-untouched") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    // 8 range-partitioned files; deletes target ONE range (skew)
+    val df = (0 until 8000).map(i => (i.toLong, 100.0 + i, 0L))
+      .toDF("id", "price", "version")
+      .repartitionByRange(8, col("id")).sortWithinPartitions("id")
+    TxTable.create(spark, t, df)                                         // c0
+    // dead range 0..899, but every 100th id survives so no hot file can
+    // end up FULLY dead regardless of where the sampled range boundaries
+    // landed (a fully-dead-only hot set folds to nothing, by design)
+    TxTable.upsert(spark, t,
+      (0 until 900).filter(_ % 100 != 0).map(i => (i.toLong, 0.0, 1L, "d"))
+        .toDF("id", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))                          // c1
+    val before = TxTable.read(spark, t).orderBy("id").collect().toSeq
+    val coldBefore = Fs.listFiles(s"$t/data/c0")
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+    val k = TxTable.compactFiles(spark, t, minDeadFraction = 0.02)
+    assert(k.nonEmpty, "the hot file crossed the threshold")
+    // parity: the snapshot is unchanged
+    assert(TxTable.read(spark, t).orderBy("id").collect().toSeq === before)
+    // cold files byte-identical (same length, same mtime — never rewritten)
+    val coldAfter = Fs.listFiles(s"$t/data/c0")
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+    assert(coldAfter === coldBefore, "compactFiles must not touch cold files")
+    // the fold moved only the hot file's live rows — range boundaries are
+    // sample-approximate, so bound it: far below the 7100 live total
+    val moved = spark.read.parquet(s"$t/data/c${k.get}")
+    assert(moved.count() >= 1L && moved.count() < 1500L,
+      s"expected ~one file's live rows, got ${moved.count()} of 7100")
+    // hot file's OLD positions are now fully dead: reads skip its live set
+    TxTable.compactFiles(spark, t, minDeadFraction = 0.02)
+    assert(TxTable.read(spark, t).orderBy("id").collect().toSeq === before,
+      "a second fold (if any) must still preserve the snapshot")
+  }
+
   test("insert-only and delete-only batches commit cleanly") {
     import spark.implicits._
     val t = tmp() + "/t"
