@@ -1564,6 +1564,115 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_mor_evolution" -> ((s, dir) => {
+      // SCHEMA EVOLUTION on the transactional table (round 17): commit 0
+      // is created WITHOUT o_orderpriority; commit 1's reprice batch
+      // carries it as a new column. The multi-commit read reconciles by
+      // name (ParquetIO.merge's S13 unionByName contract) — pre-evolution
+      // rows surface NULL for the added column, the repriced rows carry
+      // their value, and the DV/latest-wins semantics are unchanged. The
+      // oracle reconstructs the same frame with a CASE on the evolved
+      // column, so a read that dropped either commit's columns (or rows)
+      // hash-mismatches.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "morevo")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+      TxTable.create(s, t, orders
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("version", lit(0L)))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 1000.0).as("o_totalprice"),
+            col("o_orderpriority"))
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      TxTable.read(s, t)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("o_orderpriority"), col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_tx_bloom" -> ((s, dir) => {
+      // BLOOM POINT LOOKUP through the transactional table (round 17):
+      // an UNSORTED round-robin layout (min/max ranges span the whole
+      // key domain — any file cut is the split-block bloom's) written
+      // with bloom bitsets on the key, manifest built, then a GDPR-style
+      // erasure of one key recorded ONLY in deletion vectors. The
+      // erased key's lookup must return zero rows THROUGH the bloom
+      // path (the bloom still admits its file — the DV kills the row);
+      // the live key's lookup must return its exact row. The oracle is
+      // the plain filtered read of the surviving key.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txbloom")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, t,
+        orders.withColumn("version", lit(0L)).repartition(8),
+        bloomCols = Seq("o_orderkey"))
+      TxTable.buildManifest(s, t, Seq("o_orderkey"))
+      val delKey = orders.filter(col("o_orderkey") % 7 === 0)
+        .agg(min("o_orderkey")).head.getLong(0)
+      val liveKey = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .agg(min("o_orderkey")).head.getLong(0)
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") === delKey)
+          .withColumn("version", lit(1L)).withColumn("op", lit("d")),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      TxTable.readSkippingEquality(s, t, "o_orderkey", delKey)
+        .unionByName(TxTable.readSkippingEquality(s, t, "o_orderkey", liveKey))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_mor_change_feed" -> ((s, dir) => {
+      // ROW-LEVEL CHANGE FEED out of the commit log (round 17): the
+      // q_mor_checkpoint CDC fixture (reprice v1, negated-key inserts +
+      // tombstones v2) — but the RESULT is built by REPLAYING the
+      // per-commit i/u/d feed (latest op per key wins, 'd' drops the
+      // key), never by reading the table. Equality with the oracle's
+      // direct reconstruction proves the feed carries exactly the
+      // committed changes: create as inserts, each upsert as its
+      // kills-diffed-to-adds delta — the q_change_feed recipe on a
+      // merge-on-read log instead of two snapshots.
+      import graft.sources.TxTable
+      import org.apache.spark.sql.expressions.Window
+      val tmp = graft.operators.Materialize.scratch(s, "morcf")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+          .withColumn("op", lit("u"))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+            .withColumn("op", lit("d")))
+          .withColumn("version", lit(2L)),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      val feed = TxTable.changeFeed(s, t, Seq("o_orderkey"))
+      val w = Window.partitionBy("o_orderkey").orderBy(col("commit").desc)
+      feed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") =!= "d")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_delete_vectors" -> ((s, dir) => {
       // merge-on-read deletes (round 16): orders lands as an 8-file
       // table; two delete batches mark rows WITHOUT rewriting any data
@@ -3397,6 +3506,47 @@ object PipelineQueries {
     // checkpoint+expire must be invisible to the final state: reprices at
     // v1 (folded into the checkpoint), tombstones drop, inserts land at v2
     "q_mor_checkpoint" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 2
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
+    // multi-commit read must reconcile schemas by name: pre-evolution
+    // rows NULL for the added column, repriced rows carry it at v1
+    "q_mor_evolution" ->
+      """SELECT o_orderkey,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_orderpriority
+                ELSE NULL END AS o_orderpriority,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS version
+         FROM orders ORDER BY o_orderkey""",
+    // the erased key (min %7=0) contributes ZERO rows through the bloom
+    // path; the surviving key (min %7<>0) returns its exact row
+    "q_tx_bloom" ->
+      """WITH live AS (
+           SELECT MIN(o_orderkey) AS k FROM orders WHERE o_orderkey % 7 <> 0)
+         SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS o_totalprice,
+           CAST(0 AS BIGINT) AS version
+         FROM orders o, live WHERE o.o_orderkey = live.k
+         ORDER BY o_orderkey""",
+    // replaying the per-commit feed must reconstruct the live snapshot:
+    // same survivors as q_mor_checkpoint (reprice v1, inserts v2,
+    // tombstones gone)
+    "q_mor_change_feed" ->
       """WITH survivors AS (
            SELECT o_orderkey, o_custkey,
              CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
