@@ -248,6 +248,69 @@ object Streams {
       .start()
   }
 
+  /**
+   * Streaming CDC into the TRANSACTIONAL merge-on-read table (round 17):
+   * every micro-batch lands as one [[graft.sources.TxTable.upsert]]
+   * commit — atomic delete+append under a single marker, write volume ∝
+   * the batch — instead of [[upsertSink]]'s copy-on-write generation
+   * rewrite per batch. This is the 100 TB CDC shape: a 0.1 % batch costs
+   * batch-sized files + a KB DV sidecar (SCALE.md `txtable`), and the
+   * sink stays correct under foreachBatch's at-least-once delivery two
+   * ways: a per-batch create-once marker (`_txn/stream/b<id>`) skips a
+   * fully-acknowledged replay outright, and a replay that BEAT the
+   * marker (crash between the table commit and the marker) re-applies
+   * the same batch, which the latest-wins MERGE absorbs as a snapshot
+   * no-op (TxTableSpec pins this). The first batch auto-creates the
+   * table (an empty commit 0 in the batch's schema, then the normal
+   * MERGE — so batch 0 and batch N take the identical path).
+   *
+   * `checkpointEvery > 0` folds the log in-stream: every N batches the
+   * sink runs [[graft.sources.TxTable.checkpoint]] + `expire` + `vacuum`
+   * (single maintenance writer — this sink IS the table's writer, the
+   * foreachBatch serialization contract), so a long-running stream's
+   * read plan stays checkpoint + tail instead of one commit per
+   * micro-batch forever. Consumers read with `TxTable.read`/`readAt`
+   * any time — commits are snapshot-isolated, a reader never sees a
+   * half-applied batch.
+   */
+  def txUpsertSink(updates: DataFrame, root: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String,
+      opCol: Option[String] = None, checkpointEvery: Int = 0,
+      bloomCols: Seq[String] = Seq.empty): StreamingQuery = {
+    import graft.sources.{Fs, TxTable}
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val done = s"$root/_txn/stream/b$batchId"
+        if (!Fs.exists(done)) {
+          if (TxTable.committedIds(root).isEmpty) {
+            // first batch: an empty create in the table's schema (op is
+            // transport metadata, never table data), then the same MERGE
+            // path every later batch takes
+            val shape = opCol.map(batch.toDF().drop(_)).getOrElse(batch.toDF())
+            TxTable.create(spark, root, spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              shape.schema), bloomCols)
+          }
+          TxTable.upsert(spark, root, batch.toDF(), keyCols, versionCol,
+            opCol = opCol, bloomCols = bloomCols)
+          if (checkpointEvery > 0 && batchId > 0 &&
+              batchId % checkpointEvery == 0) {
+            TxTable.checkpoint(spark, root)
+            TxTable.expire(spark, root)
+            TxTable.vacuum(spark, root)
+          }
+          // the stream marker is an at-least-once SHORTCUT, not the
+          // commit bit: it lands last, and a replay that beats it is
+          // absorbed by the merge's latest-wins no-op
+          Fs.createMarker(done, root)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Standing stream-state layout (round 16): one `batch=<tag>` subdir
     * per committed micro-batch, each written with mode OVERWRITE — a
     * replayed micro-batch (foreachBatch is at-least-once) rewrites ITS

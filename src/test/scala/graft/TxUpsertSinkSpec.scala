@@ -1,0 +1,115 @@
+package graft
+
+import graft.sources.{Fs, TxTable}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Streaming CDC into the transactional merge-on-read table (round 17):
+ * each micro-batch is one atomic TxTable commit (batch-sized writes,
+ * never a generation rewrite), correct under at-least-once replay both
+ * through the stream-marker skip and through the merge's latest-wins
+ * absorption, with in-stream log folding.
+ */
+class TxUpsertSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeBatches(base: String): Unit = {
+    (1L to 50L).map(k => (k, "a", 1L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    ((1L to 10L).map(k => (k, "x", 2L, "d")) ++
+      (41L to 60L).map(k => (k, "b", 2L, "u")))
+      .toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f1")
+    Seq((5L, "c", 3L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f2")
+  }
+
+  private def drain(base: String, ckpt: String, every: Int = 0): Unit = {
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val q = Streams.txUpsertSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*"),
+      s"$base/t", ckpt, Seq("k"), "v", opCol = Some("op"),
+      checkpointEvery = every)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def state(base: String): Map[Long, (String, Long)] =
+    TxTable.read(spark, s"$base/t")
+      .select("k", "payload", "v").as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def assertFinal(m: Map[Long, (String, Long)]): Unit = {
+    assert(m.size === 51, s"expected 51 live keys, got ${m.size}")
+    assert((1L to 4L).forall(k => !m.contains(k)) &&
+      (6L to 10L).forall(k => !m.contains(k)), "tombstoned keys stay dead")
+    assert(m(5L) === ("c", 3L), "higher-version re-insert beats the tombstone")
+    assert((11L to 40L).forall(k => m(k) === ("a", 1L)), "untouched keys survive")
+    assert((41L to 60L).forall(k => m(k) === ("b", 2L)), "CDC upserts apply")
+  }
+
+  test("streamed CDC == the batch MERGE; each micro-batch one atomic commit") {
+    val base = java.nio.file.Files.createTempDirectory("graft-txs").toString
+    writeBatches(base)
+    drain(base, s"$base/ckpt")
+    val t = s"$base/t"
+    assertFinal(state(base))
+    assert(!TxTable.read(spark, t).columns.contains("op"),
+      "op is transport metadata — it must not persist")
+    // create (empty c0) + one commit per micro-batch, nothing more: the
+    // write volume is the batch, never a table rewrite
+    assert(TxTable.committedIds(t).size === 4,
+      s"expected empty-create + 3 batch commits, got ${TxTable.committedIds(t)}")
+    // time travel still works mid-stream: after batch 0 only the base load
+    val at1 = TxTable.readAt(spark, t, 1L)
+    assert(at1.count() === 50L)
+  }
+
+  test("replay via the stream marker AND via merge absorption is a no-op") {
+    val base = java.nio.file.Files.createTempDirectory("graft-txsr").toString
+    writeBatches(base)
+    drain(base, s"$base/ckpt1")
+    val before = TxTable.read(spark, s"$base/t").orderBy("k", "v")
+      .collect().toSeq
+    val commits1 = TxTable.committedIds(s"$base/t")
+    // a FRESH checkpoint replays every batch id — the stream markers
+    // short-circuit all of them: no new commits at all
+    drain(base, s"$base/ckpt2")
+    assert(TxTable.committedIds(s"$base/t") === commits1,
+      "marker-acknowledged batches must not commit again")
+    assert(TxTable.read(spark, s"$base/t").orderBy("k", "v").collect().toSeq
+      === before)
+    // now simulate the marker LOSING the race (crash between the table
+    // commit and the stream marker): drop the markers and replay — the
+    // merge re-applies every batch, and latest-wins absorbs it
+    (0L to 2L).foreach(id => Fs.deleteIfExists(s"$base/t/_txn/stream/b$id"))
+    drain(base, s"$base/ckpt3")
+    assert(TxTable.read(spark, s"$base/t").orderBy("k", "v").collect().toSeq
+      === before, "a re-applied batch must be a snapshot no-op")
+    assertFinal(state(base))
+  }
+
+  test("checkpointEvery folds the log in-stream; reads stay checkpoint + tail") {
+    val base = java.nio.file.Files.createTempDirectory("graft-txsc").toString
+    writeBatches(base)
+    Seq((70L, "e", 4L, "u")).toDF("k", "payload", "v", "op")
+      .coalesce(1).write.parquet(s"$base/in/f3")
+    drain(base, s"$base/ckpt", every = 2)
+    val t = s"$base/t"
+    assert(TxTable.checkpointIds(t).nonEmpty,
+      "the in-stream fold must have produced a committed checkpoint")
+    val m = state(base)
+    assert(m.size === 52 && m(70L) === ("e", 4L))
+    assertFinal(m - 70L)
+    // history below the fold is expired; the read resolves from it
+    val cp = TxTable.checkpointIds(t).last
+    val dataInputs = TxTable.read(spark, t).inputFiles.filter(_.contains("/data/"))
+    assert(dataInputs.nonEmpty && dataInputs.forall { f =>
+      TxTable.committedIds(t).filter(_ >= cp)
+        .exists(id => f.contains(s"/data/c$id/"))
+    }, "reads must resolve checkpoint + tail only")
+  }
+}
