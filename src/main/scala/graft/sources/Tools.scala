@@ -160,8 +160,16 @@ object Tools {
    * footer tool like the rest of [[Tools]], not a distributed operator.
    */
   def writeKeyValueMetadata(spark: SparkSession, srcFile: String, dstFile: String,
-      extra: Map[String, String]): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+      extra: Map[String, String]): Unit =
+    writeKeyValueMetadataFile(spark.sparkContext.hadoopConfiguration,
+      srcFile, dstFile, extra)
+
+  /** Configuration-based core of [[writeKeyValueMetadata]] — static so
+    * the distributed [[stampKeyValueMetadata]] tasks call it without
+    * capturing a SparkSession. */
+  private[sources] def writeKeyValueMetadataFile(
+      conf: org.apache.hadoop.conf.Configuration,
+      srcFile: String, dstFile: String, extra: Map[String, String]): Unit = {
     val in = HadoopInputFile.fromPath(new Path(srcFile), conf)
     val reader = ParquetFileReader.open(in)
     val (schema, existingKv) =
@@ -186,6 +194,34 @@ object Tools {
         try fs.delete(dst, false) catch { case _: java.io.IOException => () }
         throw e
     }
+  }
+
+  /**
+   * M4 (write side), DISTRIBUTED (round 17): stamp user key-value
+   * metadata onto EVERY data file of a table — the per-file byte-copy
+   * append fanned across executors (file names preserved, write-new
+   * into `dstDir`, never in-place — the object-store rule every layout
+   * pass here follows). Row groups are byte-copied: footer-only CPU,
+   * file-sized I/O paid once, the same cost class as any compaction
+   * pass — so a 2·10⁵-file table stamps in one task wave per slot,
+   * not a driver loop of 2·10⁵ round-trips. Existing KV entries
+   * (including Spark's schema key) are preserved per file; `extra`
+   * wins on conflict. Returns the number of files stamped.
+   */
+  def stampKeyValueMetadata(spark: SparkSession, srcDir: String,
+      dstDir: String, extra: Map[String, String]): Long = {
+    val files = parquetFiles(spark, srcDir).map(_.toString)
+    require(files.nonEmpty, s"stampKeyValueMetadata: no parquet files under $srcDir")
+    val conf = new StatsManifest.SerConf(spark.sparkContext.hadoopConfiguration)
+    val dst = dstDir
+    spark.createDataset(files)(org.apache.spark.sql.Encoders.STRING)
+      .repartition(math.min(files.size, 64))
+      .map { f: String =>
+        val name = new Path(f).getName
+        writeKeyValueMetadataFile(conf.value, f, s"$dst/$name", extra)
+        1L
+      }(org.apache.spark.sql.Encoders.scalaLong)
+      .reduce(_ + _)
   }
 
   /**

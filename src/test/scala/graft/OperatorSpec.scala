@@ -1184,6 +1184,30 @@ class KvMetadataWriteSpec extends AnyFunSuite {
     val back = spark.read.parquet(dst).as[(Long, String)].collect().toSet
     assert(back == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("M4 write, distributed: every file of a table stamped, data intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-kvd").toString
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/src")
+    val n = graft.sources.Tools.stampKeyValueMetadata(spark, s"$base/src",
+      s"$base/dst", Map("graft.lineage" -> "job-42", "graft.round" -> "17"))
+    assert(n === 8L, s"expected 8 files stamped, got $n")
+    // EVERY output file carries the stamp + the preserved Spark schema key
+    val conf = spark.sparkContext.hadoopConfiguration
+    graft.sources.Tools.parquetFiles(spark, s"$base/dst").foreach { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      val kv = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+      } finally reader.close()
+      assert(kv.get("graft.lineage").contains("job-42"), s"$f missing stamp")
+      assert(kv.keys.exists(_.contains("spark")), s"$f lost the schema key")
+    }
+    // byte-copied row groups: the data round-trips exactly
+    assert(spark.read.parquet(s"$base/dst").as[(Long, String)].collect().toSet
+      === df.as[(Long, String)].collect().toSet)
+  }
 }
 
 class ClusterPairsSpec extends AnyFunSuite {
