@@ -300,6 +300,16 @@ object Streams {
             TxTable.checkpoint(spark, root)
             TxTable.expire(spark, root)
             TxTable.vacuum(spark, root)
+            // stream markers exist to short-circuit replays, and only
+            // the in-flight batch can replay — markers below it are
+            // dead weight; sweep them with the same cadence (losing one
+            // to a crash is safe: the merge absorbs a re-application)
+            if (Fs.isDirectory(s"$root/_txn/stream"))
+              Fs.listFiles(s"$root/_txn/stream")
+                .map(_.getPath.getName)
+                .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+                  n.drop(1).toLong < batchId)
+                .foreach(n => Fs.deleteIfExists(s"$root/_txn/stream/$n"))
           }
           // the stream marker is an at-least-once SHORTCUT, not the
           // commit bit: it lands last, and a replay that beats it is

@@ -111,5 +111,10 @@ class TxUpsertSinkSpec extends AnyFunSuite {
       TxTable.committedIds(t).filter(_ >= cp)
         .exists(id => f.contains(s"/data/c$id/"))
     }, "reads must resolve checkpoint + tail only")
+    // stream markers below the maintenance batch are swept — the marker
+    // dir is bounded by the fold cadence, not the stream's lifetime
+    val markers = Fs.listFiles(s"$t/_txn/stream").map(_.getPath.getName)
+    assert(markers.size <= 3,
+      s"stream markers must be swept at the fold cadence, got $markers")
   }
 }
