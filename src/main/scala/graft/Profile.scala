@@ -39,7 +39,8 @@ object Profile {
     "delvec" -> (ProfileDeleteVectors.run _, "merge-on-read deletes at 100x: mark/read/fold walls vs copy-on-write rewrite"),
     "manifest" -> (ProfileStatsManifest.run _, "stats-manifest skipping at 2048 files: build/prune/refresh walls, bloom point lookup at 256 files"),
     "txtable" -> (ProfileTxTable.run _, "transactional MOR merge vs copy-on-write at 100x: upsert/read/checkpoint walls + write volumes"),
-    "txtable17" -> (ProfileTxTable17.run _, "round-17 TxTable: upsert broadcast vs shuffled fallback (CDC + backfill), compactFiles vs checkpoint on a skewed delete, changeFeed"))
+    "txtable17" -> (ProfileTxTable17.run _, "round-17 TxTable: upsert broadcast vs shuffled fallback (CDC + backfill), compactFiles vs checkpoint on a skewed delete, changeFeed"),
+    "feedwidth" -> (ProfileFeedWidth.run _, "changeFeed construction/execution walls vs commit-log length (args: nCommits)"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

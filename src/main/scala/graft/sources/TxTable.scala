@@ -174,6 +174,7 @@ object TxTable {
     * commit's columns leading. Same-schema commits — the common case —
     * keep the single multi-dir scan (pushdown and pruning intact). */
   private def scanResolved(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    if (dirs.size <= 1) return DeleteVectors.scanWithRowId(spark, dirs)
     val schemas = dirs.map(d => spark.read.parquet(d).schema)
     if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, dirs)
     else dirs.map(d => DeleteVectors.scanWithRowId(spark, Seq(d)))
@@ -191,6 +192,7 @@ object TxTable {
       .sortBy { case (d, _) =>
         new org.apache.hadoop.fs.Path(d).getName.stripPrefix("c").toLong
       }
+    if (groups.size <= 1) return DeleteVectors.scanWithRowId(spark, files)
     val schemas = groups.map { case (_, fs) =>
       spark.read.parquet(fs.head).schema
     }
@@ -418,44 +420,73 @@ object TxTable {
    * reconstructs any snapshot; requires commits ≥ `fromCommit` to be
    * unexpired. Cost: Σ per-commit (files touched) — run it at CDC
    * cadence, before [[checkpoint]]+[[expire]] collapse the history.
+   *
+   * Long logs do NOT widen the plan: per-commit deltas fold in chunks
+   * of `spillEvery`, each chunk spilled once to scratch parquet (the
+   * repo's spill-once candidate-relation pattern), so Catalyst plans
+   * O(spillEvery) branches at a time instead of one branch per commit —
+   * measured at 40 commits: 14.9 s of pure PLANNING on the flat union
+   * vs bounded chunk plans (SCALE.md round-17).
    */
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
-      fromCommit: Long = 0L): DataFrame = {
+      fromCommit: Long = 0L, spillEvery: Int = 8): DataFrame = {
     require(keys.nonEmpty, "txtable.changeFeed needs key columns")
     val all = committedIds(root)
     require(all.nonEmpty, s"txtable: nothing committed under $root")
     val cps = checkpointIds(root).toSet
-    val feeds = all.filter(k => k >= fromCommit && !cps.contains(k))
-      .flatMap(k => commitChanges(spark, root, k, keys))
+    val feedIds = all.filter(k => k >= fromCommit && !cps.contains(k))
+    // ONE job resolves every commit's touched-file list (the sidecars
+    // are tiny) — a per-commit collect would issue one job per commit,
+    // the driver-loop shape this repo exists to avoid
+    val dvPresent = feedIds.filter(k => Fs.isDirectory(dvDir(root, k)))
+    val killFiles: Map[Long, Seq[String]] =
+      if (dvPresent.isEmpty) Map.empty
+      else spark.read.parquet(dvPresent.map(dvDir(root, _)): _*)
+        .select(col("file_path"), col("_metadata.file_path").as("__src"))
+        .distinct()
+        .collect()
+        .map { r =>
+          val k = new org.apache.hadoop.fs.Path(r.getString(1))
+            .getParent.getName.toLong
+          (k, r.getString(0))
+        }
+        .groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._2).distinct.sorted.toSeq
+        }
+    val feeds = feedIds.flatMap(k =>
+      commitChanges(spark, root, k, keys,
+        killFiles.getOrElse(k, Seq.empty)))
     if (feeds.isEmpty) {
       val base = read(spark, root)
       val payload = base.columns.filterNot(keys.contains).toSeq
       base.select(keys.map(col) ++ Seq(lit("").as("op")) ++
         payload.map(col) :+ lit(0L).as("commit"): _*).filter(lit(false))
-    } else feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
+      def union(ds: Seq[DataFrame]): DataFrame =
+        ds.reduce(_.unionByName(_, allowMissingColumns = true))
+      val chunks = feeds.grouped(math.max(1, spillEvery)).toSeq
+      if (chunks.size <= 1) union(feeds)
+      else union(chunks.map(c =>
+        graft.operators.Materialize.viaParquet(union(c), "txfeed")))
+    }
   }
 
-  /** One commit's i/u/d delta: kills (DV-resolved rows) diffed to adds
-    * (the data dir) by key — [[ParquetIO.changeFeed]] does the
-    * comparing; schema drift between the two sides reconciles by name
-    * first. None when the commit changed nothing. */
+  /** One commit's i/u/d delta: kills (DV-resolved rows over the
+    * precomputed `killFiles` the commit touched) diffed to adds (the
+    * data dir) by key — [[ParquetIO.changeFeed]] does the comparing;
+    * schema drift between the two sides reconciles by name first.
+    * None when the commit changed nothing. */
   private def commitChanges(spark: SparkSession, root: String, k: Long,
-      keys: Seq[String]): Option[DataFrame] = {
+      keys: Seq[String], killFiles: Seq[String]): Option[DataFrame] = {
     val dDir = dataDir(root, k)
     val vDir = dvDir(root, k)
     val adds =
       if (Fs.isDirectory(dDir)) Some(spark.read.parquet(dDir)) else None
     val kills =
-      if (!Fs.isDirectory(vDir)) None
-      else {
-        val dv = DeleteVectors.foldDvDirs(spark, Seq(vDir))
-        val files = dv.select("__dv_fp").distinct()
-          .as[String](org.apache.spark.sql.Encoders.STRING)
-          .collect().toSeq.sorted
-        if (files.isEmpty) None
-        else Some(DeleteVectors.killedRows(
-          scanResolvedFiles(spark, files), dv))
-      }
+      if (killFiles.isEmpty) None
+      else Some(DeleteVectors.killedRows(
+        scanResolvedFiles(spark, killFiles),
+        DeleteVectors.foldDvDirs(spark, Seq(vDir))))
     if (adds.isEmpty && kills.isEmpty) return None
     // widen both sides to the union schema (nulls for the missing leg)
     // so the diff survives schema evolution between commits
