@@ -625,6 +625,36 @@ object TxTable {
         }
     }
 
+  /**
+   * Log introspection (round 17) — the `DESCRIBE HISTORY` analogue, one
+   * row per COMMITTED id: whether it is a checkpoint, its data files /
+   * bytes (directory listings, bounded by log length), and its DV kill
+   * count (popcount over the commit's own sidecar — tiny). Metadata
+   * only: no data page is read, so it is safe to call on any table at
+   * any size. Uncommitted (claimed/crashed) ids are invisible here as
+   * everywhere; [[vacuum]] reports those.
+   */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cps = checkpointIds(root).toSet
+    val rows = committedIds(root).map { k =>
+      val d = dataDir(root, k)
+      val files =
+        if (!Fs.isDirectory(d)) Seq.empty
+        else Fs.listFiles(d).filter { f =>
+          f.getPath.getName.endsWith(".parquet") &&
+            !f.getPath.getName.startsWith("_")
+        }
+      val v = dvDir(root, k)
+      val killed =
+        if (!Fs.isDirectory(v)) 0L
+        else spark.read.parquet(v)
+          .agg(coalesce(sum("n_deleted"), lit(0L))).head().getLong(0)
+      (k, cps.contains(k), files.size.toLong, files.map(_.getLen).sum, killed)
+    }
+    rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted")
+  }
+
   /** Sweep crashed-writer leftovers: data/DV dirs and unredeemed claim
     * markers whose id has no commit marker AND is below the newest
     * committed id (an id above it may be an in-flight writer — never

@@ -508,6 +508,30 @@ class TxTableSpec extends AnyFunSuite {
       "a second fold (if any) must still preserve the snapshot")
   }
 
+  test("history reports one metadata-only row per committed id") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))                                  // c0
+    TxTable.upsert(spark, t,
+      Seq((1L, "name1", 1111.0, 1L, "u"), (2L, "x", 0.0, 1L, "d"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))                          // c1
+    val cp = TxTable.checkpoint(spark, t)                                // c2
+    // a crashed (unmarked) commit must be invisible to history too
+    val k = TxTable.upsert(spark, t,
+      Seq((3L, "name3", 3333.0, 2L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    Fs.deleteIfExists(s"$t/_txn/commits/c$k")
+    val h = TxTable.history(spark, t).orderBy("commit").collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(0L, 1L, cp))
+    val byId = h.map(r => r.getLong(0) ->
+      ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(byId(0L)._1 === false && byId(0L)._2 > 0 && byId(0L)._4 === 0L)
+    assert(byId(1L)._4 === 2L, "c1 killed the repriced row and the tombstone")
+    assert(byId(cp)._1 === true && byId(cp)._4 === 0L)
+    assert(h.forall(r => r.getLong(3) >= 0L))
+  }
+
   test("insert-only and delete-only batches commit cleanly") {
     import spark.implicits._
     val t = tmp() + "/t"
