@@ -636,8 +636,23 @@ object TxTable {
    */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
+    val committed = committedIds(root)
     val cps = checkpointIds(root).toSet
-    val rows = committedIds(root).map { k =>
+    // ALL commits' kill counts in one scan of the (tiny) sidecars —
+    // commit attribution from the sidecar's own path, never a
+    // one-job-per-commit driver loop
+    val dvDirs = existingDvDirs(root, committed)
+    val killed: Map[Long, Long] =
+      if (dvDirs.isEmpty) Map.empty
+      else spark.read.parquet(dvDirs: _*)
+        .select(col("n_deleted"), col("_metadata.file_path").as("__src"))
+        .collect()
+        .map { r =>
+          (new org.apache.hadoop.fs.Path(r.getString(1))
+            .getParent.getName.toLong, r.getLong(0))
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val rows = committed.map { k =>
       val d = dataDir(root, k)
       val files =
         if (!Fs.isDirectory(d)) Seq.empty
@@ -645,12 +660,8 @@ object TxTable {
           f.getPath.getName.endsWith(".parquet") &&
             !f.getPath.getName.startsWith("_")
         }
-      val v = dvDir(root, k)
-      val killed =
-        if (!Fs.isDirectory(v)) 0L
-        else spark.read.parquet(v)
-          .agg(coalesce(sum("n_deleted"), lit(0L))).head().getLong(0)
-      (k, cps.contains(k), files.size.toLong, files.map(_.getLen).sum, killed)
+      (k, cps.contains(k), files.size.toLong, files.map(_.getLen).sum,
+        killed.getOrElse(k, 0L))
     }
     rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted")
   }
