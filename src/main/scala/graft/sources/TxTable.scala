@@ -578,21 +578,32 @@ object TxTable {
    * `compactFragmentedPartitions` exists for, answered in-log).
    * Output sizing is computed over the RESOLUTION set's bytes
    * (checkpoint + tail — already-superseded history must not inflate
-   * the file count). Ordering: data dir, then the checkpoint marker,
-   * then the COMMIT marker — a crash leaves either invisible dirs or a
+   * the file count). `sortCols` (round 17) makes the fold a LAYOUT
+   * pass too: the live rows range-exchange + sort on those keys (the
+   * [[ParquetIO.compactSorted]] recipe), so each checkpoint file is a
+   * tight key range and a [[buildManifest]] right after restores
+   * file-level pruning that months of unordered CDC commits eroded —
+   * mutation and clustered layout stop being either/or. Ordering:
+   * data dir, then the checkpoint marker, then the COMMIT marker — a
+   * crash leaves either invisible dirs or a
    * checkpoint-marker-without-commit, which [[checkpointIds]] ignores
    * and [[vacuum]] sweeps. History BEFORE the checkpoint stays
    * readable ([[readAt]]) until [[expire]] collapses it.
    */
   def checkpoint(spark: SparkSession, root: String,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty): Long = {
     val k = claimId(root)
     val live = read(spark, root)
     val bytes = ParquetIO.inputBytes(spark,
       existingDataDirs(root, resolvedIds(root)))
     val parts = math.max(1L, bytes / math.max(1L, targetFileBytes)).toInt
-    writeData(live.repartition(parts), dataDir(root, k), bloomCols)
+    val sized =
+      if (sortCols.isEmpty) live.repartition(parts)
+      else live.repartitionByRange(parts, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    writeData(sized, dataDir(root, k), bloomCols)
     require(Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k)),
       s"txtable: checkpoint marker c$k already exists under $root — " +
         "lost a commit race")

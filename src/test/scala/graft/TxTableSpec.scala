@@ -508,6 +508,41 @@ class TxTableSpec extends AnyFunSuite {
       "a second fold (if any) must still preserve the snapshot")
   }
 
+  test("sorted checkpoint restores file-level pruning after unordered CDC") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    // deliberately UNSORTED create: every file spans the key domain, so
+    // the manifest cannot prune anything
+    val df = (0 until 10000).map(i => (i.toLong, 100.0 + i, 0L))
+      .toDF("id", "price", "version").repartition(8)
+    TxTable.create(spark, t, df)
+    TxTable.upsert(spark, t,
+      (0 until 100).map(i => (i * 97L % 10000, 9.0, 1L))
+        .toDF("id", "price", "version").distinct(),
+      Seq("id"), "version")
+    val expected = TxTable.read(spark, t)
+      .filter(col("id") >= 2000L && col("id") <= 2999L)
+      .orderBy("id", "version").collect().toSeq
+    TxTable.buildManifest(spark, t, Seq("id"))
+    val unsorted = TxTable.readSkipping(spark, t, "id", 2000L, 2999L)
+    assert(unsorted.inputFiles.count(_.contains("/data/")) >= 8,
+      "unsorted layout: the manifest can prove nothing")
+    // fold WITH layout: range-sorted checkpoint, manifest rebuilt
+    TxTable.checkpoint(spark, t, targetFileBytes = 8L * 1024,
+      sortCols = Seq("id"))
+    TxTable.expire(spark, t)
+    TxTable.buildManifest(spark, t, Seq("id"))
+    val sorted = TxTable.readSkipping(spark, t, "id", 2000L, 2999L)
+    assert(sorted.orderBy("id", "version").collect().toSeq === expected,
+      "the layout pass must not change the snapshot")
+    val total = graft.sources.Fs.listFiles(
+      s"$t/data/c${TxTable.checkpointIds(t).last}")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val kept = sorted.inputFiles.count(_.contains("/data/"))
+    assert(total >= 4 && kept < total,
+      s"sorted fold must restore pruning (kept $kept of $total)")
+  }
+
   test("history reports one metadata-only row per committed id") {
     import spark.implicits._
     val t = tmp() + "/t"
