@@ -129,7 +129,26 @@ object Fs {
     * call created the marker. */
   def createMarker(path: String, content: String, c: Configuration = conf()): Boolean = {
     val (fs, p) = fileSystem(path, c)
-    if (fs.exists(p)) false
+    // local FS: Hadoop's RawLocalFileSystem.create(overwrite=false) is
+    // CHECK-THEN-ACT, not atomic — two threads racing the same marker
+    // can both "win" (found by TxTableSpec's real-thread claim race).
+    // Route file:// through java.nio CREATE_NEW, which is O_EXCL-atomic;
+    // HDFS create(false) is atomic server-side, and on S3 the create-once
+    // maps to the conditional-PUT premise documented above.
+    if ("file".equalsIgnoreCase(p.toUri.getScheme) ||
+        (p.toUri.getScheme == null && fs.getScheme == "file")) {
+      val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      try {
+        val parent = local.getParent
+        if (parent != null) java.nio.file.Files.createDirectories(parent)
+        java.nio.file.Files.write(local, content.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else if (fs.exists(p)) false
     else {
       val out =
         try fs.create(p, false)

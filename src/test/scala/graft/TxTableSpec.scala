@@ -267,6 +267,54 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.committedIds(t) === Seq(0L, 1L, 2L))
   }
 
+  test("REAL concurrent writers: every commit survives, ids never collide") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // 6 threads × 4 appends each, racing the claim protocol for real —
+    // plus 2 threads upserting DISJOINT key ranges (the documented-safe
+    // multi-writer premise)
+    val appends = (0 until 6).map { th =>
+      Future {
+        (0 until 4).foreach { i =>
+          TxTable.append(spark, t,
+            Seq((10000L + th * 100 + i, s"t$th-$i", 1.0, 0L))
+              .toDF("id", "name", "price", "version"))
+        }
+      }
+    }
+    val upserts = (0 until 2).map { th =>
+      Future {
+        (0 until 3).foreach { v =>
+          TxTable.upsert(spark, t,
+            Seq((th.toLong, s"u$th", 100.0 * th + v, v.toLong + 1L))
+              .toDF("id", "name", "price", "version"),
+            Seq("id"), "version")
+        }
+      }
+    }
+    Await.result(Future.sequence(appends ++ upserts), 10.minutes)
+    val ids = TxTable.committedIds(t)
+    assert(ids.size === 1 + 24 + 6, s"every writer's commit must survive: $ids")
+    assert(ids.distinct.size === ids.size, "commit ids must never collide")
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 124L, "100 base + 24 appended rows")
+    // every append's row is present — nobody's data dir was clobbered
+    assert(got.filter(col("id") >= 10000L).count() === 24L)
+    // each upserted key converged to ITS thread's max version
+    (0 until 2).foreach { th =>
+      val r = got.filter(col("id") === th.toLong).collect()
+      assert(r.length === 1 && r.head.getLong(3) === 3L,
+        s"thread $th's key must hold its latest version: ${r.toSeq}")
+    }
+    // no claim was left unredeemed by a SUCCESSFUL writer
+    assert(TxTable.vacuum(spark, t).isEmpty,
+      "successful concurrent writers must leave no litter")
+  }
+
   test("an out-of-band commit marker fails the commit loudly") {
     val t = tmp() + "/t"
     TxTable.create(spark, t, base(10))
