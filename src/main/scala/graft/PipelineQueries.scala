@@ -1632,6 +1632,68 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_mor_compact" -> ((s, dir) => {
+      // FILE-LEVEL FOLD-DOWN under the oracle (round 17): range-sorted
+      // create → tombstone every 7th key at v1 (deletes skew into the
+      // low-key files) → compactFiles rewrites ONLY files past the
+      // dead-fraction threshold (adds = their live rows, DVs re-kill
+      // the old positions) → read. Equality with the plain double-
+      // reconstruction proves the fold moved exactly the live rows and
+      // the re-kill vectors retired exactly the old copies — a fold
+      // that dropped or duplicated anything hash-mismatches.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "morcompact")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("version", lit(1L)).withColumn("op", lit("d")),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      TxTable.compactFiles(s, t, minDeadFraction = 0.05)
+      TxTable.read(s, t)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_tx_layout" -> ((s, dir) => {
+      // SORTED CHECKPOINT as a layout pass (round 17): an UNSORTED
+      // create (every file spans the key domain — the manifest can
+      // prove nothing) → reprice batch → checkpoint(sortCols) folds the
+      // log INTO a range-sorted layout → manifest rebuild →
+      // readSkipping. Equality with the plain range WHERE proves the
+      // layout fold preserved the snapshot while restoring file-level
+      // pruning (TxTableSpec pins the file cut itself).
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txlayout")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.create(s, t,
+        orders.withColumn("version", lit(0L)).repartition(8))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      TxTable.checkpoint(s, t, sortCols = Seq("o_orderkey"))
+      TxTable.expire(s, t)
+      TxTable.buildManifest(s, t, Seq("o_orderkey"))
+      TxTable.readSkipping(s, t, "o_orderkey", 1000L, 5000L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("version")).as("sum_version"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_mor_change_feed" -> ((s, dir) => {
       // ROW-LEVEL CHANGE FEED out of the commit log (round 17): the
       // q_mor_checkpoint CDC fixture (reprice v1, negated-key inserts +
@@ -3543,6 +3605,29 @@ object PipelineQueries {
            CAST(0 AS BIGINT) AS version
          FROM orders o, live WHERE o.o_orderkey = live.k
          ORDER BY o_orderkey""",
+    // the fold must move exactly the live rows of the hot files and
+    // retire exactly their old copies — the snapshot is the plain
+    // tombstone reconstruction
+    "q_mor_compact" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(0 AS BIGINT) AS version
+         FROM orders WHERE o_orderkey % 7 <> 0
+         ORDER BY o_orderkey""",
+    // the sorted fold must preserve the snapshot while restoring
+    // pruning: same repriced reconstruction as the range WHERE
+    "q_tx_layout" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(version) AS BIGINT) AS sum_version
+         FROM survivors WHERE o_orderkey BETWEEN 1000 AND 5000
+         GROUP BY 1 ORDER BY 1""",
     // replaying the per-commit feed must reconstruct the live snapshot:
     // same survivors as q_mor_checkpoint (reprice v1, inserts v2,
     // tombstones gone)
