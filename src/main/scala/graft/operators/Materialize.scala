@@ -117,4 +117,61 @@ object Materialize {
             sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
     }
   }
+
+  /**
+   * Incremental aggregate maintenance from a CHANGE FEED (round 18) —
+   * the retraction half [[incrementalAgg]] was missing: that fold only
+   * ingests insert-only deltas, so any aggregate over a MUTATING
+   * [[graft.sources.TxTable]] had to rescan. This one consumes the
+   * table's own i/u/d feed (`changeFeed(withPreimage = true)` /
+   * `changeFeedFrom`): inserts and update POSTIMAGES add (+1 row,
+   * +values), deletes and update PREIMAGES (`op = "up"`) retract
+   * (−1 row, −values), so COUNT/SUM/AVG state follows updates and
+   * tombstones without touching base data. Preimages are REQUIRED:
+   * produce the feed with `withPreimage = true` — a `u` row folded
+   * without its `up` twin absorbs the update as a plain add and
+   * corrupts the view silently, so an op code outside {i, u, up, d}
+   * raises rather than defaulting (the one structural check the feed
+   * admits; the pairing itself is the producer's contract).
+   *
+   * Same state algebra as [[incrementalAgg]] — keys, `n` LONG,
+   * `sum_<c>` DECIMAL(38,2) — signed: the delta aggregate weights each
+   * feed row ±1, the merge is one key-hash exchange over state ∪ Δ, and
+   * groups whose `n` reaches 0 drop out (a fully-retracted key must
+   * vanish exactly as it would in the from-scratch aggregate). Signed
+   * exact decimals commute and associate, so ANY batching of the feed —
+   * one shot, per-commit, arbitrary cursor chunks — converges to the
+   * same state (`q_incr_agg_cdc` pins this against the oracle).
+   */
+  def incrementalAggCdc(state: Option[DataFrame], feed: DataFrame,
+      keyCols: Seq[String], sumCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "incrementalAggCdc needs at least one key column")
+    require(feed.columns.contains(opCol),
+      s"incrementalAggCdc: feed has no '$opCol' column — pass a change feed, not a snapshot")
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, sum, when}
+    val weight = when(col(opCol).isin("i", "u"), lit(1))
+      .when(col(opCol).isin("up", "d"), lit(-1))
+      .otherwise(raise_error(concat(
+        lit("incrementalAggCdc: unknown op code '"), col(opCol),
+        lit("' — expected i/u/up/d (feed produced withPreimage?)"))))
+    def norm(df: DataFrame): DataFrame =
+      df.select(keyCols.map(col) ++ Seq(col("n").cast("long").as("n")) ++
+        sumCols.map(c => col(s"sum_$c").cast("decimal(38,2)").as(s"sum_$c")): _*)
+    val dAgg = norm(feed
+      .withColumn("__w", weight)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__w")).as("n"),
+        sumCols.map(c =>
+          sum(col("__w") * col(c).cast("decimal(18,2)")).as(s"sum_$c")): _*))
+    val merged = state match {
+      case None => dAgg
+      case Some(st) =>
+        norm(norm(st).unionByName(dAgg)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n")).as("n"),
+            sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
+    }
+    merged.filter(col("n") =!= 0L)
+  }
 }

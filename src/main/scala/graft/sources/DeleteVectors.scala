@@ -108,10 +108,20 @@ object DeleteVectors {
 
   private[sources] def scanWithRowId(spark: SparkSession,
       paths: Seq[String]): DataFrame =
-    spark.read.parquet(paths: _*)
+    scanWithRowId(spark, paths, None)
+
+  /** `basePath` variant: an explicit FILE list below a hive-partitioned
+    * root keeps its partition columns (Spark recovers them from the
+    * directory names relative to `basePath`) — [[TxTable]]'s skipping
+    * reads over partitioned commit dirs. */
+  private[sources] def scanWithRowId(spark: SparkSession,
+      paths: Seq[String], basePath: Option[String]): DataFrame = {
+    val rd = basePath.foldLeft(spark.read)((r, b) => r.option("basePath", b))
+    rd.parquet(paths: _*)
       .select(col("*"),
         col("_metadata.file_path").as("__dv_file"),
         col("_metadata.row_index").as("__dv_row"))
+  }
 
   /** Apply a folded DV relation to a row-identified scan: broadcast
     * HASH join on (file, word = row/64) — an O(1) probe per scanned

@@ -52,6 +52,18 @@ object Fs {
     fs.listStatus(p).toSeq.filter(_.isFile)
   }
 
+  /** ALL files under a directory, any depth — one `listFiles(recursive)`
+    * RPC stream (object stores answer this with a flat prefix listing,
+    * cheaper than a walk). Needed for hive-partitioned data dirs whose
+    * leaf files sit below `<col>=<val>/` subdirectories. */
+  def listFilesRecursive(path: String, c: Configuration = conf()): Seq[FileStatus] = {
+    val (fs, p) = fileSystem(path, c)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
   def exists(path: String, c: Configuration = conf()): Boolean = {
     val (fs, p) = fileSystem(path, c)
     fs.exists(p)
@@ -121,20 +133,31 @@ object Fs {
     * file does not already exist; an existing marker is left untouched
     * and the call is a no-op (idempotent under replay races). This is
     * the object-store-safe commit primitive (round-14, replacing the
-    * rename-atomic `_CURRENT` pointer): a new-object create is a single
-    * PUT on S3 — it either fully exists or doesn't, no rename anywhere —
-    * and because a marker is never rewritten, even a non-atomic create
-    * is safe: the marker's EXISTENCE is the commit bit, its content is
-    * advisory (the committed path, for humans). Returns true when this
-    * call created the marker. */
+    * rename-atomic `_CURRENT` pointer): no rename anywhere, and because
+    * a marker is never rewritten, the marker's EXISTENCE is the commit
+    * bit — its content is advisory (the committed path, for humans).
+    * Returns true when this call created the marker.
+    *
+    * ATOMICITY, per scheme (round 18, closing the round-17 advisory's
+    * overclaim): the MUTUAL-EXCLUSION guarantee ("exactly one of N
+    * racing callers returns true") holds only where create-no-overwrite
+    * is enforced at the store —
+    *  - `file://` — O_EXCL via java.nio CREATE_NEW (the explicit branch
+    *    below; Hadoop local `create(overwrite=false)` is check-then-act,
+    *    found by TxTableSpec's real-thread claim race);
+    *  - HDFS / ABFS — `create(overwrite=false)` is atomic server-side
+    *    (namenode lease / blob If-None-Match);
+    *  - `s3a://` — NOT by default: Hadoop's S3AFileSystem implements
+    *    create-no-overwrite as HEAD-then-PUT, so two racers can both
+    *    "win". S3 itself supports conditional PUT (If-None-Match), and
+    *    Hadoop ≥ 3.4.1 can engage it (`fs.s3a.create.conditional.enabled`);
+    *    deployments on older Hadoop need an external coordinator (a DynamoDB
+    *    lock, the Delta/S3 commit-service pattern) for the CLAIM step of
+    *    [[TxTable]]'s protocol. Single-writer uses (replay idempotence,
+    *    crash markers) are safe everywhere — only the multi-writer claim
+    *    race needs the conditional create. */
   def createMarker(path: String, content: String, c: Configuration = conf()): Boolean = {
     val (fs, p) = fileSystem(path, c)
-    // local FS: Hadoop's RawLocalFileSystem.create(overwrite=false) is
-    // CHECK-THEN-ACT, not atomic — two threads racing the same marker
-    // can both "win" (found by TxTableSpec's real-thread claim race).
-    // Route file:// through java.nio CREATE_NEW, which is O_EXCL-atomic;
-    // HDFS create(false) is atomic server-side, and on S3 the create-once
-    // maps to the conditional-PUT premise documented above.
     if ("file".equalsIgnoreCase(p.toUri.getScheme) ||
         (p.toUri.getScheme == null && fs.getScheme == "file")) {
       val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)

@@ -534,7 +534,18 @@ object ParquetIO {
    * serialization). On bucketed generations even that exchange vanishes.
    */
   def changeFeed(oldDf: DataFrame, newDf: DataFrame,
-      keyCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String]): DataFrame =
+    changeFeed(oldDf, newDf, keyCols, withPreimage = false)
+
+  /** `withPreimage` variant (round 18): each `u` row is accompanied by
+    * an `up` row carrying the key's OLD payload — the
+    * update_preimage/update_postimage pair of Delta's change data feed.
+    * Preimages are what make a downstream incremental consumer able to
+    * RETRACT (subtract the old values before adding the new —
+    * [[graft.operators.Materialize.incrementalAggCdc]]); without them an
+    * update is indistinguishable from an insert to any SUM/COUNT state. */
+  def changeFeed(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], withPreimage: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "changeFeed needs at least one key column")
     import org.apache.spark.sql.functions.{col, lit, struct, when}
     val payload = newDf.columns.filterNot(keyCols.contains).toSeq
@@ -551,9 +562,16 @@ object ParquetIO {
           .when(col("__old") <=> col("__new"), lit(null)) // unchanged → drop
           .otherwise(lit("u")))
       .filter(col("op").isNotNull)
-      .withColumn("__p", when(col("op") === "d", col("__old")).otherwise(col("__new")))
-    diffed.select(keyCols.map(col) ++ Seq(col("op")) ++
-      payload.map(c => col("__p").getField(c).as(c)): _*)
+    def shaped(src: DataFrame): DataFrame =
+      src.select(keyCols.map(col) ++ Seq(col("op")) ++
+        payload.map(c => col("__p").getField(c).as(c)): _*)
+    val out = shaped(diffed.withColumn("__p",
+      when(col("op") === "d", col("__old")).otherwise(col("__new"))))
+    if (!withPreimage) out
+    else out.unionByName(shaped(
+      diffed.filter(col("op") === "u")
+        .withColumn("op", lit("up"))
+        .withColumn("__p", col("__old"))))
   }
 
   /**

@@ -35,12 +35,18 @@ import org.apache.spark.storage.StorageLevel
  * interference and fails the operation loudly rather than reporting a
  * commit that may not be this writer's. What the protocol guarantees:
  * no committed data is ever lost or clobbered, and every commit id is
- * written by exactly one writer. What it does NOT provide: key-level
- * conflict detection — two CONCURRENT upserts touching the same key
- * both commit (each kills what was live when IT read), so serializable
- * MERGE semantics still assume one upserting writer per key space (the
- * CDC-stream premise); maintenance ([[checkpoint]], [[compactFiles]],
- * [[expire]], [[vacuum]]) assumes a single maintenance writer.
+ * written by exactly one writer. Key-level conflict detection is OPT-IN
+ * (round 18): [[upsert]] with `conflictDetect = true` validates its key
+ * set against every commit it did not see at its read snapshot and
+ * retries on intersection (claim-id-ordered optimistic concurrency), so
+ * concurrent upserts to the same key serialize; without it, two such
+ * upserts both commit (each kills what was live when IT read) and
+ * serializable MERGE semantics assume one upserting writer per key
+ * space (the CDC-stream premise). [[checkpoint]] fences itself against
+ * in-flight writers (frozen fold + abort-on-concurrent-commit);
+ * [[compactFiles]]/[[expire]] assume a single maintenance writer, and
+ * [[vacuum]]'s grace window keeps it from eating live writers'
+ * in-progress ids.
  *
  * A commit is convention, not manifest: marker c<k> present ⟺ commit
  * k's data dir and DV dir (whichever exist) are visible — readers need
@@ -151,29 +157,75 @@ object TxTable {
   private def existingDvDirs(root: String, ks: Seq[Long]): Seq[String] =
     ks.map(dvDir(root, _)).filter(Fs.isDirectory(_))
 
-  /** The resolution set: commit ids a reader at `asOf` resolves —
-    * newest committed checkpoint ≤ asOf, plus the tail after it. */
-  private def resolvedIds(root: String, asOf: Long = Long.MaxValue): Seq[Long] = {
-    val all = committedIds(root).filter(_ <= asOf)
-    val base = checkpointIds(root).filter(_ <= asOf).lastOption
+  /** The resolution set over an EXPLICIT committed-id snapshot —
+    * newest committed checkpoint ≤ asOf, plus the tail after it. Taking
+    * the snapshot once and deriving everything (file universe, DV fold,
+    * conflict validation) from it is what makes a read atomic: any
+    * two listings of the commits dir can straddle a concurrent commit. */
+  private def resolvedOf(root: String, committed: Seq[Long],
+      asOf: Long = Long.MaxValue): Seq[Long] = {
+    val all = committed.filter(_ <= asOf)
+    val cset = all.toSet
+    val base = markerIds(checkpointsDir(root))
+      .filter(id => cset.contains(id) && id <= asOf).lastOption
     base.map(b => all.filter(_ >= b)).getOrElse(all)
   }
 
+  /** The resolution set: commit ids a reader at `asOf` resolves —
+    * ONE listing of the commits dir. */
+  private def resolvedIds(root: String, asOf: Long = Long.MaxValue): Seq[Long] =
+    resolvedOf(root, committedIds(root), asOf)
+
   /** Data write with optional parquet bloom filters on `bloomCols` —
     * the write-side half of [[readSkippingEquality]]'s point-lookup
-    * path ([[ParquetIO.writeWithBloomFilters]]). */
+    * path ([[ParquetIO.writeWithBloomFilters]]) — and optional HIVE
+    * PARTITIONING on `partitionCols` (round 18): each commit's data dir
+    * lays out as `c<k>/<col>=<val>/…`, so partition pruning composes
+    * with the commit log (Catalyst's `PartitionFilters` cut directories
+    * inside every resolved commit before any footer or bloom is read).
+    * Blooms are writer options, so the two compose. */
   private def writeData(df: DataFrame, path: String,
-      bloomCols: Seq[String]): Unit =
-    if (bloomCols.isEmpty) df.write.mode("overwrite").parquet(path)
-    else ParquetIO.writeWithBloomFilters(df, path, bloomCols)
+      bloomCols: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {
+    if (partitionCols.isEmpty) {
+      if (bloomCols.isEmpty) df.write.mode("overwrite").parquet(path)
+      else ParquetIO.writeWithBloomFilters(df, path, bloomCols)
+    } else {
+      require(partitionCols.forall(df.columns.contains),
+        s"txtable: partition columns ${partitionCols.mkString(",")} missing from batch")
+      val base = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      val withBloom = bloomCols.foldLeft(base) { (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
+      }
+      withBloom.parquet(path)
+    }
+  }
+
+  /** A commit dir laid out hive-style by [[writeData]]'s
+    * `partitionCols` — one listing, decided by the `<col>=<val>`
+    * child-name shape. */
+  private def isHivePartitioned(dir: String): Boolean =
+    Fs.isDirectory(dir) && Fs.listDirs(dir).exists(_.getPath.getName.contains("="))
 
   /** One row-identified scan over data dirs, schema evolution
     * reconciled by NAME: when commits were written under different
     * schemas, each dir scans separately and unions by name with
     * missing columns null ([[ParquetIO.merge]]'s S13 contract), oldest
     * commit's columns leading. Same-schema commits — the common case —
-    * keep the single multi-dir scan (pushdown and pruning intact). */
+    * keep the single multi-dir scan (pushdown and pruning intact).
+    * PARTITIONED commit dirs always scan per-dir with `basePath` = the
+    * dir (Spark refuses partition discovery across multiple roots —
+    * CONFLICTING_DIRECTORY_STRUCTURES); partition pruning still reaches
+    * each scan through the union, and [[checkpoint]] bounds how many
+    * branches a long log contributes. */
   private def scanResolved(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    if (dirs.exists(isHivePartitioned)) {
+      if (dirs.size <= 1)
+        return DeleteVectors.scanWithRowId(spark, dirs, dirs.headOption)
+      return dirs.map(d => DeleteVectors.scanWithRowId(spark, Seq(d),
+          if (isHivePartitioned(d)) Some(d) else None))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
     if (dirs.size <= 1) return DeleteVectors.scanWithRowId(spark, dirs)
     val schemas = dirs.map(d => spark.read.parquet(d).schema)
     if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, dirs)
@@ -181,42 +233,75 @@ object TxTable {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** The commit data dir a file belongs to: the nearest ancestor named
+    * `c<k>` under `…/data` — the direct parent for a flat commit, a
+    * higher ancestor when the commit is hive-partitioned
+    * (`c<k>/<col>=<val>/part-….parquet`). */
+  private def commitDirOf(file: String): String = {
+    var p = new org.apache.hadoop.fs.Path(file).getParent
+    while (p != null) {
+      val parent = p.getParent
+      if (p.getName.matches("c\\d+") && parent != null &&
+          parent.getName == "data") return p.toString
+      p = parent
+    }
+    new org.apache.hadoop.fs.Path(file).getParent.toString
+  }
+
   /** [[scanResolved]] over an explicit FILE subset (the skipping
     * paths): files group back to their commit dirs to detect schema
-    * drift, commit order preserved. */
+    * drift, commit order preserved. Groups with files below partition
+    * subdirectories scan with `basePath` = the commit dir, so the
+    * partition columns a [[writeData]] `partitionBy` moved into
+    * directory names come back as columns. */
   private def scanResolvedFiles(spark: SparkSession,
       files: Seq[String]): DataFrame = {
     val groups = files
-      .groupBy(f => new org.apache.hadoop.fs.Path(f).getParent.toString)
+      .groupBy(commitDirOf)
       .toSeq
       .sortBy { case (d, _) =>
         new org.apache.hadoop.fs.Path(d).getName.stripPrefix("c").toLong
       }
-    if (groups.size <= 1) return DeleteVectors.scanWithRowId(spark, files)
-    val schemas = groups.map { case (_, fs) =>
-      spark.read.parquet(fs.head).schema
+    def scanGroup(dir: String, fs: Seq[String]): DataFrame = {
+      val partitioned = fs.exists(f =>
+        new org.apache.hadoop.fs.Path(f).getParent.toString != dir)
+      if (partitioned) DeleteVectors.scanWithRowId(spark, fs, Some(dir))
+      else DeleteVectors.scanWithRowId(spark, fs)
     }
-    if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, files)
-    else groups.map { case (_, fs) => DeleteVectors.scanWithRowId(spark, fs) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    if (groups.size <= 1)
+      return groups.headOption
+        .map { case (d, fs) => scanGroup(d, fs) }
+        .getOrElse(DeleteVectors.scanWithRowId(spark, files))
+    val scans = groups.map { case (d, fs) => scanGroup(d, fs) }
+    if (scans.map(_.schema).toSet.size <= 1 &&
+        groups.forall { case (d, fs) =>
+          fs.forall(f => new org.apache.hadoop.fs.Path(f).getParent.toString == d)
+        })
+      DeleteVectors.scanWithRowId(spark, files)
+    else scans.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
-  /** Create the table: the initial snapshot becomes commit 0. */
+  /** Create the table: the initial snapshot becomes commit 0.
+    * `partitionCols` (round 18) lays the commit out hive-partitioned —
+    * subsequent writes should pass the same columns (each commit's
+    * layout is independent; readers reconcile by name either way). */
   def create(spark: SparkSession, root: String, df: DataFrame,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     require(committedIds(root).isEmpty,
       s"txtable: $root already has commits — use append/upsert")
     val k = claimId(root)
-    writeData(df, dataDir(root, k), bloomCols)
+    writeData(df, dataDir(root, k), bloomCols, partitionCols)
     commit(root, k)
     k
   }
 
   /** Blind append (no keys touched): one data dir, one marker. */
   def append(spark: SparkSession, root: String, df: DataFrame,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     val k = claimId(root)
-    writeData(df, dataDir(root, k), bloomCols)
+    writeData(df, dataDir(root, k), bloomCols, partitionCols)
     commit(root, k)
     k
   }
@@ -241,6 +326,13 @@ object TxTable {
       DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks)))
   }
 
+  private def keysDir(root: String, k: Long) = s"$root/_txn/keys/$k"
+
+  /** A conflicting concurrent commit was detected during an optimistic
+    * [[upsert]] — the writer retries from a fresh snapshot. */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
   /**
    * Merge-on-read MERGE of one CDC batch, committed atomically:
    * latest `versionCol` per `keys` wins inside the batch; each winner
@@ -252,79 +344,215 @@ object TxTable {
    * out-of-order batch never regresses newer committed data. Winners
    * whose `opCol` is not "d" are appended as this commit's data dir;
    * the marker lands last. Returns the commit id. A crash before the
-   * marker leaves the snapshot byte-identical.
+   * marker leaves the snapshot byte-identical. A batch that changes
+   * NOTHING (every winner loses to newer live data) still commits — an
+   * EMPTY commit, marker only — so the returned id is always a real,
+   * replayable log position (a change-feed cursor, a [[history]] row),
+   * never an unredeemed claim (round-18, closing the round-17 finding).
    *
    * The batch key set broadcasts when the batch has at most
    * `broadcastKeyLimit` winners; above that (a backfill, not a CDC
    * batch) the contested-row join falls back to the shuffled plan.
+   *
+   * CONCURRENCY (round 18): with `conflictDetect = true` the upsert is
+   * OPTIMISTIC — it records its winners' key set as a sidecar
+   * (`_txn/keys/<k>`) and, before creating the commit marker, validates
+   * that no commit it did not see at its read snapshot touches an
+   * intersecting key; on conflict it abandons the claimed id (dirs and
+   * claim removed) and retries from a fresh snapshot, so two concurrent
+   * upserts to the same key serialize instead of both committing — the
+   * Delta/Iceberg optimistic-concurrency contract, ordered by claim id
+   * (a writer only validates DOWNWARD; writers above it wait on its
+   * resolution). Requirements, documented not enforced: every
+   * concurrent upserting writer must pass `conflictDetect = true` (the
+   * key sidecar is what others validate against — a commit WITHOUT one
+   * inside the validation window is treated as conflicting, one
+   * conservative retry); claim-marker mutual exclusion must hold on the
+   * store ([[Fs.createMarker]]'s scheme table); and a writer stalled
+   * longer than `conflictWaitMs` past its claim is presumed crashed by
+   * waiting peers (a zombie that later commits escapes detection — the
+   * same stale-writer caveat as any lease-based OCC). With the default
+   * `conflictDetect = false` the round-17 contract stands: one
+   * upserting writer per key space.
    */
   def upsert(spark: SparkSession, root: String, batch: DataFrame,
       keys: Seq[String], versionCol: String,
       opCol: Option[String] = None,
       bloomCols: Seq[String] = Seq.empty,
-      broadcastKeyLimit: Long = 4L * 1000 * 1000): Long = {
+      broadcastKeyLimit: Long = 4L * 1000 * 1000,
+      partitionCols: Seq[String] = Seq.empty,
+      conflictDetect: Boolean = false,
+      conflictWaitMs: Long = 60L * 1000): Long = {
     require(keys.nonEmpty, "txtable.upsert needs key columns")
-    val ks = committedIds(root)
-    require(ks.nonEmpty, s"txtable: create $root before upserting")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try {
+        return upsertOnce(spark, root, batch, keys, versionCol, opCol,
+          bloomCols, broadcastKeyLimit, partitionCols, conflictDetect,
+          conflictWaitMs)
+      } catch {
+        case e: CommitConflictException =>
+          if (attempts >= 8) throw new IllegalStateException(
+            s"txtable: upsert under $root conflicted on every one of " +
+              s"$attempts attempts — concurrent writers are livelocking " +
+              "on the same keys; serialize them upstream", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def upsertOnce(spark: SparkSession, root: String, batch: DataFrame,
+      keys: Seq[String], versionCol: String, opCol: Option[String],
+      bloomCols: Seq[String], broadcastKeyLimit: Long,
+      partitionCols: Seq[String], conflictDetect: Boolean,
+      conflictWaitMs: Long): Long = {
+    // the read SNAPSHOT: one commits listing drives the live scan, the
+    // DV fold, and (under conflictDetect) the validation set
+    val snap = committedIds(root)
+    require(snap.nonEmpty, s"txtable: create $root before upserting")
     val k = claimId(root)
 
-    // batch-internal winner per key: latest version, tombstones eligible
+    // batch-internal winner per key: latest version, tombstones
+    // eligible. Persisted ONCE — the broadcast-gate count, the contested
+    // join's key side, the adds anti-join, and the key sidecar all
+    // consume it; unpersisted the window re-executed per consumer
+    // (round-17 finding #2).
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc)
     val winners = batch
       .withColumn("__tx_rn", row_number().over(w))
       .filter(col("__tx_rn") === 1).drop("__tx_rn")
-
-    // contested live rows: one snapshot scan joined against the batch's
-    // (key, winner-version) set — broadcast below the key limit, the
-    // shuffled plan above it. Persisted (batch-bounded rows) so the
-    // kill pass and the beaten-winner pass share ONE table scan.
-    val keyed = winners.select(
-      keys.map(col) :+ col(versionCol).as("__tx_wv"): _*)
-    val keySide =
-      if (keyed.count() <= broadcastKeyLimit) broadcast(keyed) else keyed
-    val rks = resolvedIds(root)
-    val live = DeleteVectors.applyVectorsKeepId(
-      scanResolved(spark, existingDataDirs(root, rks)),
-      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
-    val cand = live.join(keySide, keys.toSeq)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // live rows the batch winner beats (ties to the batch) die
-      val hits = cand.filter(col("__tx_wv") >= col(versionCol))
-        .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-      val vectors = DeleteVectors.buildVectors(hits)
-      vectors.write.mode("overwrite").parquet(dvDir(root, k))
-      val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
-        f.getPath.getName.endsWith(".parquet") && f.getLen > 0
-      } || spark.read.parquet(dvDir(root, k)).isEmpty
-      if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+      // contested live rows: one snapshot scan joined against the
+      // batch's (key, winner-version) set — broadcast below the key
+      // limit, the shuffled plan above it.
+      val keyed = winners.select(
+        keys.map(col) :+ col(versionCol).as("__tx_wv"): _*)
+      val keySide =
+        if (winners.count() <= broadcastKeyLimit) broadcast(keyed) else keyed
+      val rks = resolvedOf(root, snap)
+      val live = DeleteVectors.applyVectorsKeepId(
+        scanResolved(spark, existingDataDirs(root, rks)),
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+      val cand = live.join(keySide, keys.toSeq)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        // live rows the batch winner beats (ties to the batch) die
+        val hits = cand.filter(col("__tx_wv") >= col(versionCol))
+          .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+        val vectors = DeleteVectors.buildVectors(hits)
+        vectors.write.mode("overwrite").parquet(dvDir(root, k))
+        val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
+          f.getPath.getName.endsWith(".parquet") && f.getLen > 0
+        } || spark.read.parquet(dvDir(root, k)).isEmpty
+        if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
 
-      // winners that LOSE to a strictly newer live row are dropped —
-      // the live side's latest-wins leg; tombstones drop their key
-      val beaten = cand.filter(col(versionCol) > col("__tx_wv"))
-        .select(keys.map(col): _*).distinct()
-      val adds0 = winners.join(beaten, keys.toSeq, "left_anti")
-      val adds = opCol.map(c => adds0.filter(col(c) =!= "d").drop(c))
-        .getOrElse(adds0)
-      val anyAdds = !adds.isEmpty
-      if (anyAdds) writeData(adds, dataDir(root, k), bloomCols)
+        // winners that LOSE to a strictly newer live row are dropped —
+        // the live side's latest-wins leg; tombstones drop their key
+        val beaten = cand.filter(col(versionCol) > col("__tx_wv"))
+          .select(keys.map(col): _*).distinct()
+        val adds0 = winners.join(beaten, keys.toSeq, "left_anti")
+        val adds = opCol.map(c => adds0.filter(col(c) =!= "d").drop(c))
+          .getOrElse(adds0)
+        val anyAdds = !adds.isEmpty
+        if (anyAdds) writeData(adds, dataDir(root, k), bloomCols, partitionCols)
 
-      if (dvEmpty && !anyAdds) k // no-op batch: nothing to commit
-      else { commit(root, k); k }
-    } finally { cand.unpersist(); () }
+        if (conflictDetect) {
+          // the key summary others validate against — ALL batch keys
+          // (tombstones included: a delete conflicts with an update),
+          // written data-first like everything else under the claim
+          winners.select(keys.map(col): _*).distinct()
+            .write.mode("overwrite").parquet(keysDir(root, k))
+          try validateNoKeyConflicts(spark, root, k, snap.toSet,
+            winners.select(keys.map(col): _*).distinct(), keys, conflictWaitMs)
+          catch {
+            case e: CommitConflictException =>
+              // abandon the claimed id completely (dirs first, claim
+              // last) so waiting higher-id writers unblock immediately
+              // and the id leaves no litter for vacuum
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(keysDir(root, k)))
+              Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+              throw e
+          }
+        }
+        commit(root, k)
+        k
+      } finally { cand.unpersist(); () }
+    } finally { winners.unpersist(); () }
+  }
+
+  /** The optimistic-commit validation (round 18): serialization order is
+    * CLAIM-ID order. Every id below ours that our snapshot did not
+    * contain must resolve — a still-claimed lower id is an in-flight
+    * writer we wait on (it either commits, abandons its claim, or ages
+    * past `waitMs` and is presumed crashed); every such id that DID
+    * commit must carry a key sidecar disjoint from our batch keys.
+    * Writers above us never get checked — they run this same loop
+    * against US. Throws [[CommitConflictException]] on intersection (or
+    * on a sidecar-less commit in the window — a writer outside the
+    * optimistic protocol, one conservative retry). */
+  private def validateNoKeyConflicts(spark: SparkSession, root: String,
+      k: Long, snap: Set[Long], ourKeys: DataFrame, keys: Seq[String],
+      waitMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+    var unresolved = Seq.empty[Long]
+    var first = true
+    do {
+      if (!first) Thread.sleep(50)
+      first = false
+      val committedNow = committedIds(root).toSet
+      unresolved = markerIds(claimsDir(root))
+        .filter(c => c < k && !committedNow.contains(c) && !snap.contains(c))
+        // a claim already stale by the full wait bound is a crashed
+        // writer from an earlier era — never spin a full window on it
+        .filter { c =>
+          Fs.listFiles(claimsDir(root))
+            .find(_.getPath.getName == s"c$c")
+            .forall(st =>
+              System.currentTimeMillis() - st.getModificationTime <= waitMs)
+        }
+    } while (unresolved.nonEmpty && System.currentTimeMillis() < deadline)
+
+    val newIds = committedIds(root).filter(c => c < k && !snap.contains(c))
+    if (newIds.isEmpty) return
+    val (withKeys, bare) = newIds.partition(id => Fs.isDirectory(keysDir(root, id)))
+    if (bare.nonEmpty)
+      throw new CommitConflictException(
+        s"txtable: commits ${bare.mkString(",")} landed inside the " +
+          s"validation window of claim $k without key sidecars — " +
+          "retrying against the fresh snapshot")
+    if (withKeys.nonEmpty) {
+      val theirs = spark.read.parquet(withKeys.map(keysDir(root, _)): _*)
+      if (!ourKeys.join(theirs, keys.toSeq, "left_semi").isEmpty)
+        throw new CommitConflictException(
+          s"txtable: claim $k's batch keys intersect concurrent " +
+            s"commits ${withKeys.mkString(",")} — retrying against the " +
+            "fresh snapshot")
+    }
   }
 
   private def statsPath(root: String) = s"$root/_txn/stats/manifest"
 
-  /** The data FILES of the current resolution set (checkpoint + tail),
-    * the universe every skipping decision is made against. */
-  private def resolvedFiles(root: String, asOf: Long = Long.MaxValue): Seq[String] = {
-    existingDataDirs(root, resolvedIds(root, asOf)).flatMap(d =>
-      Fs.listFiles(d).map(_.getPath.toString)
+  /** The data FILES of an explicit resolution set — every skipping
+    * decision and its DV fold must derive from ONE `resolvedIds` call
+    * (one commit-log listing): listing twice lets a commit land between
+    * the listings, and a reader that applies the new commit's deletion
+    * vectors without its adds sees a half-applied batch — the snapshot
+    * torn read [[readAt]]'s single listing exists to prevent. Recursive
+    * listing, so hive-partitioned commit dirs ([[create]]'s
+    * `partitionCols`) contribute their leaf files. */
+  private def filesOf(root: String, ks: Seq[Long]): Seq[String] =
+    existingDataDirs(root, ks).flatMap(d =>
+      Fs.listFilesRecursive(d).map(_.getPath.toString)
         .filter(p => p.endsWith(".parquet") &&
           !new org.apache.hadoop.fs.Path(p).getName.startsWith("_")))
-  }
+
+  private def resolvedFiles(root: String, asOf: Long = Long.MaxValue): Seq[String] =
+    filesOf(root, resolvedIds(root, asOf))
 
   /**
    * Build (or rebuild) the file-stats manifest over the CURRENT
@@ -356,7 +584,11 @@ object TxTable {
    */
   def readSkipping(spark: SparkSession, root: String, column: String,
       lo: Any, hi: Any): DataFrame = {
-    val files = resolvedFiles(root)
+    // ONE resolution snapshot feeds both the file universe and the DV
+    // fold (round-18 advisory: two listings let a commit land between
+    // them, applying its deletes without its adds — a torn read)
+    val rks = resolvedIds(root)
+    val files = filesOf(root, rks)
     require(files.nonEmpty, s"txtable: nothing committed under $root")
     val excluded: Set[String] =
       if (!Fs.isDirectory(statsPath(root))) Set.empty
@@ -368,7 +600,7 @@ object TxTable {
     else
       DeleteVectors.applyVectors(
         scanResolvedFiles(spark, survivors),
-        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, resolvedIds(root))))
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
         .filter(pred)
   }
 
@@ -388,7 +620,9 @@ object TxTable {
    */
   def readSkippingEquality(spark: SparkSession, root: String,
       column: String, value: Any): DataFrame = {
-    val files = resolvedFiles(root)
+    // same single-snapshot discipline as [[readSkipping]]
+    val rks = resolvedIds(root)
+    val files = filesOf(root, rks)
     require(files.nonEmpty, s"txtable: nothing committed under $root")
     val excluded: Set[String] =
       if (!Fs.isDirectory(statsPath(root))) Set.empty
@@ -400,7 +634,7 @@ object TxTable {
     else
       DeleteVectors.applyVectors(
         scanResolvedFiles(spark, survivors),
-        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, resolvedIds(root))))
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
         .filter(col(column) === lit(value))
   }
 
@@ -429,12 +663,15 @@ object TxTable {
    * vs bounded chunk plans (SCALE.md round-17).
    */
   def changeFeed(spark: SparkSession, root: String, keys: Seq[String],
-      fromCommit: Long = 0L, spillEvery: Int = 8): DataFrame = {
+      fromCommit: Long = 0L, spillEvery: Int = 8,
+      withPreimage: Boolean = false,
+      toCommit: Long = Long.MaxValue): DataFrame = {
     require(keys.nonEmpty, "txtable.changeFeed needs key columns")
     val all = committedIds(root)
     require(all.nonEmpty, s"txtable: nothing committed under $root")
     val cps = checkpointIds(root).toSet
-    val feedIds = all.filter(k => k >= fromCommit && !cps.contains(k))
+    val feedIds = all.filter(k =>
+      k >= fromCommit && k <= toCommit && !cps.contains(k))
     // ONE job resolves every commit's touched-file list (the sidecars
     // are tiny) — a per-commit collect would issue one job per commit,
     // the driver-loop shape this repo exists to avoid
@@ -455,7 +692,7 @@ object TxTable {
         }
     val feeds = feedIds.flatMap(k =>
       commitChanges(spark, root, k, keys,
-        killFiles.getOrElse(k, Seq.empty)))
+        killFiles.getOrElse(k, Seq.empty), withPreimage))
     if (feeds.isEmpty) {
       val base = read(spark, root)
       val payload = base.columns.filterNot(keys.contains).toSeq
@@ -477,7 +714,8 @@ object TxTable {
     * schema drift between the two sides reconciles by name first.
     * None when the commit changed nothing. */
   private def commitChanges(spark: SparkSession, root: String, k: Long,
-      keys: Seq[String], killFiles: Seq[String]): Option[DataFrame] = {
+      keys: Seq[String], killFiles: Seq[String],
+      withPreimage: Boolean = false): Option[DataFrame] = {
     val dDir = dataDir(root, k)
     val vDir = dvDir(root, k)
     val adds =
@@ -503,8 +741,39 @@ object TxTable {
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
-    Some(ParquetIO.changeFeed(widen(kills), widen(adds), keys)
+    Some(ParquetIO.changeFeed(widen(kills), widen(adds), keys, withPreimage)
       .withColumn("commit", lit(k)))
+  }
+
+  /**
+   * CURSOR-DRIVEN change-feed consumption (round 18) — the polling
+   * primitive that lets a standing consumer (an incremental aggregate,
+   * an ANN/dedup state — [[graft.streaming.Streams.txFeedSink]]) follow
+   * a mutating table without replaying history: returns the i/u/d feed
+   * of every commit STRICTLY AFTER `cursor` plus the new cursor (the
+   * committed tip at the one listing this call makes), `None` when
+   * nothing new committed. Persist the returned cursor WITH the applied
+   * state (same atomic scope) and the loop is exactly-once under crash
+   * + replay: re-running from the stored cursor re-emits the same
+   * commits, and commits are immutable once visible. Requires commits
+   * after `cursor` to be unexpired — run consumers at least as often as
+   * [[checkpoint]]+[[expire]] maintenance, like any changelog reader.
+   * `withPreimage` adds `up` rows (old values per update) for consumers
+   * that retract ([[graft.operators.Materialize.incrementalAggCdc]]).
+   */
+  def changeFeedFrom(spark: SparkSession, root: String, keys: Seq[String],
+      cursor: Long, withPreimage: Boolean = false,
+      spillEvery: Int = 8): Option[(DataFrame, Long)] = {
+    val all = committedIds(root)
+    require(all.nonEmpty, s"txtable: nothing committed under $root")
+    val tip = all.max
+    if (tip <= cursor) None
+    // bounded ABOVE at the listed tip too: a commit landing between this
+    // listing and changeFeed's own would otherwise be emitted both now
+    // and after the advanced cursor — a duplicate
+    else Some((changeFeed(spark, root, keys, fromCommit = cursor + 1,
+      spillEvery = spillEvery, withPreimage = withPreimage, toCommit = tip),
+      tip))
   }
 
   /** Scheme-insensitive identity for crossing the `_metadata.file_path`
@@ -539,8 +808,9 @@ object TxTable {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (deadPerFile.isEmpty) return None
     // vectors can reference files already folded out of the resolution
-    // set (e.g. pre-checkpoint) — only files still resolved count
-    val universe = resolvedFiles(root).map(pathKey).toSet
+    // set (e.g. pre-checkpoint) — only files still resolved count; the
+    // SAME rks snapshot that fed the fold (one listing per operation)
+    val universe = filesOf(root, rks).map(pathKey).toSet
     val cands = deadPerFile.keys.filter(f => universe.contains(pathKey(f)))
       .toSeq.sorted
     if (cands.isEmpty) return None
@@ -589,21 +859,65 @@ object TxTable {
    * checkpoint-marker-without-commit, which [[checkpointIds]] ignores
    * and [[vacuum]] sweeps. History BEFORE the checkpoint stays
    * readable ([[readAt]]) until [[expire]] collapses it.
+   *
+   * WRITER FENCING (round 18, closing the round-17 advisory): the fold
+   * works from a snapshot FROZEN at one listing (commits ≤ the claimed
+   * id — a commit claimed after us can never double-count into both the
+   * fold and the post-checkpoint tail), and the checkpoint ABORTS —
+   * [[CommitConflictException]], claim and dirs removed — when any
+   * lower id is still claimed-but-uncommitted before the fold or at
+   * commit time, or when a lower commit landed after the freeze: such a
+   * commit would be silently excluded from the post-checkpoint
+   * resolution set (ids ≥ k) and then physically deleted by [[expire]].
+   * Callers retry once in-flight writers drain; quiescing writers is no
+   * longer a correctness requirement, only an availability one.
    */
   def checkpoint(spark: SparkSession, root: String,
       targetFileBytes: Long = 512L * 1024 * 1024,
       bloomCols: Seq[String] = Seq.empty,
-      sortCols: Seq[String] = Seq.empty): Long = {
+      sortCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     val k = claimId(root)
-    val live = read(spark, root)
-    val bytes = ParquetIO.inputBytes(spark,
-      existingDataDirs(root, resolvedIds(root)))
+    def abort(reason: String): Nothing = {
+      Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+      Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+      throw new CommitConflictException(
+        s"txtable: checkpoint claim $k under $root aborted — $reason")
+    }
+    def unredeemedBelow(committed: Set[Long]): Seq[Long] =
+      markerIds(claimsDir(root)).filter(c => c < k && !committed.contains(c))
+    // cheap pre-flight before the expensive fold
+    val snap = committedIds(root)
+    if (snap.isEmpty) abort("nothing committed to fold")
+    val inFlight0 = unredeemedBelow(snap.toSet)
+    if (inFlight0.nonEmpty)
+      abort(s"writers ${inFlight0.mkString(",")} are in flight below it; " +
+        "retry once they commit or vacuum")
+    // the FROZEN fold: exactly the commits ≤ k seen at the one snapshot
+    // listing — never a re-list mid-operation
+    val ks = resolvedOf(root, snap, k)
+    val data = existingDataDirs(root, ks)
+    val live = DeleteVectors.applyVectors(
+      scanResolved(spark, data),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, ks)))
+    val bytes = ParquetIO.inputBytes(spark, data)
     val parts = math.max(1L, bytes / math.max(1L, targetFileBytes)).toInt
     val sized =
       if (sortCols.isEmpty) live.repartition(parts)
       else live.repartitionByRange(parts, sortCols.map(col): _*)
         .sortWithinPartitions(sortCols.map(col): _*)
-    writeData(sized, dataDir(root, k), bloomCols)
+    writeData(sized, dataDir(root, k), bloomCols, partitionCols)
+    // post-fold fence: any lower commit not in the frozen snapshot, or
+    // any still-unredeemed lower claim (it could commit after us), would
+    // be dropped from the live view — abort instead. Claims taken AFTER
+    // ours have ids > k, so passing this check is final.
+    val committedNow = committedIds(root)
+    val missed = committedNow.filter(c => c < k && !snap.contains(c))
+    if (missed.nonEmpty)
+      abort(s"commits ${missed.mkString(",")} landed below it during the fold")
+    val inFlight1 = unredeemedBelow(committedNow.toSet)
+    if (inFlight1.nonEmpty)
+      abort(s"writers ${inFlight1.mkString(",")} are still in flight below it")
     require(Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k)),
       s"txtable: checkpoint marker c$k already exists under $root — " +
         "lost a commit race")
@@ -626,6 +940,7 @@ object TxTable {
         committedIds(root).filter(_ < cp).map { id =>
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, id)))
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, id)))
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(keysDir(root, id)))
           // the marker goes LAST: a crash mid-expire leaves a committed
           // id with missing dirs only below the checkpoint, where no
           // reader resolves data from anyway
@@ -677,19 +992,44 @@ object TxTable {
     rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted")
   }
 
-  /** Sweep crashed-writer leftovers: data/DV dirs and unredeemed claim
-    * markers whose id has no commit marker AND is below the newest
+  /** Sweep crashed-writer leftovers: data/DV/key dirs and unredeemed
+    * claim markers whose id has no commit marker AND is below the newest
     * committed id (an id above it may be an in-flight writer — never
-    * touched, the generation-vacuum rule). Returns the paths removed. */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    * touched, the generation-vacuum rule) AND is older than `graceMs`
+    * (round 18, closing the round-17 advisory: claim ids are monotonic
+    * but COMMIT order is not — writer A claims k, writer B claims k+1
+    * and commits first, so tip > k while A is still writing; the
+    * id-below-tip test alone would delete A's in-progress dirs and A's
+    * later commit would report success over half-deleted data). The
+    * grace window is judged on the id's newest artifact mtime — claim
+    * marker or dir — Delta-vacuum-style: set it comfortably above the
+    * longest write a live writer can be mid-flight in (default 24 h);
+    * `graceMs = 0` restores sweep-now and is only safe with ALL writers
+    * quiesced. Returns the paths removed. */
+  def vacuum(spark: SparkSession, root: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val committed = committedIds(root).toSet
     val tip = if (committed.isEmpty) -1L else committed.max
+    val cutoff = System.currentTimeMillis() - math.max(0L, graceMs)
+    def youngerThanCutoff(path: String): Boolean =
+      try {
+        val (fs, p) = Fs.fileSystem(path)
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime > cutoff
+      } catch { case scala.util.control.NonFatal(_) => true } // unknown age: keep
+    // ONE grace verdict per id, over every artifact the id has: a claim
+    // stamped recently protects its (possibly mid-write) dirs and vice
+    // versa — sweeping is all-or-nothing per id
+    def artifacts(id: Long): Seq[String] = Seq(
+      s"${claimsDir(root)}/c$id", s"${checkpointsDir(root)}/c$id",
+      dataDir(root, id), dvDir(root, id), keysDir(root, id))
+    def sweepable(id: Long): Boolean =
+      !committed.contains(id) && id < tip && !artifacts(id).exists(youngerThanCutoff)
     def sweep(dir: String, prefix: String, path: Long => String): Seq[String] =
       if (!Fs.isDirectory(dir)) Seq.empty
       else Fs.listDirs(dir).map(_.getPath.getName)
         .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit))
         .map(_.drop(prefix.length).toLong)
-        .filter(id => !committed.contains(id) && id < tip)
+        .filter(sweepable)
         .map { id =>
           val p = path(id)
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(p)); p
@@ -698,13 +1038,14 @@ object TxTable {
     // a claim that never became a commit
     def strayMarkers(dir: String): Seq[String] =
       markerIds(dir)
-        .filter(id => !committed.contains(id) && id < tip)
+        .filter(sweepable)
         .map { id =>
           val p = s"$dir/c$id"
           Fs.deleteIfExists(p); p
         }
     sweep(s"$root/data", "c", dataDir(root, _)) ++
       sweep(s"$root/_txn/dv", "", dvDir(root, _)) ++
+      sweep(s"$root/_txn/keys", "", keysDir(root, _)) ++
       strayMarkers(checkpointsDir(root)) ++ strayMarkers(claimsDir(root))
   }
 }

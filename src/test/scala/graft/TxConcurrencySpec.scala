@@ -1,0 +1,235 @@
+package graft
+
+import graft.sources.{Fs, TxTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Round-18 concurrency surface of the transactional table, REAL-thread
+ * gated (the round-17 lesson: simulated interleavings missed the local-FS
+ * create race that actual `Future` threads caught immediately):
+ *
+ *  - optimistic key-conflict detection (`upsert(conflictDetect = true)`):
+ *    N concurrent upserts to the SAME key serialize — the result equals a
+ *    serial order, never a lost update / duplicate live row;
+ *  - checkpoint writer fencing: a checkpoint never commits over an
+ *    in-flight lower writer (the advisory's lost-commit and double-count
+ *    scenarios);
+ *  - the always-commit contract: a no-op batch commits an EMPTY commit,
+ *    so every returned id is a real log position;
+ *  - changeFeedFrom cursor consumption: chunked replay == one-shot feed,
+ *    cursor advances over empty commits, None when nothing new.
+ */
+class TxConcurrencySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-txc").toString
+
+  private def base(n: Int = 100) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"name$i", 100.0 + i, 0L))
+      .toDF("id", "name", "price", "version")
+  }
+
+  test("optimistic upserts to the SAME key serialize to the max version") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // 4 real threads, all mutating key 5 with DISTINCT versions: any
+    // serial order converges to the max version (latest-wins), while the
+    // unprotected race leaves multiple live rows for the key (each
+    // writer kills only what was live at ITS read)
+    val writers = (1 to 4).map { v =>
+      Future {
+        TxTable.upsert(spark, t,
+          Seq((5L, s"writer$v", v * 1000.0, v.toLong))
+            .toDF("id", "name", "price", "version"),
+          Seq("id"), "version",
+          conflictDetect = true, conflictWaitMs = 180000L)
+      }
+    }
+    val ids = Await.result(Future.sequence(writers), 10.minutes)
+    assert(ids.distinct.size === 4, "every writer must land its own commit")
+    val rows = TxTable.read(spark, t).filter(col("id") === 5L).collect()
+    assert(rows.length === 1,
+      s"concurrent upserts must never leave duplicate live rows: ${rows.toSeq}")
+    assert(rows.head.getLong(3) === 4L && rows.head.getDouble(2) === 4000.0,
+      s"the serialized result must be the max version: ${rows.head}")
+    assert(TxTable.read(spark, t).count() === 100L)
+    // abandoned (conflicted) claims were cleaned by their own writers —
+    // even the writers-quiesced sweep finds nothing
+    assert(TxTable.vacuum(spark, t, graceMs = 0L).isEmpty,
+      "conflict retries must clean their abandoned ids themselves")
+  }
+
+  test("optimistic upserts on DISJOINT keys all commit without retries biting") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    val writers = (0 until 3).map { th =>
+      Future {
+        TxTable.upsert(spark, t,
+          Seq((th.toLong, s"u$th", th * 10.0, 1L))
+            .toDF("id", "name", "price", "version"),
+          Seq("id"), "version",
+          conflictDetect = true, conflictWaitMs = 180000L)
+      }
+    }
+    Await.result(Future.sequence(writers), 10.minutes)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 100L)
+    (0 until 3).foreach { th =>
+      val r = got.filter(col("id") === th.toLong).collect()
+      assert(r.length === 1 && r.head.getDouble(2) === th * 10.0)
+    }
+  }
+
+  test("a sidecar-less commit inside the validation window forces a retry, not a miss") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // a writer OUTSIDE the optimistic protocol is in flight: claim only
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "bare-writer"))
+    // the optimistic upsert reads its snapshot (which misses the bare
+    // writer's future commit), then WAITS on the unresolved lower claim
+    val opt = Future {
+      TxTable.upsert(spark, t,
+        Seq((7L, "opt", 7777.0, 2L)).toDF("id", "name", "price", "version"),
+        Seq("id"), "version", conflictDetect = true, conflictWaitMs = 180000L)
+    }
+    // while it waits, the bare writer commits the SAME key — data dir +
+    // marker, NO keys sidecar
+    Thread.sleep(500)
+    Seq((7L, "plain", 777.0, 1L)).toDF("id", "name", "price", "version")
+      .write.parquet(s"$t/data/c1")
+    TxTable.commit(t, 1L)
+    val k = Await.result(opt, 10.minutes)
+    assert(TxTable.committedIds(t).contains(k))
+    // serialized: the retry saw the bare commit's extra id-7 row live and
+    // killed BOTH older instances (v2 >= v0, v1). Without the retry, the
+    // bare row would survive as a duplicate — the lost-update signature.
+    val live = TxTable.read(spark, t).filter(col("id") === 7L).collect()
+    assert(live.length === 1,
+      s"exactly one live row must survive the serialization: ${live.toSeq}")
+    assert(live.head.getLong(3) === 2L && live.head.getDouble(2) === 7777.0)
+  }
+
+  test("checkpoint aborts while a lower writer is in flight, succeeds after it resolves") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // writer B claimed an id but has not committed — the advisory's
+    // lost-commit scenario if the checkpoint proceeded
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "writer-B"))
+    val ex = intercept[TxTable.CommitConflictException] {
+      TxTable.checkpoint(spark, t)
+    }
+    assert(ex.getMessage.contains("in flight"))
+    // the aborted checkpoint left no litter: its own claim is gone
+    assert(TxTable.vacuum(spark, t, graceMs = 0L).isEmpty)
+    // B finishes: data dir + commit marker
+    Seq((1000L, "fromB", 1.0, 0L)).toDF("id", "name", "price", "version")
+      .write.parquet(s"$t/data/c1")
+    TxTable.commit(t, 1L)
+    // now the fold is safe — and it contains B's row
+    val cp = TxTable.checkpoint(spark, t)
+    assert(TxTable.checkpointIds(t) === Seq(cp))
+    assert(TxTable.read(spark, t).count() === 101L)
+    TxTable.expire(spark, t)
+    assert(TxTable.read(spark, t).count() === 101L,
+      "expire after a fenced checkpoint must lose nothing")
+  }
+
+  test("a no-op batch commits an EMPTY commit — a real, replayable log position") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    TxTable.upsert(spark, t,
+      Seq((9L, "new", 999.0, 5L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    // a STALE batch: version 1 < live version 5 — every winner loses,
+    // nothing to kill, nothing to add
+    val k = TxTable.upsert(spark, t,
+      Seq((9L, "stale", 1.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    assert(TxTable.committedIds(t).contains(k),
+      "a no-op batch must still commit (empty commit, marker only)")
+    assert(!Fs.isDirectory(s"$t/data/c$k") && !Fs.isDirectory(s"$t/_txn/dv/$k"),
+      "the empty commit carries no data or vectors")
+    // snapshot unchanged; history shows the id with zero files/kills;
+    // the feed shows nothing for it
+    val r = TxTable.read(spark, t).filter(col("id") === 9L).collect()
+    assert(r.length === 1 && r.head.getDouble(2) === 999.0)
+    val h = TxTable.history(spark, t).filter(col("commit") === k).collect()
+    assert(h.length === 1 && h.head.getLong(2) === 0L && h.head.getLong(4) === 0L)
+    assert(TxTable.changeFeed(spark, t, Seq("id"), fromCommit = k).isEmpty)
+    // and no unredeemed-claim litter exists anywhere
+    assert(TxTable.vacuum(spark, t, graceMs = 0L).isEmpty)
+  }
+
+  test("changeFeedFrom: chunked cursor replay equals the one-shot feed") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(50))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[String]("op"), r.getAs[Long]("commit"))
+    // commit 1: reprice; commit 2: stale no-op (EMPTY commit); commit 3:
+    // tombstone + insert
+    TxTable.upsert(spark, t,
+      Seq((3L, "name3", 333.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    TxTable.upsert(spark, t,
+      Seq((3L, "stale", 0.0, 0L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    TxTable.upsert(spark, t,
+      Seq((4L, "x", 0.0, 2L, "d"), (500L, "ins", 5.0, 2L, "u"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    val oneShot = TxTable.changeFeed(spark, t, Seq("id"), fromCommit = 1L,
+      withPreimage = true).collect().map(key).toSet
+    // interleaved cursor consumption on a REPLAYED copy of the same log:
+    // poll between commits, so each step drains a genuine CHUNK
+    val t2 = tmp() + "/t"
+    TxTable.create(spark, t2, base(50))
+    var cursor = 0L
+    val seen = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    def drain(): Unit =
+      TxTable.changeFeedFrom(spark, t2, Seq("id"), cursor,
+        withPreimage = true).foreach { case (feed, next) =>
+        assert(next > cursor, "the cursor must advance")
+        seen ++= feed.collect().map(key)
+        cursor = next
+      }
+    TxTable.upsert(spark, t2,
+      Seq((3L, "name3", 333.0, 1L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version")
+    drain()
+    assert(cursor === 1L)
+    TxTable.upsert(spark, t2,
+      Seq((3L, "stale", 0.0, 0L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version") // EMPTY commit
+    drain()
+    assert(cursor === 2L,
+      "the cursor must advance over an empty (no-op) commit")
+    TxTable.upsert(spark, t2,
+      Seq((4L, "x", 0.0, 2L, "d"), (500L, "ins", 5.0, 2L, "u"))
+        .toDF("id", "name", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    drain()
+    assert(cursor === 3L)
+    assert(seen.toSet === oneShot,
+      "chunked cursor replay must equal the one-shot feed")
+    // drained: the next poll is None
+    assert(TxTable.changeFeedFrom(spark, t2, Seq("id"), cursor).isEmpty)
+  }
+}

@@ -117,7 +117,12 @@ class TxTableSpec extends AnyFunSuite {
     // a newer commit supersedes the crashed id → vacuum may sweep it
     TxTable.append(spark, t,
       Seq((1000L, "new", 1.0, 0L)).toDF("id", "name", "price", "version"))
-    val swept = TxTable.vacuum(spark, t)
+    // default-grace vacuum protects seconds-old litter (it cannot tell a
+    // crash from an in-flight writer whose commit will land) ...
+    assert(TxTable.vacuum(spark, t).isEmpty,
+      "a grace-window vacuum must keep young uncommitted artifacts")
+    // ... graceMs = 0 is the writers-quiesced sweep the fixture simulates
+    val swept = TxTable.vacuum(spark, t, graceMs = 0L)
     assert(swept.exists(_.endsWith(s"/data/c$k")) &&
       swept.exists(_.endsWith(s"/_txn/dv/$k")))
     assert(!Fs.isDirectory(s"$t/data/c$k") && !Fs.isDirectory(s"$t/_txn/dv/$k"))
@@ -189,7 +194,7 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, t).count() === 50L)
     TxTable.append(spark, t,
       Seq((500L, "new", 1.0, 0L)).toDF("id", "name", "price", "version")) // tip
-    val swept = TxTable.vacuum(spark, t)
+    val swept = TxTable.vacuum(spark, t, graceMs = 0L)
     assert(swept.exists(_.endsWith(s"/data/c$k")))
     assert(swept.exists(_.endsWith(s"/_txn/checkpoints/c$k")))
     assert(TxTable.read(spark, t).count() === 51L)
@@ -330,7 +335,7 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.append(spark, t,
       Seq((50L, "x", 1.0, 0L)).toDF("id", "name", "price", "version"))   // c2
     assert(Fs.createMarker(s"$t/_txn/claims/c3", "in-flight"))           // live
-    val swept = TxTable.vacuum(spark, t)
+    val swept = TxTable.vacuum(spark, t, graceMs = 0L)
     assert(swept.exists(_.endsWith("/_txn/claims/c1")))
     assert(!Fs.exists(s"$t/_txn/claims/c1"))
     assert(Fs.exists(s"$t/_txn/claims/c3"),
@@ -629,5 +634,112 @@ class TxTableSpec extends AnyFunSuite {
     val got = TxTable.read(spark, t)
     assert(got.count() === 50L)
     assert(got.filter(col("id") === 900L).count() === 0L)
+  }
+
+  // ---- partition-aware layout (round 18) --------------------------------
+
+  private def partedBase(n: Int = 400) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"cat${i % 4}", 100.0 + i, 0L))
+      .toDF("id", "cat", "price", "version")
+  }
+
+  test("partitionCols: hive layout inside the commit dir, read round-trips") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase(), partitionCols = Seq("cat"))
+    // directory-count assertion: data/c0 holds one cat=<v> dir per value
+    val dirs = Fs.listDirs(s"$t/data/c0").map(_.getPath.getName).sorted
+    assert(dirs === Seq("cat=cat0", "cat=cat1", "cat=cat2", "cat=cat3"))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 400L)
+    assert(got.columns.toSet === Set("id", "cat", "price", "version"),
+      "the partition column must come back as a real column")
+    assert(got.filter(col("cat") === "cat2").count() === 100L)
+  }
+
+  test("partition pruning composes with the commit log (PartitionFilters in plan)") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase(), partitionCols = Seq("cat"))
+    TxTable.upsert(spark, t,
+      Seq((2L, "cat2", 9999.0, 1L)).toDF("id", "cat", "price", "version"),
+      Seq("id"), "version", partitionCols = Seq("cat"))
+    val q = TxTable.read(spark, t).filter(col("cat") === "cat2")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cat2"),
+      s"the partition predicate must reach the scan as a PartitionFilter:\n$plan")
+    // pruned result == plain filter semantics, including the upsert
+    assert(q.count() === 100L)
+    assert(q.filter(col("id") === 2L).head.getAs[Double]("price") === 9999.0)
+    // and the scan's input files are ONLY the matching partition dirs
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    // data scans only — the DV sidecar scan is not partition-prunable
+    val files = scans(q.queryExecution.executedPlan)
+      .flatMap(_.selectedPartitions.toPartitionArray.map(_.toPath.toString))
+      .filter(_.contains("/data/"))
+    assert(files.nonEmpty && files.forall(_.contains("/cat=cat2/")),
+      s"partition pruning must cut non-matching directories: $files")
+    // and BOTH commits' matching dirs are present (pruning, not skipping
+    // a commit)
+    assert(files.exists(_.contains("/data/c0/")) &&
+      files.exists(_.contains("/data/c1/")))
+  }
+
+  test("partitioned table: upsert/tombstone/skipping/changeFeed all compose") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase(), partitionCols = Seq("cat"),
+      bloomCols = Seq("id"))
+    TxTable.upsert(spark, t,
+      Seq((8L, "cat0", 8888.0, 1L), (401L, "cat1", 4.0, 1L))
+        .toDF("id", "cat", "price", "version"),
+      Seq("id"), "version", partitionCols = Seq("cat"), bloomCols = Seq("id"))
+    TxTable.upsert(spark, t,
+      Seq((12L, "cat0", 0.0, 2L, "d")).toDF("id", "cat", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"), partitionCols = Seq("cat"))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 400L) // +1 insert, -1 tombstone
+    assert(got.filter(col("id") === 8L).head.getAs[Double]("price") === 8888.0)
+    assert(got.filter(col("id") === 12L).count() === 0L)
+    // range skipping over the partitioned layout (recursive file listing
+    // + basePath partition recovery)
+    TxTable.buildManifest(spark, t, Seq("id"))
+    val skim = TxTable.readSkipping(spark, t, "id", 0L, 20L)
+    assert(skim.columns.contains("cat"),
+      "skipping reads must recover the partition column")
+    assert(skim.count() === 20L) // ids 0..20 minus tombstoned 12
+    assert(skim.filter(col("id") === 8L).head.getAs[Double]("price") === 8888.0)
+    // point lookup through the bloom path
+    val pt = TxTable.readSkippingEquality(spark, t, "id", 8L)
+    assert(pt.count() === 1L && pt.head.getAs[String]("cat") === "cat0")
+    // the change feed diffs partitioned adds against partitioned kills
+    val feed = TxTable.changeFeed(spark, t, Seq("id"))
+    val ops = feed.filter(col("commit") >= 1L)
+      .select("id", "op").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops === Set((8L, "u"), (401L, "i"), (12L, "d")))
+  }
+
+  test("partitioned checkpoint keeps the layout and the snapshot") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase(), partitionCols = Seq("cat"))
+    TxTable.upsert(spark, t,
+      Seq((8L, "cat0", 8888.0, 1L)).toDF("id", "cat", "price", "version"),
+      Seq("id"), "version", partitionCols = Seq("cat"))
+    val cp = TxTable.checkpoint(spark, t, partitionCols = Seq("cat"))
+    assert(Fs.listDirs(s"$t/data/c$cp").map(_.getPath.getName).sorted
+      === Seq("cat=cat0", "cat=cat1", "cat=cat2", "cat=cat3"))
+    TxTable.expire(spark, t)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 400L)
+    assert(got.filter(col("id") === 8L).head.getAs[Double]("price") === 8888.0)
   }
 }
