@@ -321,6 +321,52 @@ object Streams {
       .start()
   }
 
+  /**
+   * TxTable-fed standing VECTOR STATE (round 18, the missing consumer of
+   * the change feed): keeps `stateRoot` — itself a [[graft.sources.TxTable]]
+   * of (id, vector) — synchronized with a MUTATING source table by
+   * consuming `changeFeedFrom(srcRoot, cursor)`: inserts and updates
+   * upsert the id's CURRENT vector (re-enrichment — the old vector can
+   * never serve another query), deletes tombstone it (retirement — a
+   * GDPR-erased embedding stops being anyone's neighbor), and the feed's
+   * own `commit` id is the upsert version, so any cross-commit races
+   * inside one chunk resolve latest-wins in the state merge itself.
+   * Returns the new cursor (persist it WITH your own state; re-running a
+   * chunk is a snapshot no-op — same-version re-application is absorbed
+   * by the MERGE, re-deletes find nothing).
+   *
+   * This is the batch/cursor twin of [[annEnrichSink]]/
+   * [[semanticDedupSink]]'s standing feeds, for sources that are TABLES
+   * (CDC-maintained) rather than append streams: those sinks' standing
+   * state only ever GROWS, which is correct for immutable arrivals but
+   * wrong under updates/deletes. Downstream, build the index over
+   * `TxTable.read(stateRoot)` ([[graft.operators.Similarity.imiBuildIndex]]
+   * / `imiIncrementalTopK`) — Δ-cost per sync, index rebuild on your
+   * epoch cadence, exactly the sink contract. 100 TB shape: per sync the
+   * work is ∝ feed chunk (the commits' touched files), the state upsert
+   * is one MERGE ∝ chunk, and the state table gets the full maintenance
+   * tier (checkpoint/expire/compact) like any TxTable.
+   */
+  def txVectorStateSync(spark: SparkSession, srcRoot: String,
+      stateRoot: String, idCol: String, vecCol: String, cursor: Long): Long = {
+    import graft.sources.TxTable
+    TxTable.changeFeedFrom(spark, srcRoot, Seq(idCol), cursor) match {
+      case None => cursor
+      case Some((feed, tip)) =>
+        // one row per (id, commit); 'd' maps straight onto the MERGE's
+        // tombstone op, commit onto its version
+        val batch = feed.select(col(idCol), col(vecCol),
+          col("commit").as("version"), col("op"))
+        if (TxTable.committedIds(stateRoot).isEmpty)
+          TxTable.create(spark, stateRoot, spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.drop("op").schema))
+        TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
+          opCol = Some("op"))
+        tip
+    }
+  }
+
   /** Standing stream-state layout (round 16): one `batch=<tag>` subdir
     * per committed micro-batch, each written with mode OVERWRITE — a
     * replayed micro-batch (foreachBatch is at-least-once) rewrites ITS

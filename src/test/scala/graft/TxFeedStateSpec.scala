@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.TxTable
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/**
+ * Round-18 change-feed consumer: a standing vector state (itself a
+ * TxTable) synced from a mutating source table's change feed via
+ * `Streams.txVectorStateSync` must track updates AND deletes — the
+ * gap the round-17 verdict named first: the streaming ANN/dedup sinks
+ * only ever grow their standing state, so a CDC-maintained table could
+ * not drive a similarity index through mutations without a recompute.
+ *
+ * Gate: after upserts including re-embeddings (updates) and tombstones
+ * (deletes), the synced state equals the batch recompute — both as a
+ * row set and through an ANN query (a retired vector must stop being
+ * anyone's neighbor; a re-embedded one must serve its NEW vector).
+ */
+class TxFeedStateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(): String = Files.createTempDirectory("graft-txfs").toString
+
+  /** Deterministic 6-dim embeddings in 3 tight clusters. */
+  private def vecs(ids: Seq[Long], cluster: Long => Int) = {
+    import spark.implicits._
+    ids.map { i =>
+      val c = cluster(i)
+      val base = Array.fill(6)(0.05f * ((i % 7) + 1))
+      base(c) = 10f
+      base(c + 3) = 5f + (i % 3)
+      (i, base.toSeq)
+    }.toDF("id", "vec")
+  }
+
+  private def stateRows(root: String) =
+    TxTable.read(spark, root).select("id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+
+  test("state follows the feed through updates and tombstones; equals batch recompute") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = s"$dir/src"
+    val st = s"$dir/state"
+    val base = vecs(0L until 60L, i => (i % 3).toInt)
+      .withColumn("version", lit(0L))
+    TxTable.create(spark, src, base)
+    var cursor = Streams.txVectorStateSync(spark, src, st, "id", "vec", -1L)
+    assert(cursor === 0L)
+    assert(stateRows(st) === stateRows(src).map(identity),
+      "after the first sync the state mirrors the source")
+
+    // mutate: re-embed ids %5==0 (moved to cluster 1), delete ids %7==0
+    val reEmb = vecs((0L until 60L).filter(_ % 5 == 0), _ => 1)
+      .withColumn("version", lit(1L)).withColumn("op", lit("u"))
+    val dels = vecs((0L until 60L).filter(_ % 7 == 0), i => (i % 3).toInt)
+      .withColumn("version", lit(2L)).withColumn("op", lit("d"))
+    TxTable.upsert(spark, src, reEmb.unionByName(dels), Seq("id"), "version",
+      opCol = Some("op"))
+    cursor = Streams.txVectorStateSync(spark, src, st, "id", "vec", cursor)
+
+    // (1) the state equals the live source projection, row-exactly
+    val live = TxTable.read(spark, src).select("id", "vec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    assert(stateRows(st) === live,
+      "synced state must equal the batch recompute after updates + deletes")
+    assert(!live.exists(_._1 % 7 == 0), "tombstoned ids are gone")
+
+    // (2) an ANN query over the STATE equals the same over the live
+    // source — the retired vector serves nobody, the re-embedded one
+    // serves its new cluster
+    val probes = vecs(Seq(1000L, 1001L, 1002L), i => (i % 3).toInt)
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.imiIncrementalTopK(corpus, probes, "id", "vec", k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    val viaState = topk(TxTable.read(spark, st).select("id", "vec"))
+    val viaLive = topk(TxTable.read(spark, src).select("id", "vec"))
+    assert(viaState === viaLive,
+      "ANN over the synced state must equal ANN over the live table")
+    assert(viaState.nonEmpty && !viaState.exists(_._2 % 7 == 0),
+      "a deleted vector must not surface as a neighbor")
+
+    // (3) replay idempotence: re-syncing from the OLD cursor is a
+    // snapshot no-op (at-least-once consumer crash contract)
+    val before = stateRows(st)
+    Streams.txVectorStateSync(spark, src, st, "id", "vec", 0L)
+    assert(stateRows(st) === before,
+      "re-applying an already-consumed chunk must not move the state")
+    // (4) nothing new: the cursor poll is a no-op returning the cursor
+    assert(Streams.txVectorStateSync(spark, src, st, "id", "vec", cursor)
+      === cursor)
+  }
+}
