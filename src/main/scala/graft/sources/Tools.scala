@@ -30,6 +30,23 @@ object Tools {
   def schemaJson(spark: SparkSession, path: String): String =
     spark.read.parquet(path).schema.json
 
+  /** M1 at the PARQUET level (round 18): the file's own MessageType
+    * string, logical-type annotations included — `optional int32 t
+    * (TIME(MILLIS,true))` survives here where the Spark-schema
+    * [[schemaTree]] can only show the mapped Catalyst type. This is the
+    * reference's `PrintSchema` on the raw schema tree, and the dump that
+    * exercises its type table's one remaining row (TIME_MILLIS,
+    * `reader_writer.h:41-42`): Spark has no TIME-millis column type, but
+    * the tools path reads the annotation and [[valueLevels]] carries the
+    * value as its physical int millis. */
+  def parquetSchemaTree(spark: SparkSession, file: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try reader.getFooter.getFileMetaData.getSchema.toString
+    finally reader.close()
+  }
+
   final case class RowGroupInfo(
       file: String,
       rowGroup: Int,

@@ -701,3 +701,55 @@ class ToolsCliSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 }
+
+/** The reference type table's last unexercised row (round 18):
+  * INT32/TIME_MILLIS (`reader_writer.h:41-42`). Spark has no
+  * TIME-millis column type (SURVEY §1 caveat), so the file is written
+  * with raw parquet-mr — exactly how a foreign producer would hand us
+  * one — and the TOOLS path closes the cell: the raw schema dump
+  * carries the annotation, and valueLevels round-trips the values as
+  * physical int milliseconds with def-level nulls intact. */
+class TimeMillisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("TIME_MILLIS files from parquet-mr read back through the tools path") {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val base = java.nio.file.Files.createTempDirectory("graft-timems").toString
+    val file = s"$base/t.parquet"
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT32).named("id")
+      .optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.timeType(true,
+        LogicalTypeAnnotation.TimeUnit.MILLIS))
+      .named("t")
+      .named("m")
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(file))
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    // 09:30:00.123 = 34200123 ms-of-day; one null slot in the middle
+    val times = Seq(Some(34200123), None, Some(0), Some(86399999))
+    try times.zipWithIndex.foreach { case (t, i) =>
+      val g = f.newGroup().append("id", i)
+      t.foreach(g.append("t", _))
+      w.write(g)
+    } finally w.close()
+
+    // the annotation is visible on the raw schema dump
+    val tree = Tools.parquetSchemaTree(spark, file)
+    assert(tree.contains("TIME(MILLIS,true)"), s"schema dump lost the annotation:\n$tree")
+    // and on the column-chunk metadata surface
+    val cc = Tools.columnChunks(spark, file).find(_.column == "t").get
+    assert(cc.physicalType == "INT32")
+    assert(cc.numValues == 4 && cc.nullCount == 1)
+    // value round-trip: int millis, with the null carried as def<maxDef
+    val vl = Tools.valueLevels(spark, file).filter(_.column == "t")
+    assert(vl.map(_.value) == Seq("34200123", "NULL", "0", "86399999"),
+      s"got: $vl")
+  }
+}
