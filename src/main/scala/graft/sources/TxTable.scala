@@ -517,6 +517,15 @@ object TxTable {
         }
     } while (unresolved.nonEmpty && System.currentTimeMillis() < deadline)
 
+    // NOTE a checkpoint in the window is NOT exempt even though it
+    // changes no key: our deletion vectors reference the files of OUR
+    // read snapshot, and a checkpoint that committed after it folds
+    // those files away — post-checkpoint readers would scan the folded
+    // copies and our kills would silently miss (lost update by file
+    // identity, not key identity). The checkpoint has no keys sidecar,
+    // so it lands in `bare` and forces exactly the retry that re-kills
+    // against the folded layout — the Delta OPTIMIZE-vs-txn file-level
+    // conflict, resolved the same way.
     val newIds = committedIds(root).filter(c => c < k && !snap.contains(c))
     if (newIds.isEmpty) return
     val (withKeys, bare) = newIds.partition(id => Fs.isDirectory(keysDir(root, id)))

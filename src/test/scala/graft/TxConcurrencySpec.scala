@@ -124,6 +124,47 @@ class TxConcurrencySpec extends AnyFunSuite {
     assert(live.head.getLong(3) === 2L && live.head.getDouble(2) === 7777.0)
   }
 
+  test("a checkpoint inside the validation window forces a retry (file-identity conflict)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // the checkpoint's claim lands FIRST (lower id) — the optimistic
+    // upsert will snapshot {c0}, claim above it, and wait on it
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "checkpointer"))
+    val opt = Future {
+      TxTable.upsert(spark, t,
+        Seq((5L, "upd", 5555.0, 1L)).toDF("id", "name", "price", "version"),
+        Seq("id"), "version", conflictDetect = true, conflictWaitMs = 180000L)
+    }
+    Thread.sleep(500)
+    // the checkpoint commits mid-window: fold the current snapshot as
+    // commit 1 (data dir, checkpoint marker, commit marker — the
+    // fenced checkpoint's own ordering). The upsert's already-written
+    // deletion vectors reference data/c0 files, which readers at or
+    // past this checkpoint never scan — without the retry its kill of
+    // the old id-5 row would silently miss.
+    TxTable.read(spark, t).write.parquet(s"$t/data/c1")
+    assert(Fs.createMarker(s"$t/_txn/checkpoints/c1", s"$t/data/c1"))
+    TxTable.commit(t, 1L)
+    Await.result(opt, 10.minutes)
+    // post-checkpoint view (checkpoint + tail): exactly one id-5 row,
+    // carrying the upsert's value — the retry re-killed against the
+    // folded layout
+    val r = TxTable.read(spark, t).filter(col("id") === 5L).collect()
+    assert(r.length === 1,
+      s"the upsert's kill must survive the fold — got ${r.toSeq}")
+    assert(r.head.getDouble(2) === 5555.0)
+    assert(TxTable.read(spark, t).count() === 100L)
+    // and history stays consistent after expire
+    TxTable.expire(spark, t)
+    assert(TxTable.read(spark, t).count() === 100L)
+    assert(TxTable.read(spark, t).filter(col("id") === 5L)
+      .head.getDouble(2) === 5555.0)
+  }
+
   test("checkpoint aborts while a lower writer is in flight, succeeds after it resolves") {
     import spark.implicits._
     val t = tmp() + "/t"
