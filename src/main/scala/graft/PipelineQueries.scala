@@ -2133,6 +2133,41 @@ object PipelineQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_ann_state_sync" -> ((s, dir) => {
+      // TxTable-fed standing vector state (round 18): a mutating source
+      // of embeddings — create, re-embed every 5th vector, tombstone
+      // every 7th — drives a standing state table purely through
+      // changeFeedFrom cursor syncs (one per commit, the consumer-loop
+      // shape). The state's version IS the source commit id, so the
+      // (vec_id, version) projection is an integer-exact oracle for the
+      // retire/re-enrich semantics: deleted ids absent, re-embedded ids
+      // at the re-embedding commit, untouched ids at the create commit.
+      // The vector payload itself is spec-gated (TxFeedStateSpec pins
+      // state == batch recompute incl. ANN-over-state equality).
+      import graft.sources.TxTable
+      import graft.streaming.Streams
+      val tmp = graft.operators.Materialize.scratch(s, "statesync")
+      val src = s"$tmp/src"
+      val st = s"$tmp/state"
+      val emb = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      TxTable.create(s, src, emb.withColumn("version", lit(0L)))
+      var cursor = Streams.txVectorStateSync(s, src, st, "vec_id", "embedding", -1L)
+      TxTable.upsert(s, src,
+        emb.filter(col("vec_id") % 5 === 0)
+          .withColumn("embedding", reverse(col("embedding")))
+          .withColumn("version", lit(1L)),
+        Seq("vec_id"), "version")
+      cursor = Streams.txVectorStateSync(s, src, st, "vec_id", "embedding", cursor)
+      TxTable.upsert(s, src,
+        emb.filter(col("vec_id") % 7 === 0)
+          .withColumn("version", lit(2L)).withColumn("op", lit("d")),
+        Seq("vec_id"), "version", opCol = Some("op"))
+      cursor = Streams.txVectorStateSync(s, src, st, "vec_id", "embedding", cursor)
+      TxTable.read(s, st)
+        .select(col("vec_id"), col("version"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_tx_partition_prune" -> ((s, dir) => {
       // PARTITION-AWARE transactional table (round 18): orders lands as
       // a hive-partitioned TxTable (data/c<k>/<priority>=<v>/…), a CDC
@@ -3830,6 +3865,12 @@ object PipelineQueries {
          SELECT o_custkey, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM survivors GROUP BY 1 ORDER BY o_custkey""",
+    // the synced state's membership + per-id sync commit: deleted ids
+    // absent, re-embedded ids at commit 1, untouched ids at commit 0
+    "q_ann_state_sync" ->
+      """SELECT vec_id,
+           CAST(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS version
+         FROM embeddings WHERE vec_id % 7 <> 0 ORDER BY vec_id""",
     // partition-pruned TxTable read == plain WHERE over the repriced table
     "q_tx_partition_prune" ->
       """WITH final AS (
