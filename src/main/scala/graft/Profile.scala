@@ -40,6 +40,7 @@ object Profile {
     "manifest" -> (ProfileStatsManifest.run _, "stats-manifest skipping at 2048 files: build/prune/refresh walls, bloom point lookup at 256 files"),
     "txtable" -> (ProfileTxTable.run _, "transactional MOR merge vs copy-on-write at 100x: upsert/read/checkpoint walls + write volumes"),
     "txtable17" -> (ProfileTxTable17.run _, "round-17 TxTable: upsert broadcast vs shuffled fallback (CDC + backfill), compactFiles vs checkpoint on a skewed delete, changeFeed"),
+    "txtable18" -> (ProfileTxTable18.run _, "round-18 TxTable: conflictDetect overhead, partition-pruned vs full reads at 25 dirs, state-sync initial vs delta chunk"),
     "feedwidth" -> (ProfileFeedWidth.run _, "changeFeed construction/execution walls vs commit-log length (args: nCommits)"))
 
   def main(args: Array[String]): Unit = args.toList match {

@@ -2181,3 +2181,122 @@ object PlanDumpR9 {
     spark.stop()
   }
 }
+
+/**
+ * Round-18 TxTable rehearsal: the cost of the round's three new moving
+ * parts at the 15 M-row / 2×10⁵-vector scale —
+ *  1. optimistic conflict detection (single writer): the key-sidecar
+ *     write + validation listings an opted-in upsert pays vs the default;
+ *  2. hive-partitioned commits: partition-pruned read vs full read on a
+ *     25-partition layout (wall + files actually scanned);
+ *  3. the change-feed state sync: initial full-corpus chunk vs a 0.6 %
+ *     delta chunk — the Δ-cost claim (`txVectorStateSync` pays the feed,
+ *     never the corpus).
+ */
+object ProfileTxTable18 {
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.sources.{Fs, TxTable}
+  import graft.streaming.Streams
+  private val Source = "/tmp/graft_delvec/orders" // ProfileDeleteVectors corpus
+  private val Base = "/tmp/graft_txtable18"
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[txtable18] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  private[graft] def run(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    require(Fs.isDirectory(Source),
+      s"run `Profile delvec` first to synthesize $Source")
+    Fs.deleteRecursive(new org.apache.hadoop.fs.Path(Base))
+    val src = spark.read.parquet(Source)
+
+    // ---- leg 1: conflictDetect overhead, single writer ----------------
+    val t1 = s"$Base/occ"
+    TxTable.create(spark, t1, src.withColumn("version", lit(0L))
+      .repartitionByRange(32, col("o_orderkey")))
+    def batch(v: Long): DataFrame = {
+      src.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + v * 1000.0)
+        .withColumn("version", lit(v))
+        .write.mode("overwrite").parquet(s"$Base/b$v")
+      spark.read.parquet(s"$Base/b$v")
+    }
+    val b1 = batch(1L); val b2 = batch(2L)
+    println(s"[txtable18] CDC batch: ${b1.count()} rows (0.1%)")
+    time("upsert 0.1% CDC, default (no conflict detection)") {
+      TxTable.upsert(spark, t1, b1, Seq("o_orderkey"), "version")
+    }
+    time("upsert 0.1% CDC, conflictDetect = true (sidecar + validation)") {
+      TxTable.upsert(spark, t1, b2, Seq("o_orderkey"), "version",
+        conflictDetect = true)
+    }
+
+    // ---- leg 2: partitioned commits, pruned vs full read --------------
+    val t2 = s"$Base/parted"
+    time("create 15 M rows partitioned (25 dirs, pcol = o_custkey % 25)") {
+      TxTable.create(spark, t2,
+        src.withColumn("version", lit(0L))
+          .withColumn("p", pmod(col("o_custkey"), lit(25L)))
+          .repartition(32),
+        partitionCols = Seq("p"))
+    }
+    TxTable.upsert(spark, t2,
+      src.filter(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("version", lit(1L))
+        .withColumn("p", pmod(col("o_custkey"), lit(25L))),
+      Seq("o_orderkey"), "version", partitionCols = Seq("p"))
+    def aggCount(df: DataFrame, label: String): Unit = {
+      val q = df.agg(count(lit(1)), sum("o_totalprice"))
+      val r = q.head()
+      println(s"[txtable18]   -> $label n=${r.get(0)} sum=${r.get(1)}")
+    }
+    time("full read scan-aggregate (all 25 partitions)") {
+      aggCount(TxTable.read(spark, t2), "full")
+    }
+    val pruned = TxTable.read(spark, t2).filter(col("p") === 7L)
+    time("partition-pruned scan-aggregate (p = 7, 1/25 of the dirs)") {
+      aggCount(pruned, "pruned")
+    }
+    println(s"[txtable18]   -> pruned data files: ${
+      pruned.inputFiles.count(_.contains("/data/"))} of ${
+      TxTable.read(spark, t2).inputFiles.count(_.contains("/data/"))}")
+
+    // ---- leg 3: state-sync Δ-cost --------------------------------------
+    import spark.implicits._
+    val srcT = s"$Base/vecsrc"; val st = s"$Base/vecstate"
+    val dim = 16
+    val vecs = spark.range(200000L).select(col("id"),
+      array((0 until dim).map(j =>
+        (pmod(col("id") * (j + 3), lit(97L)).cast("float") / 97f)): _*).as("vec"))
+    TxTable.create(spark, srcT, vecs.withColumn("version", lit(0L)))
+    var cursor = time("initial state sync (full 200k-vector chunk)") {
+      Streams.txVectorStateSync(spark, srcT, st, "id", "vec", -1L)
+    }
+    TxTable.upsert(spark, srcT,
+      vecs.filter(col("id") % 200 === 0)
+        .withColumn("vec", reverse(col("vec")))
+        .withColumn("version", lit(1L))
+        .unionByName(vecs.filter(col("id") % 997 === 0)
+          .withColumn("version", lit(1L)).withColumn("op", lit("d")),
+          allowMissingColumns = true)
+        .withColumn("op", coalesce(col("op"), lit("u"))),
+      Seq("id"), "version", opCol = Some("op"))
+    cursor = time("delta state sync (0.6% chunk: 1k re-embeds + 200 tombstones)") {
+      Streams.txVectorStateSync(spark, srcT, st, "id", "vec", cursor)
+    }
+    val n = TxTable.read(spark, st).count()
+    println(s"[txtable18]   -> state rows=$n (200000 - tombstoned)")
+    spark.stop()
+  }
+}

@@ -52,16 +52,19 @@ object Fs {
     fs.listStatus(p).toSeq.filter(_.isFile)
   }
 
-  /** ALL files under a directory, any depth — one `listFiles(recursive)`
-    * RPC stream (object stores answer this with a flat prefix listing,
-    * cheaper than a walk). Needed for hive-partitioned data dirs whose
-    * leaf files sit below `<col>=<val>/` subdirectories. */
+  /** ALL files under a directory, any depth — needed for
+    * hive-partitioned data dirs whose leaf files sit below
+    * `<col>=<val>/` subdirectories. A recursive `listStatus` walk, NOT
+    * `FileSystem.listFiles(recursive)`: the latter materializes
+    * LocatedFileStatus through RawLocal permission probes that throw on
+    * any local-backed wrapper scheme (HostileFsSpec caught it), and the
+    * depth here is the partition tree (1–2 levels), not a deep walk. */
   def listFilesRecursive(path: String, c: Configuration = conf()): Seq[FileStatus] = {
     val (fs, p) = fileSystem(path, c)
-    val it = fs.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    while (it.hasNext) buf += it.next()
-    buf.toSeq
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq.flatMap(walk)
+    fs.listStatus(p).toSeq.flatMap(walk)
   }
 
   def exists(path: String, c: Configuration = conf()): Boolean = {

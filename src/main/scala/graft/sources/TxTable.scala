@@ -328,6 +328,26 @@ object TxTable {
 
   private def keysDir(root: String, k: Long) = s"$root/_txn/keys/$k"
 
+  /** Driver-side footer row count of a just-written commit dir — the
+    * post-write emptiness decision costs footer reads (bounded by the
+    * BATCH-sized file count), never a Spark job: the old `isEmpty`
+    * probes re-executed the plan that produced the files (the adds
+    * anti-join ran twice per upsert — round-18 profile). */
+  private def writtenRows(dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!Fs.isDirectory(dir)) return 0L
+    Fs.listFilesRecursive(dir)
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && f.getLen > 0)
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, Fs.conf()))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+        finally r.close()
+      }.sum
+  }
+
   /** A conflicting concurrent commit was detected during an optimistic
     * [[upsert]] — the writer retries from a fresh snapshot. */
   final class CommitConflictException(msg: String)
@@ -444,20 +464,21 @@ object TxTable {
           .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
         val vectors = DeleteVectors.buildVectors(hits)
         vectors.write.mode("overwrite").parquet(dvDir(root, k))
-        val dvEmpty = !Fs.listFiles(dvDir(root, k)).exists { f =>
-          f.getPath.getName.endsWith(".parquet") && f.getLen > 0
-        } || spark.read.parquet(dvDir(root, k)).isEmpty
+        val dvEmpty = writtenRows(dvDir(root, k)) == 0L
         if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
 
         // winners that LOSE to a strictly newer live row are dropped —
-        // the live side's latest-wins leg; tombstones drop their key
+        // the live side's latest-wins leg; tombstones drop their key.
+        // Written FIRST, emptiness decided from the footers: an isEmpty
+        // probe here executed the anti-join a second time
         val beaten = cand.filter(col(versionCol) > col("__tx_wv"))
           .select(keys.map(col): _*).distinct()
         val adds0 = winners.join(beaten, keys.toSeq, "left_anti")
         val adds = opCol.map(c => adds0.filter(col(c) =!= "d").drop(c))
           .getOrElse(adds0)
-        val anyAdds = !adds.isEmpty
-        if (anyAdds) writeData(adds, dataDir(root, k), bloomCols, partitionCols)
+        writeData(adds, dataDir(root, k), bloomCols, partitionCols)
+        val anyAdds = writtenRows(dataDir(root, k)) > 0L
+        if (!anyAdds) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
 
         if (conflictDetect) {
           // the key summary others validate against — ALL batch keys
