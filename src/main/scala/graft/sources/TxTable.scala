@@ -284,7 +284,11 @@ object TxTable {
   /** Create the table: the initial snapshot becomes commit 0.
     * `partitionCols` (round 18) lays the commit out hive-partitioned —
     * subsequent writes should pass the same columns (each commit's
-    * layout is independent; readers reconcile by name either way). */
+    * layout is independent; readers reconcile by name either way). An
+    * EMPTY initial snapshot must be created FLAT (partitionCols off): a
+    * partitioned write of zero rows leaves no schema-bearing file, while
+    * the flat empty file records the schema — [[graft.streaming.Streams.txUpsertSink]]'s
+    * first-batch pattern. */
   def create(spark: SparkSession, root: String, df: DataFrame,
       bloomCols: Seq[String] = Seq.empty,
       partitionCols: Seq[String] = Seq.empty): Long = {
@@ -828,7 +832,8 @@ object TxTable {
   def compactFiles(spark: SparkSession, root: String,
       minDeadFraction: Double = 0.3,
       targetFileBytes: Long = 512L * 1024 * 1024,
-      bloomCols: Seq[String] = Seq.empty): Option[Long] = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Option[Long] = {
     val ks = committedIds(root)
     require(ks.nonEmpty, s"txtable: nothing committed under $root")
     val rks = resolvedIds(root)
@@ -862,8 +867,13 @@ object TxTable {
         .write.mode("overwrite").parquet(dvDir(root, k))
       val hotBytes = ParquetIO.inputBytes(spark, hot)
       val parts = math.max(1L, hotBytes / math.max(1L, targetFileBytes)).toInt
-      writeData(liveHot.drop("__dv_file", "__dv_row").coalesce(parts),
-        dataDir(root, k), bloomCols)
+      val moved = liveHot.drop("__dv_file", "__dv_row")
+      val sized =
+        if (partitionCols.isEmpty) moved.coalesce(parts)
+        // cluster by the partition column so the fold keeps the hive
+        // layout at ~one file per (task, value) instead of parts × values
+        else moved.repartition(parts, partitionCols.map(col): _*)
+      writeData(sized, dataDir(root, k), bloomCols, partitionCols)
       commit(root, k)
       Some(k)
     } finally { liveHot.unpersist(); () }
@@ -933,9 +943,14 @@ object TxTable {
     val bytes = ParquetIO.inputBytes(spark, data)
     val parts = math.max(1L, bytes / math.max(1L, targetFileBytes)).toInt
     val sized =
-      if (sortCols.isEmpty) live.repartition(parts)
-      else live.repartitionByRange(parts, sortCols.map(col): _*)
-        .sortWithinPartitions(sortCols.map(col): _*)
+      if (sortCols.nonEmpty)
+        live.repartitionByRange(parts, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      // partitioned fold: cluster by the partition column so the
+      // checkpoint keeps ~one file per (task, value), not parts × values
+      else if (partitionCols.nonEmpty)
+        live.repartition(parts, partitionCols.map(col): _*)
+      else live.repartition(parts)
     writeData(sized, dataDir(root, k), bloomCols, partitionCols)
     // post-fold fence: any lower commit not in the frozen snapshot, or
     // any still-unredeemed lower claim (it could commit after us), would

@@ -276,7 +276,8 @@ object Streams {
   def txUpsertSink(updates: DataFrame, root: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String,
       opCol: Option[String] = None, checkpointEvery: Int = 0,
-      bloomCols: Seq[String] = Seq.empty): StreamingQuery = {
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): StreamingQuery = {
     import graft.sources.{Fs, TxTable}
     updates.writeStream
       .option("checkpointLocation", checkpoint)
@@ -287,17 +288,23 @@ object Streams {
           if (TxTable.committedIds(root).isEmpty) {
             // first batch: an empty create in the table's schema (op is
             // transport metadata, never table data), then the same MERGE
-            // path every later batch takes
+            // path every later batch takes. The empty create stays FLAT
+            // even when partitionCols is set: a partitioned write of
+            // zero rows leaves no schema-bearing file at all, while the
+            // flat empty file carries the full schema (partition column
+            // included as a plain column) and reconciles by name with
+            // the partitioned commits that follow
             val shape = opCol.map(batch.toDF().drop(_)).getOrElse(batch.toDF())
             TxTable.create(spark, root, spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               shape.schema), bloomCols)
           }
           TxTable.upsert(spark, root, batch.toDF(), keyCols, versionCol,
-            opCol = opCol, bloomCols = bloomCols)
+            opCol = opCol, bloomCols = bloomCols,
+            partitionCols = partitionCols)
           if (checkpointEvery > 0 && batchId > 0 &&
               batchId % checkpointEvery == 0) {
-            TxTable.checkpoint(spark, root)
+            TxTable.checkpoint(spark, root, partitionCols = partitionCols)
             TxTable.expire(spark, root)
             TxTable.vacuum(spark, root)
             // stream markers exist to short-circuit replays, and only

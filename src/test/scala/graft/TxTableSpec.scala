@@ -742,4 +742,28 @@ class TxTableSpec extends AnyFunSuite {
     assert(got.count() === 400L)
     assert(got.filter(col("id") === 8L).head.getAs[Double]("price") === 8888.0)
   }
+
+  test("partitioned fold-down keeps the hive layout on the moved rows") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase().repartition(4),
+      partitionCols = Seq("cat"))
+    // kill 40% of cat0's rows so its files cross the dead threshold
+    TxTable.upsert(spark, t,
+      partedBase().filter(col("cat") === "cat0" && col("id") % 10 < 4)
+        .withColumn("version", lit(1L)).withColumn("op", lit("d")),
+      Seq("id"), "version", opCol = Some("op"),
+      partitionCols = Seq("cat"))
+    val k = TxTable.compactFiles(spark, t, minDeadFraction = 0.3,
+      partitionCols = Seq("cat"))
+    assert(k.nonEmpty, "the hot partition's files must cross the threshold")
+    // the fold's commit dir is itself hive-partitioned (cat=cat0 only —
+    // the other partitions' files were cold)
+    val dirs = Fs.listDirs(s"$t/data/c${k.get}").map(_.getPath.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cat=")),
+      s"fold-down must keep the layout: $dirs")
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 360L)
+    assert(got.filter(col("cat") === "cat0").count() === 60L)
+  }
 }

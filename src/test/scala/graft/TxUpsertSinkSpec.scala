@@ -117,4 +117,36 @@ class TxUpsertSinkSpec extends AnyFunSuite {
     assert(markers.size <= 3,
       s"stream markers must be swept at the fold cadence, got $markers")
   }
+
+  test("partitionCols lays every streamed commit out hive-style") {
+    val base = java.nio.file.Files.createTempDirectory("graft-txsp").toString
+    // payload doubles as the partition column in this fixture
+    writeBatches(base)
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val q = Streams.txUpsertSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*"),
+      s"$base/t", s"$base/ckpt", Seq("k"), "v", opCol = Some("op"),
+      partitionCols = Seq("payload"))
+    try q.processAllAvailable() finally q.stop()
+    assertFinal(state(base))
+    // the empty create (c0) is flat — the schema carrier; every
+    // DATA-bearing commit after it is hive-partitioned on payload
+    val t = s"$base/t"
+    val dataDirs = TxTable.committedIds(t).map(id => s"$t/data/c$id")
+      .filter(Fs.isDirectory(_))
+    val parted = dataDirs.tail.filter(d =>
+      Fs.listFiles(d).exists(f => f.getPath.getName.endsWith(".parquet") &&
+        f.getLen > 0) || Fs.listDirs(d).nonEmpty)
+    assert(parted.nonEmpty)
+    parted.foreach { d =>
+      val sub = Fs.listDirs(d).map(_.getPath.getName)
+      assert(sub.nonEmpty && sub.forall(_.startsWith("payload=")),
+        s"streamed commit $d must be hive-partitioned: $sub")
+    }
+    // partition pruning reaches the streamed commits
+    val plan = TxTable.read(spark, t).filter(col("payload") === "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
 }
