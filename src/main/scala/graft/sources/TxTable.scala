@@ -391,11 +391,15 @@ object TxTable {
    * concurrent upserting writer must pass `conflictDetect = true` (the
    * key sidecar is what others validate against — a commit WITHOUT one
    * inside the validation window is treated as conflicting, one
-   * conservative retry); claim-marker mutual exclusion must hold on the
-   * store ([[Fs.createMarker]]'s scheme table); and a writer stalled
+   * conservative retry); and claim-marker mutual exclusion must hold on
+   * the store ([[Fs.createMarker]]'s scheme table). A writer stalled
    * longer than `conflictWaitMs` past its claim is presumed crashed by
-   * waiting peers (a zombie that later commits escapes detection — the
-   * same stale-writer caveat as any lease-based OCC). With the default
+   * waiting peers — and symmetrically validates UPWARD at its own
+   * commit (its claim age is a complete trigger: any peer that gave up
+   * saw the claim for a full window first), so the stalled writer loses
+   * to the younger winner and retries rather than committing a lost
+   * update; the residual race is two final listings inside the same few
+   * milliseconds, reachable only past a full stall. With the default
    * `conflictDetect = false` the round-17 contract stands: one
    * upserting writer per key space.
    */
@@ -516,11 +520,12 @@ object TxTable {
     * writer we wait on (it either commits, abandons its claim, or ages
     * past `waitMs` and is presumed crashed); every such id that DID
     * commit must carry a key sidecar disjoint from our batch keys.
-    * Writers above us never get checked — they run this same loop
-    * against US. Throws [[CommitConflictException]] on intersection (or
-    * on a sidecar-less commit in the window — a writer outside the
+    * Writers above us get checked only when OUR claim has aged past
+    * `waitMs` (the zombie closure below); otherwise they run this same
+    * loop against US. Throws [[CommitConflictException]] on intersection
+    * (or on a sidecar-less commit in the window — a writer outside the
     * optimistic protocol, one conservative retry). */
-  private def validateNoKeyConflicts(spark: SparkSession, root: String,
+  private[graft] def validateNoKeyConflicts(spark: SparkSession, root: String,
       k: Long, snap: Set[Long], ourKeys: DataFrame, keys: Seq[String],
       waitMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
@@ -530,17 +535,44 @@ object TxTable {
       if (!first) Thread.sleep(50)
       first = false
       val committedNow = committedIds(root).toSet
-      unresolved = markerIds(claimsDir(root))
+      // ONE claims listing per poll: ids + mtimes together
+      val claims = Fs.listFiles(claimsDir(root))
+        .filter(_.getPath.getName.matches("c\\d+"))
+        .map(st => st.getPath.getName.stripPrefix("c").toLong ->
+          st.getModificationTime).toMap
+      unresolved = claims.keys.toSeq
         .filter(c => c < k && !committedNow.contains(c) && !snap.contains(c))
         // a claim already stale by the full wait bound is a crashed
         // writer from an earlier era — never spin a full window on it
-        .filter { c =>
-          Fs.listFiles(claimsDir(root))
-            .find(_.getPath.getName == s"c$c")
-            .forall(st =>
-              System.currentTimeMillis() - st.getModificationTime <= waitMs)
-        }
+        .filter(c => System.currentTimeMillis() - claims(c) <= waitMs)
     } while (unresolved.nonEmpty && System.currentTimeMillis() < deadline)
+
+    // ZOMBIE CLOSURE: if OUR claim is older than waitMs, a higher-id
+    // peer may have exhausted its wait on us, presumed us crashed, and
+    // committed — and we would never see it checking only downward. The
+    // age test is a COMPLETE trigger: a peer only gives up after seeing
+    // our claim for its full window, so at its commit time our claim is
+    // already past waitMs, and our validation runs at or after that. On
+    // trigger, validate UPWARD against sidecar-carrying commits (the
+    // protocol's participants; blind appends stay out of key space by
+    // contract) and lose to the younger winner. Residual window: both
+    // sides passing their final listing inside the same few milliseconds
+    // — reachable only with a writer already stalled past waitMs.
+    val myAge = Fs.listFiles(claimsDir(root))
+      .find(_.getPath.getName == s"c$k")
+      .map(st => System.currentTimeMillis() - st.getModificationTime)
+    if (myAge.exists(_ > waitMs)) {
+      val upIds = committedIds(root)
+        .filter(c => c > k && Fs.isDirectory(keysDir(root, c)))
+      if (upIds.nonEmpty) {
+        val theirs = spark.read.parquet(upIds.map(keysDir(root, _)): _*)
+        if (!ourKeys.join(theirs, keys.toSeq, "left_semi").isEmpty)
+          throw new CommitConflictException(
+            s"txtable: claim $k stalled past its wait window and commits " +
+              s"${upIds.mkString(",")} above it touch its keys — the " +
+              "younger writer won; retrying against the fresh snapshot")
+      }
+    }
 
     // NOTE a checkpoint in the window is NOT exempt even though it
     // changes no key: our deletion vectors reference the files of OUR

@@ -165,6 +165,39 @@ class TxConcurrencySpec extends AnyFunSuite {
       .head.getDouble(2) === 5555.0)
   }
 
+  test("a stalled writer validates UPWARD and loses to the younger winner (zombie closure)") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // the STALLED writer's world: it claimed c1 long ago (mtime aged past
+    // the wait window) with key 5 in its sidecar...
+    assert(Fs.createMarker(s"$t/_txn/claims/c1", "stalled"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$t/_txn/claims/c1"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000L))
+    val ourKeys = Seq(Tuple1(5L)).toDF("id")
+    // ...and while it stalled, a younger optimistic writer (c2) gave up
+    // waiting, committed, and left ITS sidecar on the same key
+    Seq(Tuple1(5L)).toDF("id").write.parquet(s"$t/_txn/keys/2")
+    Seq((5L, "younger", 9999.0, 1L)).toDF("id", "name", "price", "version")
+      .write.parquet(s"$t/data/c2")
+    TxTable.commit(t, 2L)
+    // the stalled writer's validation must detect the younger winner
+    // ABOVE its id — checking only downward would commit a lost update
+    intercept[TxTable.CommitConflictException] {
+      TxTable.validateNoKeyConflicts(spark, t, 1L, Set(0L), ourKeys,
+        Seq("id"), waitMs = 5000L)
+    }
+    // disjoint keys sail through — the upward check is key-scoped
+    TxTable.validateNoKeyConflicts(spark, t, 1L, Set(0L),
+      Seq(Tuple1(77L)).toDF("id"), Seq("id"), waitMs = 5000L)
+    // a YOUNG claim (not stalled) never pays the upward check
+    assert(Fs.createMarker(s"$t/_txn/claims/c3", "fresh"))
+    TxTable.validateNoKeyConflicts(spark, t, 3L, Set(0L, 2L), ourKeys,
+      Seq("id"), waitMs = 5000L)
+  }
+
   test("checkpoint aborts while a lower writer is in flight, succeeds after it resolves") {
     import spark.implicits._
     val t = tmp() + "/t"
