@@ -859,7 +859,13 @@ object TxTable {
    * footer pass over the DV-carrying files only — no data read decides
    * anything. Returns the commit id, or None when no file crosses the
    * threshold (or the hot files hold no live rows). Single maintenance
-   * writer, like every maintenance pass.
+   * writer, like every maintenance pass — and FENCED against live
+   * upserts like [[checkpoint]] (round 18): an in-flight writer may be
+   * killing rows in exactly the files this fold is moving, and its kill
+   * of the OLD position would not reach the moved copy — the key would
+   * resurrect. The fold therefore ABORTS ([[CommitConflictException]],
+   * claim and dirs removed) over unredeemed lower claims or lower
+   * commits that landed mid-fold.
    */
   def compactFiles(spark: SparkSession, root: String,
       minDeadFraction: Double = 0.3,
@@ -868,7 +874,7 @@ object TxTable {
       partitionCols: Seq[String] = Seq.empty): Option[Long] = {
     val ks = committedIds(root)
     require(ks.nonEmpty, s"txtable: nothing committed under $root")
-    val rks = resolvedIds(root)
+    val rks = resolvedOf(root, ks)
     val dv = DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks))
     val deadPerFile = dv.groupBy(col("__dv_fp"))
       .agg(sum(bit_count(col("__dv_mask"))).cast("long").as("dead"))
@@ -893,6 +899,19 @@ object TxTable {
     try {
       if (liveHot.isEmpty) return None // fully dead files: nothing to move
       val k = claimId(root)
+      def abort(reason: String): Nothing = {
+        Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+        Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+        Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+        throw new CommitConflictException(
+          s"txtable: compactFiles claim $k under $root aborted — $reason")
+      }
+      def unredeemedBelow(committed: Set[Long]): Seq[Long] =
+        markerIds(claimsDir(root)).filter(c => c < k && !committed.contains(c))
+      val inFlight0 = unredeemedBelow(ks.toSet)
+      if (inFlight0.nonEmpty)
+        abort(s"writers ${inFlight0.mkString(",")} are in flight below it — " +
+          "their kills could miss the moved copies; retry once they resolve")
       val hits = liveHot.select(
         col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
       DeleteVectors.buildVectors(hits)
@@ -906,6 +925,16 @@ object TxTable {
         // layout at ~one file per (task, value) instead of parts × values
         else moved.repartition(parts, partitionCols.map(col): _*)
       writeData(sized, dataDir(root, k), bloomCols, partitionCols)
+      // post-fold fence, same shape as checkpoint's: a lower writer that
+      // claimed or committed mid-fold may have killed rows in the moved
+      // files with this fold blind to it
+      val committedNow = committedIds(root)
+      val missed = committedNow.filter(c => c < k && !ks.contains(c))
+      if (missed.nonEmpty)
+        abort(s"commits ${missed.mkString(",")} landed below it during the fold")
+      val inFlight1 = unredeemedBelow(committedNow.toSet)
+      if (inFlight1.nonEmpty)
+        abort(s"writers ${inFlight1.mkString(",")} are still in flight below it")
       commit(root, k)
       Some(k)
     } finally { liveHot.unpersist(); () }

@@ -224,6 +224,31 @@ class TxConcurrencySpec extends AnyFunSuite {
       "expire after a fenced checkpoint must lose nothing")
   }
 
+  test("compactFiles aborts over an in-flight lower writer, succeeds after it resolves") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100).repartition(4))
+    // make some files hot
+    TxTable.upsert(spark, t,
+      base(100).filter(col("id") % 2 === 0)
+        .withColumn("version", lit(1L)).withColumn("op", lit("d")),
+      Seq("id"), "version", opCol = Some("op"))
+    // an in-flight writer below the fold's claim
+    assert(Fs.createMarker(s"$t/_txn/claims/c2", "in-flight"))
+    val ex = intercept[TxTable.CommitConflictException] {
+      TxTable.compactFiles(spark, t, minDeadFraction = 0.3)
+    }
+    assert(ex.getMessage.contains("in flight"))
+    assert(TxTable.vacuum(spark, t, graceMs = 0L)
+      .forall(_.endsWith("/_txn/claims/c2")),
+      "the aborted fold leaves no litter of its own")
+    // the writer resolves (abandons); the fold then lands
+    Fs.deleteIfExists(s"$t/_txn/claims/c2")
+    val k = TxTable.compactFiles(spark, t, minDeadFraction = 0.3)
+    assert(k.nonEmpty)
+    assert(TxTable.read(spark, t).count() === 50L)
+  }
+
   test("a no-op batch commits an EMPTY commit — a real, replayable log position") {
     import spark.implicits._
     val t = tmp() + "/t"
