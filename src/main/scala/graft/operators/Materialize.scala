@@ -137,11 +137,17 @@ object Materialize {
    * Same state algebra as [[incrementalAgg]] — keys, `n` LONG,
    * `sum_<c>` DECIMAL(38,2) — signed: the delta aggregate weights each
    * feed row ±1, the merge is one key-hash exchange over state ∪ Δ, and
-   * groups whose `n` reaches 0 drop out (a fully-retracted key must
-   * vanish exactly as it would in the from-scratch aggregate). Signed
-   * exact decimals commute and associate, so ANY batching of the feed —
-   * one shot, per-commit, arbitrary cursor chunks — converges to the
-   * same state (`q_incr_agg_cdc` pins this against the oracle).
+   * a group drops out only when `n` AND every sum reach exactly 0 — the
+   * information-free row a fully-retracted key leaves behind, so the
+   * final state matches the from-scratch aggregate. Dropping on `n == 0`
+   * alone would be WRONG: under out-of-order chunk folding a group can
+   * legitimately pass through `n = 0, sum ≠ 0` (its retractions folded
+   * before their matching adds), and that transient row is load-bearing
+   * state (CdcPropertySpec caught exactly this on random chunkings).
+   * Signed exact decimals commute and associate, so ANY batching of the
+   * feed — one shot, per-commit, arbitrary cursor chunks, even
+   * reordered — converges to the same state (`q_incr_agg_cdc` pins the
+   * in-order fold against the oracle; the property spec the rest).
    */
   def incrementalAggCdc(state: Option[DataFrame], feed: DataFrame,
       keyCols: Seq[String], sumCols: Seq[String],
@@ -149,7 +155,7 @@ object Materialize {
     require(keyCols.nonEmpty, "incrementalAggCdc needs at least one key column")
     require(feed.columns.contains(opCol),
       s"incrementalAggCdc: feed has no '$opCol' column — pass a change feed, not a snapshot")
-    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, lit, raise_error, sum, when}
     val weight = when(col(opCol).isin("i", "u"), lit(1))
       .when(col(opCol).isin("up", "d"), lit(-1))
       .otherwise(raise_error(concat(
@@ -172,6 +178,14 @@ object Materialize {
           .agg(sum(col("n")).as("n"),
             sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*))
     }
-    merged.filter(col("n") =!= 0L)
+    // drop only the information-free row: n == 0 AND every sum == 0
+    // (exact decimals — a complete feed's fully-retracted group cancels
+    // to exactly this; an n = 0, sum != 0 row is transient state under
+    // out-of-order folding and must survive)
+    val zeroSums = sumCols
+      .map(c => coalesce(col(s"sum_$c"), lit(0).cast("decimal(38,2)")) ===
+        lit(0).cast("decimal(38,2)"))
+      .foldLeft(lit(true))(_ && _)
+    merged.filter(col("n") =!= 0L || !zeroSums)
   }
 }
