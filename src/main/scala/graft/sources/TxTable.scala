@@ -183,7 +183,14 @@ object TxTable {
     * lays out as `c<k>/<col>=<val>/…`, so partition pruning composes
     * with the commit log (Catalyst's `PartitionFilters` cut directories
     * inside every resolved commit before any footer or bloom is read).
-    * Blooms are writer options, so the two compose. */
+    * Blooms are writer options, so the two compose. TYPE caveat
+    * (inherent to hive layout — directory names carry no type, and this
+    * table is convention-not-manifest by design): partition VALUES come
+    * back through Spark's partition inference, so a numeric partition
+    * column written as LONG reads back INT when its values fit —
+    * partition on strings or accept the inferred type, the same rule as
+    * any hive-layout table (CdcPropertySpec pins value equality across
+    * the two layouts). */
   private def writeData(df: DataFrame, path: String,
       bloomCols: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {
     if (partitionCols.isEmpty) {

@@ -79,4 +79,44 @@ class CdcPropertySpec extends AnyFunSuite {
         s"trial $trial (batches=$nBatches, cuts=$cuts): state diverged from scratch")
     }
   }
+
+  test("partitioned and flat tables agree on random mutation sequences") {
+    (1 to 4).foreach { trial =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-cdcpart").toString
+      val tFlat = s"$dir/flat"
+      val tPart = s"$dir/part"
+      val base = (0L until 10L).map(k => (k, k % 3, k * 1.0, 0L))
+        .toDF("key", "grp", "value", "version")
+      TxTable.create(spark, tFlat, base)
+      TxTable.create(spark, tPart, base, partitionCols = Seq("grp"))
+      val nBatches = 2 + trial % 3
+      (1 to nBatches).foreach { b =>
+        val ops = genBatch(trial * 5000L + b)
+        val batch = ops.map(o => (o.key, o.key % 3, o.value, b.toLong, o.op))
+          .toDF("key", "grp", "value", "version", "op")
+        TxTable.upsert(spark, tFlat, batch, Seq("key"), "version",
+          opCol = Some("op"))
+        TxTable.upsert(spark, tPart, batch, Seq("key"), "version",
+          opCol = Some("op"), partitionCols = Seq("grp"))
+      }
+      // grp comes back through partition-value INFERENCE on the hive
+      // layout (INT for small ints — the documented hive-layout type
+      // caveat), so values compare through an explicit cast
+      def rows(t: String) = TxTable.read(spark, t)
+        .select(col("key"), col("grp").cast("long").as("grp"),
+          col("value"), col("version")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(rows(tPart) === rows(tFlat),
+        s"trial $trial: partitioned layout diverged from flat")
+      // and the two FEEDS carry identical changes
+      def feed(t: String) = TxTable.changeFeed(spark, t, Seq("key"),
+        fromCommit = 1, withPreimage = true)
+        .select("key", "op", "value", "commit").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(feed(tPart) === feed(tFlat),
+        s"trial $trial: partitioned feed diverged from flat")
+    }
+  }
 }
