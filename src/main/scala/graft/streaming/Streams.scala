@@ -364,12 +364,25 @@ object Streams {
         // tombstone op, commit onto its version
         val batch = feed.select(col(idCol), col(vecCol),
           col("commit").as("version"), col("op"))
-        if (TxTable.committedIds(stateRoot).isEmpty)
-          TxTable.create(spark, stateRoot, spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.drop("op").schema))
-        TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
-          opCol = Some("op"))
+        if (TxTable.committedIds(stateRoot).isEmpty) {
+          // BOOTSTRAP fast path: no live state to contest, so the first
+          // chunk resolves latest-per-key locally (drop keys whose final
+          // op is a tombstone) and lands as the create commit — one
+          // window + one write instead of an empty create plus the full
+          // MERGE (its live scan, broadcast gate, and anti-join are all
+          // no-ops against an empty table, but not free)
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col(idCol))
+            .orderBy(col("version").desc)
+          val winners = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1 && col("op") =!= "d")
+            .drop("__rn", "op")
+          TxTable.create(spark, stateRoot, winners)
+        } else {
+          TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
+            opCol = Some("op"))
+        }
         tip
     }
   }
