@@ -1623,12 +1623,17 @@ object ProfileScale100 {
     }
 
     if (which("cdc")) {
-      // the round-12 CDC/MV/layout tier at 100× (registered queries run
-      // verbatim against the sf10 orders replica set): each is one or two
-      // key-hash exchanges over the fact, so the expectation is ~linear
-      // wall — this probe is the evidence
+      // the CDC/MV/layout tier at 100× (registered queries run verbatim
+      // against the sf10 replica set): each is one or two key-hash
+      // exchanges over the fact — or, for the round-18 TxTable feed tier,
+      // a full create→upsert→feed→fold lifecycle at 15 M rows — so the
+      // expectation is ~linear wall; this probe is the evidence
       Seq("q_change_feed", "q_incr_agg", "q_partition_overwrite",
-          "q_csv_ingest", "q_orc_roundtrip").foreach { name =>
+          "q_csv_ingest", "q_orc_roundtrip",
+          // round 18: feed-driven MV maintenance, partitioned TxTable,
+          // cursor-driven standing state
+          "q_incr_agg_cdc", "q_tx_partition_prune", "q_ann_state_sync")
+        .foreach { name =>
         val fn = SparkEntry.queries(name)
         time(s"$name @sf0.1")(
           fn(spark, src).write.format("noop").mode("overwrite").save())
