@@ -2133,6 +2133,54 @@ object PipelineQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_tx_delete_where" -> ((s, dir) => {
+      // predicate DELETE on the transactional table (round 18): one
+      // committed call marks every row matching a mixed predicate dead
+      // in deletion vectors — the GDPR-erasure / retention-cutoff shape
+      // (the keyed tombstone path needs a CDC batch; a cutoff is a
+      // predicate). Cost ∝ matched rows + one snapshot scan, no data
+      // rewritten. Equality with the plain WHERE NOT oracle proves the
+      // positional kill is row-exact through the DV broadcast.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txdel")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)))
+      TxTable.deleteWhere(s, t,
+        col("o_totalprice") > 200000.0 || col("o_orderkey") % 7 === 0)
+      TxTable.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "q_tx_update_where" -> ((s, dir) => {
+      // predicate UPDATE on the transactional table (round 18): one
+      // committed call kills the matching live rows and lands their
+      // mutated copies — UPDATE ... SET price = price + 1000 WHERE
+      // urgent, with every SET expression reading the OLD row. A
+      // follow-up predicate DELETE composes on the same log; the CASE
+      // oracle reconstructs both.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txupd")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)))
+      TxTable.updateWhere(s, t, col("o_orderpriority") === "1-URGENT",
+        Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+      TxTable.deleteWhere(s, t, col("o_orderkey") % 10 === 3)
+      TxTable.read(s, t)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_ann_state_sync" -> ((s, dir) => {
       // TxTable-fed standing vector state (round 18): a mutating source
       // of embeddings — create, re-embed every 5th vector, tombstone
@@ -3865,6 +3913,21 @@ object PipelineQueries {
          SELECT o_custkey, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM survivors GROUP BY 1 ORDER BY o_custkey""",
+    // predicate DELETE == plain WHERE NOT
+    "q_tx_delete_where" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE NOT (o_totalprice > 200000.0 OR o_orderkey % 7 = 0)
+         GROUP BY 1 ORDER BY 1""",
+    // predicate UPDATE then predicate DELETE == CASE + WHERE
+    "q_tx_update_where" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_orderkey % 10 <> 3
+         GROUP BY 1 ORDER BY 1""",
     // the synced state's membership + per-id sync commit: deleted ids
     // absent, re-embedded ids at commit 1, untouched ids at commit 0
     "q_ann_state_sync" ->

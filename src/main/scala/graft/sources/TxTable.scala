@@ -608,6 +608,89 @@ object TxTable {
     }
   }
 
+  /**
+   * Predicate DELETE (round 18) — `DELETE FROM t WHERE p`, committed
+   * atomically: one snapshot scan (partition-pruned when `predicate`
+   * touches partition columns), matching LIVE rows marked dead in this
+   * commit's deletion vectors, no data written, cost ∝ matched rows +
+   * one scan — never a rewrite. This is the GDPR-erasure / TTL shape as
+   * a single call (the keyed tombstone path through [[upsert]] needs a
+   * key batch; a retention cutoff is a predicate): follow with
+   * [[compactFiles]]/[[checkpoint]] to reclaim bytes. A predicate that
+   * matches nothing commits an EMPTY commit — the id is a real log
+   * position. POSITIONAL, not key-versioned: the delete applies to the
+   * rows live at ITS snapshot (standard snapshot-isolation DELETE), so
+   * the single-upserting-writer contract covers it like any batch; the
+   * change feed emits its kills as ordinary `d` rows.
+   */
+  def deleteWhere(spark: SparkSession, root: String,
+      predicate: Column): Long = {
+    val snap = committedIds(root)
+    require(snap.nonEmpty, s"txtable: create $root before deleting")
+    val k = claimId(root)
+    val rks = resolvedOf(root, snap)
+    val live = DeleteVectors.applyVectorsKeepId(
+      scanResolved(spark, existingDataDirs(root, rks)),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+    val hits = live.filter(predicate)
+      .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+    DeleteVectors.buildVectors(hits)
+      .write.mode("overwrite").parquet(dvDir(root, k))
+    if (writtenRows(dvDir(root, k)) == 0L)
+      Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+    commit(root, k)
+    k
+  }
+
+  /**
+   * Predicate UPDATE (round 18) — `UPDATE t SET c = expr, … WHERE p`,
+   * committed atomically: matching live rows die in this commit's
+   * deletion vectors and their mutated copies land as its data dir —
+   * the same kill+add pair [[upsert]] commits, driven by a predicate
+   * instead of a key batch, cost ∝ matched rows + one scan. `set`
+   * expressions may reference the row's own columns (`price + 1000`).
+   * Positional like [[deleteWhere]] (the update applies to the rows
+   * live at its snapshot); the feed emits it as ordinary `u`/`up`
+   * rows. A no-match predicate commits an EMPTY commit.
+   */
+  def updateWhere(spark: SparkSession, root: String, predicate: Column,
+      set: Map[String, Column], bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    require(set.nonEmpty, "txtable.updateWhere needs SET expressions")
+    val snap = committedIds(root)
+    require(snap.nonEmpty, s"txtable: create $root before updating")
+    val k = claimId(root)
+    val rks = resolvedOf(root, snap)
+    val live = DeleteVectors.applyVectorsKeepId(
+      scanResolved(spark, existingDataDirs(root, rks)),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+    val matched = live.filter(predicate)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hits = matched
+        .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
+      DeleteVectors.buildVectors(hits)
+        .write.mode("overwrite").parquet(dvDir(root, k))
+      val anyKills = writtenRows(dvDir(root, k)) > 0L
+      if (!anyKills)
+        Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+      if (anyKills) {
+        val old = matched.drop("__dv_file", "__dv_row")
+        require(set.keySet.subsetOf(old.columns.toSet),
+          s"txtable.updateWhere: SET names ${set.keySet.mkString(",")} " +
+            s"must be existing columns (${old.columns.mkString(",")})")
+        // ONE select, so every SET expression evaluates against the OLD
+        // row (SQL UPDATE semantics — a fold of withColumn would let one
+        // SET read another's result in map order)
+        val mutated = old.select(old.columns.map(c =>
+          set.getOrElse(c, col(c)).as(c)): _*)
+        writeData(mutated, dataDir(root, k), bloomCols, partitionCols)
+      }
+      commit(root, k)
+      k
+    } finally { matched.unpersist(); () }
+  }
+
   private def statsPath(root: String) = s"$root/_txn/stats/manifest"
 
   /** The data FILES of an explicit resolution set — every skipping

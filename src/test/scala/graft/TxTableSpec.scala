@@ -636,6 +636,64 @@ class TxTableSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 900L).count() === 0L)
   }
 
+  // ---- predicate DML (round 18) ------------------------------------------
+
+  test("deleteWhere marks matching live rows dead in one commit") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    val before = Fs.listFiles(s"$t/data/c0")
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val k = TxTable.deleteWhere(spark, t, col("id") % 7 === 0)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 85L) // 15 ids divisible by 7 in 0..99
+    assert(got.filter(col("id") % 7 === 0).count() === 0L)
+    // no data written, no data touched — vectors only
+    assert(!Fs.isDirectory(s"$t/data/c$k"))
+    assert(Fs.listFiles(s"$t/data/c0")
+      .map(f => f.getPath.getName -> f.getLen).toMap === before)
+    // the feed reports ordinary d rows with last-known values
+    val d = TxTable.changeFeed(spark, t, Seq("id"), fromCommit = k)
+    assert(d.filter(col("op") === "d").count() === 15L)
+    // time travel below the delete still sees everything
+    assert(TxTable.readAt(spark, t, k - 1).count() === 100L)
+    // a no-match predicate commits an EMPTY commit
+    val k2 = TxTable.deleteWhere(spark, t, col("id") === -999L)
+    assert(TxTable.committedIds(t).contains(k2))
+    assert(!Fs.isDirectory(s"$t/data/c$k2") && !Fs.isDirectory(s"$t/_txn/dv/$k2"))
+    assert(TxTable.read(spark, t).count() === 85L)
+  }
+
+  test("updateWhere: every SET expression evaluates against the OLD row") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // price := version * 1000 + id, version := version + 7 — if SETs
+    // leaked into each other, price would read the bumped version
+    val k = TxTable.updateWhere(spark, t, col("id") < 10L,
+      Map("price" -> (col("version") * 1000.0 + col("id")),
+        "version" -> (col("version") + 7L)))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 100L)
+    (0L until 10L).foreach { i =>
+      val r = got.filter(col("id") === i).head
+      assert(r.getDouble(2) === i.toDouble, s"price must see the OLD version: $r")
+      assert(r.getLong(3) === 7L)
+    }
+    assert(got.filter(col("id") === 50L).head.getDouble(2) === 150.0,
+      "unmatched rows byte-untouched")
+    // feed: u rows with new values, up preimages with old
+    val feed = TxTable.changeFeed(spark, t, Seq("id"), fromCommit = k,
+      withPreimage = true)
+    assert(feed.filter(col("op") === "u").count() === 10L)
+    assert(feed.filter(col("op") === "up").count() === 10L)
+    // empty match commits an empty commit
+    val k2 = TxTable.updateWhere(spark, t, col("id") === -1L,
+      Map("price" -> lit(0.0)))
+    assert(TxTable.committedIds(t).contains(k2))
+    assert(!Fs.isDirectory(s"$t/data/c$k2"))
+  }
+
   // ---- partition-aware layout (round 18) --------------------------------
 
   private def partedBase(n: Int = 400) = {
