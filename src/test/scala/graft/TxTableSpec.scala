@@ -801,6 +801,25 @@ class TxTableSpec extends AnyFunSuite {
     assert(got.filter(col("id") === 8L).head.getAs[Double]("price") === 8888.0)
   }
 
+  test("predicate DML composes with the partitioned layout") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, partedBase(), partitionCols = Seq("cat"))
+    // partition-scoped DELETE: the TTL shape — predicate on the
+    // partition column itself
+    TxTable.deleteWhere(spark, t, col("cat") === "cat3")
+    assert(TxTable.read(spark, t).count() === 300L)
+    assert(TxTable.read(spark, t).filter(col("cat") === "cat3").count() === 0L)
+    // predicate UPDATE across the surviving partitions
+    TxTable.updateWhere(spark, t, col("id") % 2 === 0L,
+      Map("price" -> (col("price") + 1.0)), partitionCols = Seq("cat"))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 300L)
+    assert(got.filter(col("id") === 8L).head.getAs[Double]("price") === 109.0)
+    assert(got.filter(col("id") === 9L).head.getAs[Double]("price") === 109.0,
+      "odd ids untouched (id 9 base price)")
+  }
+
   test("partitioned fold-down keeps the hive layout on the moved rows") {
     import spark.implicits._
     val t = tmp() + "/t"
