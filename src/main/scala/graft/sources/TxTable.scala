@@ -1044,7 +1044,11 @@ object TxTable {
    * [[ParquetIO.compactSorted]] recipe), so each checkpoint file is a
    * tight key range and a [[buildManifest]] right after restores
    * file-level pruning that months of unordered CDC commits eroded —
-   * mutation and clustered layout stop being either/or. Ordering:
+   * mutation and clustered layout stop being either/or; `zCols`
+   * (round 18) is the 2–3-key alternative: the fold Morton-interleaves
+   * the keys ([[ParquetIO.compactZOrder]]'s recipe in-log) so each
+   * checkpoint file is a small hyper-rectangle and one manifest prunes
+   * on EITHER key. Ordering:
    * data dir, then the checkpoint marker, then the COMMIT marker — a
    * crash leaves either invisible dirs or a
    * checkpoint-marker-without-commit, which [[checkpointIds]] ignores
@@ -1067,7 +1071,10 @@ object TxTable {
       targetFileBytes: Long = 512L * 1024 * 1024,
       bloomCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      zCols: Seq[String] = Seq.empty): Long = {
+    require(sortCols.isEmpty || zCols.isEmpty,
+      "txtable.checkpoint: sortCols and zCols are alternative layouts — pass one")
     val k = claimId(root)
     def abort(reason: String): Nothing = {
       Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
@@ -1097,6 +1104,15 @@ object TxTable {
       if (sortCols.nonEmpty)
         live.repartitionByRange(parts, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
+      // Z-ORDERED fold (round 18): the compactZOrder recipe in-log —
+      // every checkpoint file becomes a small (k1, k2) hyper-rectangle,
+      // so ONE manifest rebuild restores file-level pruning on EITHER
+      // key of a mutating table (sortCols clusters one key only)
+      else if (zCols.nonEmpty)
+        ParquetIO.withZValue(live, zCols)
+          .repartitionByRange(parts, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
       // partitioned fold: cluster by the partition column so the
       // checkpoint keeps ~one file per (task, value), not parts × values
       else if (partitionCols.nonEmpty)

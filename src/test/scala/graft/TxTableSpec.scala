@@ -596,6 +596,43 @@ class TxTableSpec extends AnyFunSuite {
       s"sorted fold must restore pruning (kept $kept of $total)")
   }
 
+  test("z-ordered checkpoint restores pruning on EITHER key of a mutating table") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    // two independent keys, unsorted layout: every file spans both domains
+    val df = (0 until 10000).map(i =>
+        (i.toLong, (i * 7919L) % 10000, 100.0 + i, 0L))
+      .toDF("a", "b", "price", "version").repartition(8)
+    TxTable.create(spark, t, df)
+    TxTable.upsert(spark, t,
+      (0 until 100).map(i => (i * 97L % 10000, (i * 97L * 7919L) % 10000, 9.0, 1L))
+        .toDF("a", "b", "price", "version")
+        .dropDuplicates("a"),
+      Seq("a"), "version")
+    def expect(c: String, lo: Long, hi: Long) = TxTable.read(spark, t)
+      .filter(col(c) >= lo && col(c) <= hi)
+      .orderBy("a", "version").collect().toSeq
+    val wantA = expect("a", 2000L, 2999L)
+    val wantB = expect("b", 5000L, 5999L)
+    // z-ordered fold + manifest over BOTH keys
+    TxTable.checkpoint(spark, t, targetFileBytes = 8L * 1024,
+      zCols = Seq("a", "b"))
+    TxTable.expire(spark, t)
+    TxTable.buildManifest(spark, t, Seq("a", "b"))
+    val total = Fs.listFiles(s"$t/data/c${TxTable.checkpointIds(t).last}")
+      .count(_.getPath.getName.endsWith(".parquet"))
+    val gotA = TxTable.readSkipping(spark, t, "a", 2000L, 2999L)
+    val gotB = TxTable.readSkipping(spark, t, "b", 5000L, 5999L)
+    assert(gotA.orderBy("a", "version").collect().toSeq === wantA,
+      "the z layout pass must not change the snapshot (key a)")
+    assert(gotB.orderBy("a", "version").collect().toSeq === wantB,
+      "the z layout pass must not change the snapshot (key b)")
+    val keptA = gotA.inputFiles.count(_.contains("/data/"))
+    val keptB = gotB.inputFiles.count(_.contains("/data/"))
+    assert(total >= 4 && keptA < total && keptB < total,
+      s"z fold must prune on BOTH keys (a: $keptA/$total, b: $keptB/$total)")
+  }
+
   test("history reports one metadata-only row per committed id") {
     import spark.implicits._
     val t = tmp() + "/t"
