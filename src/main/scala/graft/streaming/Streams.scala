@@ -387,6 +387,59 @@ object Streams {
     }
   }
 
+  /**
+   * STREAMING change-feed consumption (round 18) — the foreachBatch
+   * source-adapter shape: every micro-batch of `ticks` (contents
+   * ignored — pass a rate stream in production, a file stream in tests)
+   * polls [[graft.sources.TxTable.changeFeedFrom]] once and lands the
+   * new commits' i/u/d rows under `outDir/batch=c<lo>_<hi>`, so ANY
+   * downstream (a retracting aggregate, a state sync, a replication
+   * consumer) tails the table as a parquet changelog without bespoke
+   * cursor code. The cursor is NOT a mutable file: it is recovered from
+   * the create-once `_done_<hi>` markers, so a crash between the batch
+   * write and its marker re-polls the SAME range into the SAME subdir
+   * (overwrite — idempotent), and a replayed tick after the marker sees
+   * cursor == tip and lands nothing. Emission order is commit order;
+   * `withPreimage` flows through for retracting consumers. Polls are
+   * metadata-cheap when idle (one commits listing → None).
+   */
+  def txFeedSink(ticks: DataFrame, root: String, keys: Seq[String],
+      outDir: String, checkpoint: String,
+      withPreimage: Boolean = false): StreamingQuery = {
+    import graft.sources.{Fs, TxTable}
+    ticks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val cursor = feedCursor(outDir)
+        TxTable.changeFeedFrom(spark, root, keys, cursor,
+          withPreimage = withPreimage).foreach { case (feed, tip) =>
+          feed.write.mode("overwrite")
+            .parquet(s"$outDir/batch=c${cursor + 1}_$tip")
+          Fs.createMarker(s"$outDir/_done_$tip", s"c${cursor + 1}_$tip")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The feed sink's recovered cursor: the highest committed `_done_`
+    * marker (−1 before the first emission). */
+  def feedCursor(outDir: String): Long = {
+    import graft.sources.Fs
+    if (!Fs.isDirectory(outDir)) return -1L
+    Fs.listFiles(outDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("_done_") && n.drop(6).forall(_.isDigit))
+      .map(_.drop(6).toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Everything the feed sink has emitted, in commit order — the
+    * changelog a downstream replays ([[graft.operators.Materialize.incrementalAggCdc]]
+    * takes it as-is). */
+  def readFeedOutput(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch").orderBy(col("commit"))
+
   /** Standing stream-state layout (round 16): one `batch=<tag>` subdir
     * per committed micro-batch, each written with mode OVERWRITE — a
     * replayed micro-batch (foreachBatch is at-least-once) rewrites ITS

@@ -95,4 +95,65 @@ class TxFeedStateSpec extends AnyFunSuite {
     assert(Streams.txVectorStateSync(spark, src, st, "id", "vec", cursor)
       === cursor)
   }
+
+  test("txFeedSink tails the table as a parquet changelog, exactly-once under replay") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = s"$dir/t"
+    val out = s"$dir/feed"
+    // tick source: one file per poll, deterministic via maxFilesPerTrigger
+    def tick(n: Int): Unit =
+      Seq(n.toLong).toDF("n").coalesce(1).write.parquet(s"$dir/ticks/f$n")
+    def drain(ckpt: String): Unit = {
+      val ticks = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/ticks/*")
+      val q = Streams.txFeedSink(ticks, t, Seq("id"), out, ckpt,
+        withPreimage = true)
+      try q.processAllAvailable() finally q.stop()
+    }
+    import graft.sources.TxTable
+    TxTable.create(spark, t,
+      (0L until 50L).map(i => (i, i % 5, 100.0 + i, 0L))
+        .toDF("id", "grp", "price", "version"))
+    TxTable.upsert(spark, t,
+      Seq((3L, 3L, 999.0, 1L)).toDF("id", "grp", "price", "version"),
+      Seq("id"), "version")
+    tick(0)
+    drain(s"$dir/ck1")
+    assert(Streams.feedCursor(out) === 1L)
+    // more commits after the first poll: a tombstone and an EMPTY commit
+    TxTable.upsert(spark, t,
+      Seq((4L, 4L, 0.0, 2L, "d")).toDF("id", "grp", "price", "version", "op"),
+      Seq("id"), "version", opCol = Some("op"))
+    TxTable.upsert(spark, t,
+      Seq((3L, 3L, 1.0, 0L)).toDF("id", "grp", "price", "version"),
+      Seq("id"), "version") // stale: empty commit
+    tick(1)
+    drain(s"$dir/ck1")
+    assert(Streams.feedCursor(out) === TxTable.committedIds(t).max,
+      "the cursor advances over empty commits to the tip")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[String]("op"), r.getAs[Long]("commit"))
+    val want = TxTable.changeFeed(spark, t, Seq("id"), withPreimage = true)
+      .collect().map(key).toSet
+    val got = Streams.readFeedOutput(spark, out).collect().map(key).toSet
+    assert(got === want, "the emitted changelog equals the full feed")
+    // replay from a FRESH checkpoint: both ticks re-fire, nothing lands
+    // twice (the markers carry the cursor, not the stream state)
+    drain(s"$dir/ck2")
+    assert(Streams.readFeedOutput(spark, out).collect().map(key).toSet === want)
+    // the changelog drives the retracting aggregate as-is
+    val state = graft.operators.Materialize.incrementalAggCdc(None,
+      Streams.readFeedOutput(spark, out).select("grp", "op", "price"),
+      Seq("grp"), Seq("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    val scratch = graft.operators.Materialize.incrementalAgg(None,
+      TxTable.read(spark, t).select("grp", "price"), Seq("grp"), Seq("price"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(state === scratch,
+      "a consumer of the emitted changelog converges to the live aggregate")
+  }
 }
