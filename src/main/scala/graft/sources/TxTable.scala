@@ -1204,6 +1204,56 @@ object TxTable {
     rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted")
   }
 
+  /**
+   * One-call MAINTENANCE policy (round 18) — the decision tree every
+   * deployment re-implements, as code, decided from METADATA only:
+   *
+   *  1. when the resolution set (checkpoint + tail) exceeds `maxTail`
+   *     commits, fold the log — [[checkpoint]] (with the caller's
+   *     layout: sort/z/partition) then [[expire]] — bounding every
+   *     reader's plan and the DV fold;
+   *  2. otherwise, when any file's dead fraction crossed
+   *     `minDeadFraction`, fold ONLY those files ([[compactFiles]] —
+   *     checkpointing here would rewrite the whole table for one hot
+   *     file, the skewed-delete overpay compactFiles exists for);
+   *  3. always [[vacuum]] with the grace window.
+   *
+   * Returns the actions taken, human-readable. Single maintenance
+   * writer like its parts; the parts keep their own writer fencing, so
+   * a concurrent upsert surfaces as [[CommitConflictException]] — catch
+   * and re-run at the next maintenance tick. The decisions cost two
+   * listings + the DV-sidecar popcount pass — no data page is read to
+   * decide anything.
+   */
+  def maintain(spark: SparkSession, root: String,
+      maxTail: Int = 32,
+      minDeadFraction: Double = 0.3,
+      targetFileBytes: Long = 512L * 1024 * 1024,
+      bloomCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty,
+      zCols: Seq[String] = Seq.empty,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    require(maxTail >= 1, "txtable.maintain: maxTail must be >= 1")
+    val actions = Seq.newBuilder[String]
+    val rks = resolvedIds(root)
+    require(rks.nonEmpty, s"txtable: nothing committed under $root")
+    if (rks.size > maxTail) {
+      val k = checkpoint(spark, root, targetFileBytes, bloomCols,
+        sortCols, partitionCols, zCols)
+      val expired = expire(spark, root)
+      actions += s"checkpoint c$k (tail ${rks.size} > $maxTail), " +
+        s"expired ${expired.size} commits"
+    } else {
+      compactFiles(spark, root, minDeadFraction, targetFileBytes,
+        bloomCols, partitionCols).foreach(k =>
+        actions += s"compactFiles c$k (dead fraction >= $minDeadFraction)")
+    }
+    val swept = vacuum(spark, root, graceMs)
+    if (swept.nonEmpty) actions += s"vacuum swept ${swept.size} paths"
+    actions.result()
+  }
+
   /** Sweep crashed-writer leftovers: data/DV/key dirs and unredeemed
     * claim markers whose id has no commit marker AND is below the newest
     * committed id (an id above it may be an in-flight writer — never

@@ -596,6 +596,34 @@ class TxTableSpec extends AnyFunSuite {
       s"sorted fold must restore pruning (kept $kept of $total)")
   }
 
+  test("maintain: folds the log past maxTail, compacts hot files below it, idles clean") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(200).repartition(4))
+    // long tail: 4 commits with maxTail 3 → checkpoint + expire
+    (1 to 3).foreach(v => TxTable.upsert(spark, t,
+      Seq((v.toLong, s"n$v", v * 1.0, v.toLong)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version"))
+    val a1 = TxTable.maintain(spark, t, maxTail = 3)
+    assert(a1.exists(_.startsWith("checkpoint")), s"got $a1")
+    assert(TxTable.checkpointIds(t).nonEmpty)
+    assert(TxTable.read(spark, t).count() === 200L)
+    // hot dead files below the tail bound → compactFiles, not checkpoint
+    TxTable.upsert(spark, t,
+      base(200).filter(col("id") % 2 === 0)
+        .withColumn("version", lit(9L)).withColumn("op", lit("d")),
+      Seq("id"), "version", opCol = Some("op"))
+    val cpsBefore = TxTable.checkpointIds(t)
+    val a2 = TxTable.maintain(spark, t, maxTail = 10, minDeadFraction = 0.3)
+    assert(a2.exists(_.startsWith("compactFiles")), s"got $a2")
+    assert(TxTable.checkpointIds(t) === cpsBefore,
+      "a skewed delete must not trigger a whole-table fold")
+    assert(TxTable.read(spark, t).count() === 100L)
+    // idle: nothing to do (the fold-down just cleared the dead fraction)
+    val a3 = TxTable.maintain(spark, t, maxTail = 10)
+    assert(a3.isEmpty, s"an idle table needs no maintenance: $a3")
+  }
+
   test("z-ordered checkpoint restores pruning on EITHER key of a mutating table") {
     import spark.implicits._
     val t = tmp() + "/t"
