@@ -922,6 +922,15 @@ object TxTable {
       spillEvery: Int = 8): Option[(DataFrame, Long)] = {
     val all = committedIds(root)
     require(all.nonEmpty, s"txtable: nothing committed under $root")
+    // LOUD, never lossy (round 18): if maintenance expired commits the
+    // consumer has not read, the silent alternative is a feed that just
+    // skips them — a changelog with holes. Gaps ABOVE the oldest commit
+    // are fine (abandoned claims never committed anything).
+    require(cursor < 0 || cursor + 1 >= all.min,
+      s"txtable: changeFeedFrom cursor $cursor predates the retained " +
+        s"history (oldest commit ${all.min}) — the consumer fell behind " +
+        "checkpoint+expire maintenance; rebuild its state from a snapshot " +
+        "read and resume from the current tip")
     val tip = all.max
     if (tip <= cursor) None
     // bounded ABOVE at the listed tip too: a commit landing between this

@@ -357,6 +357,24 @@ object Streams {
   def txVectorStateSync(spark: SparkSession, srcRoot: String,
       stateRoot: String, idCol: String, vecCol: String, cursor: Long): Long = {
     import graft.sources.TxTable
+    if (TxTable.committedIds(stateRoot).isEmpty) {
+      // BOOTSTRAP from the SNAPSHOT, not the feed (round 18): on a
+      // long-lived table whose history was folded away, the feed's
+      // oldest rows live inside feed-invisible checkpoint commits — a
+      // feed bootstrap would silently miss them (and changeFeedFrom now
+      // fails loudly on an expired cursor). The snapshot read at the
+      // listed tip is also cheaper: one scan, no kill resolution, no
+      // window. Rows carry version = tip, so the next chunk's commits
+      // (> tip) win exactly as if they had been fed.
+      val all = TxTable.committedIds(srcRoot)
+      require(all.nonEmpty, s"txtable: nothing committed under $srcRoot")
+      val tip = all.max
+      val snap = TxTable.readAt(spark, srcRoot, tip)
+        .select(col(idCol), col(vecCol))
+        .withColumn("version", lit(tip))
+      TxTable.create(spark, stateRoot, snap)
+      return tip
+    }
     TxTable.changeFeedFrom(spark, srcRoot, Seq(idCol), cursor) match {
       case None => cursor
       case Some((feed, tip)) =>
@@ -364,25 +382,8 @@ object Streams {
         // tombstone op, commit onto its version
         val batch = feed.select(col(idCol), col(vecCol),
           col("commit").as("version"), col("op"))
-        if (TxTable.committedIds(stateRoot).isEmpty) {
-          // BOOTSTRAP fast path: no live state to contest, so the first
-          // chunk resolves latest-per-key locally (drop keys whose final
-          // op is a tombstone) and lands as the create commit — one
-          // window + one write instead of an empty create plus the full
-          // MERGE (its live scan, broadcast gate, and anti-join are all
-          // no-ops against an empty table, but not free)
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(col(idCol))
-            .orderBy(col("version").desc)
-          val winners = batch
-            .withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1 && col("op") =!= "d")
-            .drop("__rn", "op")
-          TxTable.create(spark, stateRoot, winners)
-        } else {
-          TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
-            opCol = Some("op"))
-        }
+        TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
+          opCol = Some("op"))
         tip
     }
   }

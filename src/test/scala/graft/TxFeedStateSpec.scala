@@ -96,6 +96,40 @@ class TxFeedStateSpec extends AnyFunSuite {
       === cursor)
   }
 
+  test("bootstrap after checkpoint+expire sees the folded history; stale cursors fail loudly") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = s"$dir/src"
+    val st = s"$dir/state"
+    val base = vecs(0L until 40L, i => (i % 3).toInt)
+      .withColumn("version", lit(0L))
+    TxTable.create(spark, src, base)
+    TxTable.upsert(spark, src,
+      vecs(Seq(5L), _ => 1).withColumn("version", lit(1L)),
+      Seq("id"), "version")
+    // maintenance folds the history away — the feed can no longer carry
+    // the base rows (checkpoint commits are feed-invisible by design)
+    TxTable.checkpoint(spark, src)
+    TxTable.expire(spark, src)
+    // a NEW consumer bootstraps from the snapshot, not the feed — it
+    // must see every folded row
+    val cursor = Streams.txVectorStateSync(spark, src, st, "id", "vec", -1L)
+    assert(stateRows(st) === stateRows(src))
+    assert(stateRows(st).size === 40)
+    // an OLD consumer whose cursor predates the retained history gets a
+    // loud failure, never a changelog with holes
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.changeFeedFrom(spark, src, Seq("id"), 0L)
+    }
+    assert(ex.getMessage.contains("retained history"))
+    // the bootstrapped consumer keeps consuming normally from its tip
+    TxTable.upsert(spark, src,
+      vecs(Seq(7L), _ => 2).withColumn("version", lit(5L)),
+      Seq("id"), "version")
+    Streams.txVectorStateSync(spark, src, st, "id", "vec", cursor)
+    assert(stateRows(st) === stateRows(src))
+  }
+
   test("txFeedSink tails the table as a parquet changelog, exactly-once under replay") {
     import spark.implicits._
     val dir = tmp()
