@@ -161,6 +161,37 @@ class HostileFsSpec extends AnyFunSuite {
       "the TxTable layer attempted a rename — broken on object stores")
   }
 
+  test("the round-18 TxTable surface runs rename-free on the hostile scheme") {
+    import graft.sources.TxTable
+    val root = hostileDir("graft-hostile-tx18") + "/t"
+    val before = HostileFileSystem.deniedRenames.get()
+    TxTable.create(spark, root,
+      (0L until 100L).map(i => (i, s"c${i % 4}", 100.0 + i, 0L))
+        .toDF("id", "cat", "price", "version"),
+      partitionCols = Seq("cat"))
+    // optimistic upsert (sidecar + validation listings)
+    TxTable.upsert(spark, root,
+      Seq((7L, "c3", 7777.0, 1L)).toDF("id", "cat", "price", "version"),
+      Seq("id"), "version", partitionCols = Seq("cat"),
+      conflictDetect = true)
+    // predicate DML
+    TxTable.deleteWhere(spark, root, col("id") % 10 === 9L)
+    TxTable.updateWhere(spark, root, col("id") === 2L,
+      Map("price" -> lit(2222.0)), partitionCols = Seq("cat"))
+    // cursor feed + policy-driven maintenance (fold at maxTail=2)
+    val feed = TxTable.changeFeed(spark, root, Seq("id"), withPreimage = true)
+    assert(feed.filter(col("op") === "d").count() === 10L)
+    val actions = TxTable.maintain(spark, root, maxTail = 2,
+      partitionCols = Seq("cat"), graceMs = 0L)
+    assert(actions.exists(_.startsWith("checkpoint")), s"got $actions")
+    val got = TxTable.read(spark, root)
+    assert(got.count() === 90L)
+    assert(got.filter(col("id") === 7L).head.getAs[Double]("price") === 7777.0)
+    assert(got.filter(col("id") === 2L).head.getAs[Double]("price") === 2222.0)
+    assert(HostileFileSystem.deniedRenames.get() == before,
+      "a round-18 op attempted a rename — broken on object stores")
+  }
+
   test("a stale TxTable commit listing yields the OLD snapshot; vacuum stays conservative") {
     import graft.sources.TxTable
     val root = hostileDir("graft-hostile-txstale") + "/t"

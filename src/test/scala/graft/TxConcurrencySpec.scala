@@ -91,6 +91,43 @@ class TxConcurrencySpec extends AnyFunSuite {
     }
   }
 
+  test("optimistic stress: 3 writers x 3 rounds on OVERLAPPING keys serialize per key") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(20))
+    // writer th touches keys {th, th+1, th+2} every round — keys 1-4 are
+    // contested by 2-3 writers; versions r*10+th are globally unique, so
+    // EVERY serial order converges to the same per-key max
+    val writers = (0 until 3).map { th =>
+      Future {
+        (1 to 3).foreach { r =>
+          val v = r * 10L + th
+          TxTable.upsert(spark, t,
+            (th.toLong to th + 2L).map(k => (k, s"t$th-r$r", v * 1.0, v))
+              .toDF("id", "name", "price", "version"),
+            Seq("id"), "version",
+            conflictDetect = true, conflictWaitMs = 300000L)
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 15.minutes)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 20L, "no duplicate live rows anywhere")
+    // expected max version per contested key: key k is touched by
+    // writers max(0, k-2)..min(2, k), all at round 3
+    val want = Map(0L -> 30L, 1L -> 31L, 2L -> 32L, 3L -> 32L, 4L -> 32L)
+    want.foreach { case (k, v) =>
+      val rows = got.filter(col("id") === k).collect()
+      assert(rows.length === 1 && rows.head.getLong(3) === v,
+        s"key $k must converge to version $v: ${rows.toSeq}")
+    }
+    assert(TxTable.vacuum(spark, t, graceMs = 0L).isEmpty,
+      "nine optimistic commits across three racing writers leave no litter")
+  }
+
   test("a sidecar-less commit inside the validation window forces a retry, not a miss") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
