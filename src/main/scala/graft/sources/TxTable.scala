@@ -1201,9 +1201,11 @@ object TxTable {
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
     val rows = committed.map { k =>
       val d = dataDir(root, k)
+      // recursive: hive-partitioned commits keep their leaf files below
+      // <col>=<val>/ subdirectories (round 18)
       val files =
         if (!Fs.isDirectory(d)) Seq.empty
-        else Fs.listFiles(d).filter { f =>
+        else Fs.listFilesRecursive(d).filter { f =>
           f.getPath.getName.endsWith(".parquet") &&
             !f.getPath.getName.startsWith("_")
         }

@@ -779,6 +779,10 @@ class TxTableSpec extends AnyFunSuite {
     assert(got.columns.toSet === Set("id", "cat", "price", "version"),
       "the partition column must come back as a real column")
     assert(got.filter(col("cat") === "cat2").count() === 100L)
+    // history's file/byte accounting sees the partitioned leaves
+    val h = TxTable.history(spark, t).filter(col("commit") === 0L).head
+    assert(h.getLong(2) > 0L && h.getLong(3) > 0L,
+      s"history must count partitioned commits' files: $h")
   }
 
   test("partition pruning composes with the commit log (PartitionFilters in plan)") {
