@@ -17,6 +17,10 @@ import org.apache.spark.sql.SparkSession
  *    toggle, `parquet_reader.cc:35,64` — S9; stream read is our default
  *    because the Hadoop path also serves non-local filesystems)
  *                                  ≙ single-row-group data read (`reader-writer.cc:77-90`)
+ *  - `schema <path> --raw`        parquet MessageType incl. logical annotations (round 18)
+ *  - `history <root>` / `maintain <root> [--max-tail=N] [--min-dead-fraction=F] [--grace-ms=N]`
+ *                                  transactional-table log introspection +
+ *                                  one-call policy maintenance (round 18)
  *  - `merge <in1,in2,...> --out=<path> [--sort-by=a,b] [--target-file-bytes=N]`
  *                                  ≙ the repo's namesake file-merge capability
  *                                    (plain size-derived merge, or clustered
@@ -53,7 +57,10 @@ object ToolsCli {
     val mmap = flags.contains("--memory-map") && !flags.contains("--no-memory-map")
     cmd match {
     case "schema" =>
-      println(Tools.schemaTree(spark, path))
+      // --raw: the parquet MessageType with logical annotations (round 18
+      // — TIME(MILLIS) etc. survive here, the Spark tree maps them away)
+      if (flags.contains("--raw")) println(Tools.parquetSchemaTree(spark, path))
+      else println(Tools.schemaTree(spark, path))
 
     case "dump" =>
       val json = flags.contains("--json")
@@ -99,6 +106,30 @@ object ToolsCli {
     // inputs; --out is required, --sort-by turns merge into a clustered
     // compaction (disjoint per-file key ranges), --target-file-bytes
     // sizes the output
+    // transactional-table introspection + policy maintenance (round 18):
+    // `history <root>` prints the commit log (DESCRIBE HISTORY analogue),
+    // `maintain <root> [--max-tail=N] [--min-dead-fraction=F] [--grace-ms=N]`
+    // runs the metadata-decided fold/compact/vacuum tree and reports
+    case "history" =>
+      TxTable.history(spark, path).orderBy("commit").collect().foreach { r =>
+        println(s"commit ${r.getLong(0)}${if (r.getBoolean(1)) " [checkpoint]" else ""}: " +
+          s"files=${r.getLong(2)} bytes=${r.getLong(3)} deleted=${r.getLong(4)}")
+      }
+
+    case "maintain" =>
+      def num(name: String, dflt: Long): Long = flags.collectFirst {
+        case f if f.startsWith(s"--$name=") => f.stripPrefix(s"--$name=").toLong
+      }.getOrElse(dflt)
+      val actions = TxTable.maintain(spark, path,
+        maxTail = num("max-tail", 32L).toInt,
+        minDeadFraction = flags.collectFirst {
+          case f if f.startsWith("--min-dead-fraction=") =>
+            f.stripPrefix("--min-dead-fraction=").toDouble
+        }.getOrElse(0.3),
+        graceMs = num("grace-ms", 24L * 3600 * 1000))
+      if (actions.isEmpty) println("nothing to do")
+      else actions.foreach(a => println(s"did: $a"))
+
     case "merge" =>
       val inputs = path.split(",").toSeq
       val out = flags.collectFirst {

@@ -666,6 +666,34 @@ class ToolsCliSpec extends AnyFunSuite {
     assert(scanOut.contains("6000 rows scanned in"))
   }
 
+  test("schema --raw, history, and maintain CLI commands (round 18)") {
+    import spark.implicits._
+    import graft.sources.{Fs, TxTable}
+    // --raw keeps the logical annotation the Spark tree maps away
+    val p = graft.sources.Tools.parquetFiles(spark, s"${TestSpark.sf}/orders.parquet")
+      .head.toString
+    val raw = captureOut(graft.sources.ToolsCli.run(spark, "schema", p,
+      Seq("--raw"), Nil))
+    assert(raw.contains("message") && raw.contains("o_orderkey"),
+      s"raw MessageType expected: $raw")
+    // history + maintain over a small transactional table
+    val t = java.nio.file.Files.createTempDirectory("graft-cli-tx").toString + "/t"
+    TxTable.create(spark, t,
+      (0L until 50L).map(i => (i, 1.0 * i, 0L)).toDF("id", "x", "version"))
+    (1 to 3).foreach(v => TxTable.upsert(spark, t,
+      Seq((v.toLong, v * 1.0, v.toLong)).toDF("id", "x", "version"),
+      Seq("id"), "version"))
+    val hist = captureOut(graft.sources.ToolsCli.run(spark, "history", t, Nil, Nil))
+    assert(hist.contains("commit 0") && hist.contains("commit 3"), hist)
+    val m = captureOut(graft.sources.ToolsCli.run(spark, "maintain", t,
+      Seq("--max-tail=2", "--grace-ms=0"), Nil))
+    assert(m.contains("did: checkpoint"), m)
+    assert(TxTable.read(spark, t).count() === 50L)
+    val idle = captureOut(graft.sources.ToolsCli.run(spark, "maintain", t,
+      Seq("--max-tail=10"), Nil))
+    assert(idle.contains("nothing to do"), idle)
+  }
+
   test("read-row-group --memory-map equals the stream read (S9 CLI parity)") {
     val p = graft.sources.Tools.parquetFiles(spark, s"${TestSpark.sf}/nation.parquet")
       .head.toString
