@@ -307,12 +307,29 @@ object TxTable {
     k
   }
 
-  /** Blind append (no keys touched): one data dir, one marker. */
+  /** Blind append (no keys touched): one data dir, one marker. An
+    * append can never lose an update itself (it kills nothing), so it
+    * needs no validation loop — but next to OPTIMISTIC upserts a bare
+    * append is a sidecar-less commit that forces every concurrent
+    * validator into a conservative retry. `conflictKeys` (round 19)
+    * makes the append a protocol PARTICIPANT: its distinct key set is
+    * written as the same `_txn/keys/<k>` sidecar an optimistic upsert
+    * records, so a concurrent upsert retries only on a REAL key
+    * intersection (the appended rows would otherwise duplicate its
+    * keys) and sails through on disjoint ones. */
   def append(spark: SparkSession, root: String, df: DataFrame,
       bloomCols: Seq[String] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      conflictKeys: Seq[String] = Seq.empty): Long = {
     val k = claimId(root)
     writeData(df, dataDir(root, k), bloomCols, partitionCols)
+    if (conflictKeys.nonEmpty) {
+      require(conflictKeys.forall(df.columns.contains),
+        s"txtable.append: conflictKeys ${conflictKeys.mkString(",")} " +
+          s"missing from batch (${df.columns.mkString(",")})")
+      df.select(conflictKeys.map(col): _*).distinct()
+        .write.mode("overwrite").parquet(keysDir(root, k))
+    }
     commit(root, k)
     k
   }
@@ -622,9 +639,35 @@ object TxTable {
    * rows live at ITS snapshot (standard snapshot-isolation DELETE), so
    * the single-upserting-writer contract covers it like any batch; the
    * change feed emits its kills as ordinary `d` rows.
+   *
+   * CONCURRENCY (round 19, extending the r18 OCC tier past [[upsert]]):
+   * `conflictDetect = true` makes the delete OPTIMISTIC by FILE
+   * identity — its deletion vectors name the files of ITS read
+   * snapshot, so the conflict domain is not a key set but that file
+   * list (the DV sidecar already IS the touched-file record; no extra
+   * sidecar needed). Before the marker, [[validateNoFileConflicts]]
+   * waits on in-flight lower claims and retries when a commit it did
+   * not see MOVED rows out of its files — a checkpoint (every file
+   * identity changes), a [[compactFiles]] fold, an [[upsert]] or
+   * [[updateWhere]] whose kill+add pair touched them: the re-added
+   * copies would escape this delete's positional kills (the lost
+   * update the upsert-vs-checkpoint case already guards). A concurrent
+   * kill-only commit (another predicate DELETE, a pure tombstone) never
+   * conflicts — deletion vectors OR-fold, and a double-kill of the same
+   * position is idempotent. Adds-only commits don't conflict either:
+   * like Delta's WriteSerializable level, a row inserted after this
+   * delete's snapshot is a LATER fact the predicate does not cover.
    */
-  def deleteWhere(spark: SparkSession, root: String,
-      predicate: Column): Long = {
+  def deleteWhere(spark: SparkSession, root: String, predicate: Column,
+      conflictDetect: Boolean = false,
+      conflictWaitMs: Long = 60L * 1000): Long =
+    retryOnConflict("deleteWhere", root, conflictDetect) {
+      deleteWhereOnce(spark, root, predicate, conflictDetect, conflictWaitMs)
+    }
+
+  private def deleteWhereOnce(spark: SparkSession, root: String,
+      predicate: Column, conflictDetect: Boolean,
+      conflictWaitMs: Long): Long = {
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before deleting")
     val k = claimId(root)
@@ -636,8 +679,19 @@ object TxTable {
       .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
     DeleteVectors.buildVectors(hits)
       .write.mode("overwrite").parquet(dvDir(root, k))
-    if (writtenRows(dvDir(root, k)) == 0L)
+    val anyKills = writtenRows(dvDir(root, k)) > 0L
+    if (!anyKills)
       Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+    if (conflictDetect && anyKills) {
+      try validateNoFileConflicts(spark, root, k, snap.toSet,
+        dvFileKeys(spark, root, k), conflictWaitMs)
+      catch {
+        case e: CommitConflictException =>
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+          Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+          throw e
+      }
+    }
     commit(root, k)
     k
   }
@@ -652,10 +706,27 @@ object TxTable {
    * Positional like [[deleteWhere]] (the update applies to the rows
    * live at its snapshot); the feed emits it as ordinary `u`/`up`
    * rows. A no-match predicate commits an EMPTY commit.
+   *
+   * `conflictDetect` (round 19): the same optimistic FILE-identity
+   * validation as [[deleteWhere]] — and the update's own kill+add pair
+   * is exactly why OTHER writers' validation needs it to participate:
+   * an update that moved a row leaves any concurrent positional kill
+   * of the old copy pointing at a superseded file.
    */
   def updateWhere(spark: SparkSession, root: String, predicate: Column,
       set: Map[String, Column], bloomCols: Seq[String] = Seq.empty,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      conflictDetect: Boolean = false,
+      conflictWaitMs: Long = 60L * 1000): Long =
+    retryOnConflict("updateWhere", root, conflictDetect) {
+      updateWhereOnce(spark, root, predicate, set, bloomCols,
+        partitionCols, conflictDetect, conflictWaitMs)
+    }
+
+  private def updateWhereOnce(spark: SparkSession, root: String,
+      predicate: Column, set: Map[String, Column], bloomCols: Seq[String],
+      partitionCols: Seq[String], conflictDetect: Boolean,
+      conflictWaitMs: Long): Long = {
     require(set.nonEmpty, "txtable.updateWhere needs SET expressions")
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before updating")
@@ -686,9 +757,113 @@ object TxTable {
           set.getOrElse(c, col(c)).as(c)): _*)
         writeData(mutated, dataDir(root, k), bloomCols, partitionCols)
       }
+      if (conflictDetect && anyKills) {
+        try validateNoFileConflicts(spark, root, k, snap.toSet,
+          dvFileKeys(spark, root, k), conflictWaitMs)
+        catch {
+          case e: CommitConflictException =>
+            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+            Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+            throw e
+        }
+      }
       commit(root, k)
       k
     } finally { matched.unpersist(); () }
+  }
+
+  /** The DML retry loop — [[upsert]]'s shape for the predicate paths:
+    * recompute from a fresh snapshot on every [[CommitConflictException]],
+    * loud after 8 livelocked attempts. */
+  private def retryOnConflict(what: String, root: String,
+      conflictDetect: Boolean)(once: => Long): Long = {
+    if (!conflictDetect) return once
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      try return once
+      catch {
+        case e: CommitConflictException =>
+          if (attempts >= 8) throw new IllegalStateException(
+            s"txtable: $what under $root conflicted on every one of " +
+              s"$attempts attempts — concurrent writers are livelocking; " +
+              "serialize them upstream", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Scheme-insensitive file set a commit's deletion vectors reference —
+    * the commit's conflict DOMAIN under file-identity validation (the DV
+    * sidecar is tiny: one row per touched file region). */
+  private def dvFileKeys(spark: SparkSession, root: String, k: Long): Set[String] =
+    if (!Fs.isDirectory(dvDir(root, k))) Set.empty
+    else spark.read.parquet(dvDir(root, k))
+      .select(col("file_path")).distinct()
+      .collect().map(r => pathKey(r.getString(0))).toSet
+
+  /** Optimistic FILE-IDENTITY validation (round 19) — the predicate-DML
+    * twin of [[validateNoKeyConflicts]], same claim-id-ordered protocol:
+    * wait on unresolved lower claims, then retry when any commit this
+    * writer did not see at its snapshot MOVED rows out of `ourFiles` —
+    * a checkpoint (all file identities change), or any kill+ADD commit
+    * (compact fold, upsert, update) whose deletion vectors intersect
+    * them: its re-added copies would escape our positional kills. Pure
+    * kill commits (no data dir) never conflict — DV sidecars OR-fold and
+    * double-kills are idempotent; adds-only commits never conflict —
+    * rows born after our snapshot are later facts a snapshot-isolation
+    * DELETE/UPDATE does not cover (Delta's WriteSerializable stance).
+    * The zombie closure mirrors the upsert's: once OUR claim has aged
+    * past `waitMs`, a higher-id writer may have presumed us crashed and
+    * committed above us — validate UPWARD with the same file test and
+    * lose to the younger winner. */
+  private[graft] def validateNoFileConflicts(spark: SparkSession,
+      root: String, k: Long, snap: Set[Long], ourFiles: Set[String],
+      waitMs: Long): Unit = {
+    if (ourFiles.isEmpty) return
+    val deadline = System.currentTimeMillis() + math.max(0L, waitMs)
+    var unresolved = Seq.empty[Long]
+    var first = true
+    do {
+      if (!first) Thread.sleep(50)
+      first = false
+      val committedNow = committedIds(root).toSet
+      val claims = Fs.listFiles(claimsDir(root))
+        .filter(_.getPath.getName.matches("c\\d+"))
+        .map(st => st.getPath.getName.stripPrefix("c").toLong ->
+          st.getModificationTime).toMap
+      unresolved = claims.keys.toSeq
+        .filter(c => c < k && !committedNow.contains(c) && !snap.contains(c))
+        .filter(c => System.currentTimeMillis() - claims(c) <= waitMs)
+    } while (unresolved.nonEmpty && System.currentTimeMillis() < deadline)
+
+    val cps = markerIds(checkpointsDir(root)).toSet
+    def conflicts(c: Long): Boolean =
+      cps.contains(c) ||
+        (Fs.isDirectory(dvDir(root, c)) && Fs.isDirectory(dataDir(root, c)) &&
+          dvFileKeys(spark, root, c).exists(ourFiles.contains))
+
+    val myAge = Fs.listFiles(claimsDir(root))
+      .find(_.getPath.getName == s"c$k")
+      .map(st => System.currentTimeMillis() - st.getModificationTime)
+    val committedNow = committedIds(root)
+    if (myAge.exists(_ > waitMs)) {
+      val upHits = committedNow.filter(c => c > k && conflicts(c))
+      if (upHits.nonEmpty)
+        throw new CommitConflictException(
+          s"txtable: claim $k stalled past its wait window and commits " +
+            s"${upHits.mkString(",")} above it moved rows out of its " +
+            "files — the younger writer won; retrying against the fresh " +
+            "snapshot")
+    }
+    val newHits = committedNow
+      .filter(c => c < k && !snap.contains(c)).filter(conflicts)
+    if (newHits.nonEmpty)
+      throw new CommitConflictException(
+        s"txtable: claim $k's kill files were moved by concurrent " +
+          s"commits ${newHits.mkString(",")} — retrying against the " +
+          "fresh snapshot")
   }
 
   private def statsPath(root: String) = s"$root/_txn/stats/manifest"
@@ -931,6 +1106,20 @@ object TxTable {
         s"history (oldest commit ${all.min}) — the consumer fell behind " +
         "checkpoint+expire maintenance; rebuild its state from a snapshot " +
         "read and resume from the current tip")
+    // a FRESH consumer (cursor < 0) on a FOLDED table is the same hole
+    // from the other side (round 19, r18 advisory): checkpoint commits
+    // are feed-invisible by design, so once expire collapsed history the
+    // feed can no longer reconstruct the folded base rows — a changelog
+    // starting from nothing would silently miss all of them. Loud, never
+    // lossy: bootstrap from a snapshot read (the
+    // [[graft.streaming.Streams.txVectorStateSync]] /
+    // [[graft.streaming.Streams.txFeedSink]] pattern) and resume from
+    // the returned tip.
+    require(cursor >= 0 || all.min == 0,
+      s"txtable: changeFeedFrom with a fresh cursor ($cursor) on a folded " +
+        s"table (oldest commit ${all.min} > 0) — the folded base rows are " +
+        "feed-invisible; bootstrap the consumer from a snapshot read " +
+        "(emit it as inserts at the listed tip) and resume from that tip")
     val tip = all.max
     if (tip <= cursor) None
     // bounded ABOVE at the listed tip too: a commit landing between this
@@ -1034,6 +1223,24 @@ object TxTable {
       val inFlight1 = unredeemedBelow(committedNow.toSet)
       if (inFlight1.nonEmpty)
         abort(s"writers ${inFlight1.mkString(",")} are still in flight below it")
+      // zombie-writer fence, the [[checkpoint]] shape made PRECISE for a
+      // partial fold (round 19): a commit above k that killed rows in
+      // the files THIS fold is moving wrote those kills against the
+      // pre-move positions — the moved copies would resurrect them. Only
+      // the hot set matters here (a kill in a cold file is untouched by
+      // this fold), so the fence reads the tiny DV sidecars above k and
+      // intersects their file lists with the hot set.
+      val dvAbove = committedNow.filter(c => c > k && Fs.isDirectory(dvDir(root, c)))
+      if (dvAbove.nonEmpty) {
+        val hotKeys = hot.map(pathKey).toSet
+        val theirFiles = spark.read.parquet(dvAbove.map(dvDir(root, _)): _*)
+          .select(col("file_path")).distinct()
+          .collect().map(r => pathKey(r.getString(0)))
+        if (theirFiles.exists(hotKeys.contains))
+          abort(s"commits ${dvAbove.mkString(",")} above it kill rows in " +
+            "the files this fold is moving (a writer presumed this fold " +
+            "crashed); their kills would miss the moved copies")
+      }
       commit(root, k)
       Some(k)
     } finally { liveHot.unpersist(); () }
@@ -1139,6 +1346,26 @@ object TxTable {
     val inFlight1 = unredeemedBelow(committedNow.toSet)
     if (inFlight1.nonEmpty)
       abort(s"writers ${inFlight1.mkString(",")} are still in flight below it")
+    // ZOMBIE-WRITER fence (round 19, closing the r18 advisory's high
+    // finding): a conflictDetect upsert whose wait window is shorter
+    // than this fold presumes the fold's claim crashed and commits —
+    // with deletion vectors aimed at PRE-fold files. Post-checkpoint
+    // readers resolve the folded copies instead, so those kills would
+    // silently miss (lost update by file identity) and [[expire]] would
+    // make it permanent. Any DV-carrying commit ABOVE k at commit time
+    // therefore aborts the fold; adds-only commits (appends) are safe —
+    // they ride the post-checkpoint tail untouched. Residual window:
+    // such a commit landing between this listing and the marker, which
+    // requires the fold to have already outlived the writer's full wait
+    // window AND the two final listings to interleave within
+    // milliseconds — the same residual as the upsert zombie closure;
+    // keeping conflictWaitMs above the longest maintenance fold closes
+    // it entirely.
+    val dvAbove = committedNow.filter(c => c > k && Fs.isDirectory(dvDir(root, c)))
+    if (dvAbove.nonEmpty)
+      abort(s"commits ${dvAbove.mkString(",")} above it carry deletion " +
+        "vectors written against the pre-fold layout (a writer presumed " +
+        "this fold crashed); their kills would miss the folded copies")
     require(Fs.createMarker(s"${checkpointsDir(root)}/c$k", dataDir(root, k)),
       s"txtable: checkpoint marker c$k already exists under $root — " +
         "lost a commit race")

@@ -368,4 +368,152 @@ class TxConcurrencySpec extends AnyFunSuite {
     // drained: the next poll is None
     assert(TxTable.changeFeedFrom(spark, t2, Seq("id"), cursor).isEmpty)
   }
+
+  test("concurrent updateWhere vs OCC upsert on overlapping rows serializes") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(200))
+    // real threads: a predicate UPDATE over ids < 10 races an OCC upsert
+    // of id 5. Serializable outcomes for id 5's price: upsert-then-update
+    // = 5000 + 1000, update-then-upsert = 5000 (the upsert's version
+    // wins over the updated copy). The LOST-update outcomes — two live
+    // rows for id 5, or an update applied to a killed copy surviving
+    // next to the upsert's row — are exactly what conflictDetect on the
+    // predicate path must exclude.
+    val upd = Future {
+      TxTable.updateWhere(spark, t, col("id") < 10L,
+        Map("price" -> (col("price") + 1000.0)),
+        conflictDetect = true, conflictWaitMs = 180000L)
+    }
+    val ups = Future {
+      TxTable.upsert(spark, t,
+        Seq((5L, "occ", 5000.0, 5L)).toDF("id", "name", "price", "version"),
+        Seq("id"), "version", conflictDetect = true, conflictWaitMs = 180000L)
+    }
+    Await.result(Future.sequence(Seq(upd, ups)), 10.minutes)
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 200L, "no duplicate live rows anywhere")
+    val r5 = got.filter(col("id") === 5L).collect()
+    assert(r5.length === 1, s"id 5 must have exactly one live row: ${r5.toSeq}")
+    val p5 = r5.head.getDouble(2)
+    assert(p5 === 5000.0 || p5 === 6000.0,
+      s"id 5 must land on a SERIAL outcome (5000 or 6000), got $p5")
+    // the other updated ids saw exactly one +1000, whatever the order
+    (0L until 10L).filter(_ != 5L).foreach { i =>
+      val r = got.filter(col("id") === i).collect()
+      assert(r.length === 1 && r.head.getDouble(2) === 100.0 + i + 1000.0,
+        s"id $i: ${r.toSeq}")
+    }
+  }
+
+  test("concurrent kill-only deletes never conflict; both sets of kills apply") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(100))
+    // two predicate deletes over the SAME files (one data dir) — DV
+    // sidecars OR-fold, so file-identity OCC lets both commit
+    val a = Future { TxTable.deleteWhere(spark, t, col("id") % 2 === 0L,
+      conflictDetect = true, conflictWaitMs = 180000L) }
+    val b = Future { TxTable.deleteWhere(spark, t, col("id") % 3 === 0L,
+      conflictDetect = true, conflictWaitMs = 180000L) }
+    val ids = Await.result(Future.sequence(Seq(a, b)), 10.minutes)
+    assert(ids.distinct.size === 2)
+    val live = TxTable.read(spark, t).select("id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 100L).filter(i => i % 2 != 0 && i % 3 != 0).toSet
+    assert(live === want, "both deletes' kills must be applied")
+  }
+
+  test("append with conflictKeys serializes against an OCC upsert of the same key") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(50))
+    // the append introduces a NEW key (500) that the upsert also writes;
+    // without the append's key sidecar the upsert would conservative-
+    // retry anyway — the sidecar makes the intersection REAL, and a
+    // serial order must leave exactly one live row for the key
+    val app = Future {
+      TxTable.append(spark, t,
+        Seq((500L, "appended", 1.0, 0L)).toDF("id", "name", "price", "version"),
+        conflictKeys = Seq("id"))
+    }
+    val ups = Future {
+      TxTable.upsert(spark, t,
+        Seq((500L, "upserted", 2.0, 1L)).toDF("id", "name", "price", "version"),
+        Seq("id"), "version", conflictDetect = true, conflictWaitMs = 180000L)
+    }
+    Await.result(Future.sequence(Seq(app, ups)), 10.minutes)
+    val rows = TxTable.read(spark, t).filter(col("id") === 500L).collect()
+    // serial outcomes: append-then-upsert = one row at v1 (the upsert
+    // killed the appended copy); upsert-then-append = two rows is the
+    // append's own contract violation — appends are by definition out of
+    // key space, so the assertion here is the OCC side's: IF the upsert
+    // validated after the append committed, it must have seen it
+    assert(rows.length <= 2)
+    if (rows.length == 1)
+      assert(rows.head.getLong(3) === 1L && rows.head.getString(1) === "upserted")
+    else {
+      // upsert committed first; the blind append landed after — both
+      // rows live, versions distinguish them. The point of the sidecar
+      // is the OTHER order: the upsert can never LOSE to the append.
+      assert(rows.map(_.getLong(3)).toSet === Set(0L, 1L))
+    }
+    assert(TxTable.read(spark, t).count() === (50L + rows.length))
+  }
+
+  test("a fold outliving a writer's wait window never eats its kills (zombie fold fence)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the r18 advisory's high finding: writer B's conflictWaitMs is
+    // SHORTER than checkpoint A's fold, so B presumes A's claim crashed
+    // and commits deletion vectors against pre-fold files mid-fold; A
+    // must then ABORT at commit time (the DV-carrying-commit-above
+    // fence) instead of committing a fold that silently drops B's kills.
+    // REAL threads — the interleaving is the bug.
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(5000))
+    val folder = Future {
+      // retry like any production maintenance loop; count the aborts
+      var aborts = 0
+      var done = false
+      while (!done) {
+        try { TxTable.checkpoint(spark, t); done = true }
+        catch { case _: TxTable.CommitConflictException =>
+          aborts += 1; Thread.sleep(100)
+          if (aborts > 100) throw new IllegalStateException("livelock")
+        }
+      }
+      aborts
+    }
+    // wait until the fold has CLAIMED, then race the upsert with a wait
+    // window (1 ms) the fold is guaranteed to outlive
+    val deadline = System.currentTimeMillis() + 60000
+    while (!Fs.isDirectory(s"$t/_txn/claims") ||
+        Fs.listFiles(s"$t/_txn/claims").isEmpty) {
+      assert(System.currentTimeMillis() < deadline, "fold never claimed")
+      Thread.sleep(10)
+    }
+    TxTable.upsert(spark, t,
+      Seq((7L, "zombie-era", 7777.0, 9L)).toDF("id", "name", "price", "version"),
+      Seq("id"), "version", conflictDetect = true, conflictWaitMs = 1L)
+    Await.result(folder, 10.minutes)
+    // whatever the interleaving, the upsert's kill must be visible: ONE
+    // live row for key 7, at the new version — the lost-update signature
+    // is the pre-fold copy resurfacing next to it
+    val live = TxTable.read(spark, t).filter(col("id") === 7L).collect()
+    assert(live.length === 1,
+      s"the folded table must not resurrect the killed row: ${live.toSeq}")
+    assert(live.head.getLong(3) === 9L && live.head.getDouble(2) === 7777.0)
+    assert(TxTable.read(spark, t).count() === 5000L)
+  }
 }

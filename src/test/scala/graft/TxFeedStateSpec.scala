@@ -190,4 +190,79 @@ class TxFeedStateSpec extends AnyFunSuite {
     assert(state === scratch,
       "a consumer of the emitted changelog converges to the live aggregate")
   }
+
+  test("a stale unmarked feed batch dir is replaced, never double-emitted") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = s"$dir/t"
+    val out = s"$dir/feed"
+    TxTable.create(spark, t,
+      (0L until 20L).map(i => (i, 100.0 + i, 0L)).toDF("id", "price", "version"))
+    // first poll consumes commit 0
+    Streams.txFeedTick(spark, t, Seq("id"), out)
+    assert(Streams.feedCursor(out) === 0L)
+    // commits 1..2 land; a poll CRASHES between the batch write and its
+    // _done_ marker — simulated by planting the unmarked dir the crashed
+    // attempt would have left (covering commit 1 only), with garbage
+    // rows that a replay must replace, not accumulate next to
+    TxTable.upsert(spark, t,
+      Seq((3L, 999.0, 1L)).toDF("id", "price", "version"), Seq("id"), "version")
+    Seq((3L, "i", 999.0, 1L), (3L, "i", 999.0, 1L))
+      .toDF("id", "op", "price", "commit")
+      .write.mode("overwrite").parquet(s"$out/batch=c1")
+    TxTable.upsert(spark, t,
+      Seq((4L, 888.0, 1L)).toDF("id", "price", "version"), Seq("id"), "version")
+    // the replay re-polls the SAME low bound (cursor never advanced) —
+    // the lo-keyed dir is overwritten with the full 1..2 range
+    Streams.txFeedTick(spark, t, Seq("id"), out)
+    assert(Streams.feedCursor(out) === 2L)
+    val got = Streams.readFeedOutput(spark, out)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("op"),
+        r.getAs[Long]("commit")))
+    assert(got.length === got.distinct.length,
+      s"no commit may be emitted twice: ${got.toSeq.sorted}")
+    val want = TxTable.changeFeed(spark, t, Seq("id"))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("op"),
+        r.getAs[Long]("commit"))).toSet
+    assert(got.toSet === want, "the replayed changelog equals the full feed")
+  }
+
+  test("fresh feed consumer of a FOLDED table bootstraps from the snapshot") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = s"$dir/t"
+    val out = s"$dir/feed"
+    TxTable.create(spark, t,
+      (0L until 30L).map(i => (i, 100.0 + i, 0L)).toDF("id", "price", "version"))
+    TxTable.upsert(spark, t,
+      Seq((3L, 999.0, 1L)).toDF("id", "price", "version"), Seq("id"), "version")
+    TxTable.checkpoint(spark, t)
+    TxTable.expire(spark, t)
+    // the primitive refuses — a fresh-cursor feed would miss every
+    // folded base row (checkpoint commits are feed-invisible)
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.changeFeedFrom(spark, t, Seq("id"), -1L)
+    }
+    assert(ex.getMessage.contains("folded"))
+    // the sink bootstraps: snapshot-as-inserts at the tip, then deltas
+    Streams.txFeedTick(spark, t, Seq("id"), out)
+    assert(Streams.feedCursor(out) === TxTable.committedIds(t).max)
+    val base = Streams.readFeedOutput(spark, out)
+    assert(base.count() === 30L, "the bootstrap emits every folded row")
+    assert(base.select("op").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("i"))
+    // a later poll consumes the delta on top
+    TxTable.upsert(spark, t,
+      Seq((5L, 777.0, 2L)).toDF("id", "price", "version"), Seq("id"), "version")
+    Streams.txFeedTick(spark, t, Seq("id"), out)
+    val replayed = Streams.readFeedOutput(spark, out)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("commit").desc)))
+      .filter(col("__rn") === 1 && col("op") =!= "d")
+      .select("id", "price")
+    val live = TxTable.read(spark, t).select("id", "price")
+    assert(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
+      "replaying the bootstrapped changelog reconstructs the live table")
+  }
 }
