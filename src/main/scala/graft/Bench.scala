@@ -37,6 +37,7 @@ object Bench {
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // inert for µs fixtures; keeps ns-encoded events loadable
       // plan strings are diagnostics — never let one grow into driver

@@ -2249,6 +2249,72 @@ object PipelineQueries {
         .orderBy(col("cust_bucket"))
     }),
 
+    "q_tx_sql" -> ((s, dir) => {
+      // the DSv2/SQL surface (round 19): the same partition-pruned
+      // transactional read as q_tx_partition_prune, but reached the way
+      // a real Spark user reaches it — spark.read.format("txtable")
+      // (rewritten at analysis time to the snapshot plan) registered as
+      // a view and queried through spark.sql, with the partition filter
+      // inside the SQL text. Equality with the plain-WHERE oracle
+      // proves the rewrite changes NOTHING semantically; TxSqlSpec pins
+      // that the plan still carries PartitionFilters/PushedFilters.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txsql")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"),
+          col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)),
+        partitionCols = Seq("o_orderpriority"))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version", partitionCols = Seq("o_orderpriority"))
+      s.read.format("txtable").load(t).createOrReplaceTempView("tx_sql_orders")
+      s.sql("""
+        SELECT o_custkey % 100 AS cust_bucket, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM tx_sql_orders
+        WHERE o_orderpriority = '2-HIGH'
+        GROUP BY o_custkey % 100
+        ORDER BY cust_bucket""")
+    }),
+
+    "q_tx_merge_sql" -> ((s, dir) => {
+      // SQL-callable MERGE (round 19): a reprice+insert CDC batch lands
+      // through the REAL parsed statement — MERGE INTO … USING … ON key
+      // WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * —
+      // routed by TxSql.exec to TxTable.mergeInto (unconditional SQL
+      // semantics: the batch wins every matched row, no version column),
+      // then a SQL DELETE composes on the same log. The CASE/UNION
+      // oracle reconstructs both statements.
+      import graft.sources.txtable.TxSql
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txmsql")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.create(s, t, orders)
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1))
+        .createOrReplaceTempView("tx_merge_updates")
+      TxSql.exec(s,
+        """MERGE INTO t USING tx_merge_updates u ON t.o_orderkey = u.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        Map("t" -> t))
+      TxSql.exec(s, "DELETE FROM t WHERE o_orderkey % 10 = 5", Map("t" -> t))
+      TxTable.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_jsonl_ingest" -> ((s, dir) => {
       // raw-crawl landing (round 12): documents → GZIPPED JSONL →
       // explicit-schema PERMISSIVE read-back → per-lang volume stats.
@@ -3945,6 +4011,32 @@ object PipelineQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM final WHERE o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY cust_bucket""",
+    // DSv2/SQL read == plain WHERE over the repriced table (different
+    // priority than q_tx_partition_prune so the two prune differently)
+    "q_tx_sql" ->
+      """WITH final AS (
+           SELECT o_orderkey, o_orderpriority, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders)
+         SELECT o_custkey % 100 AS cust_bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM final WHERE o_orderpriority = '2-HIGH'
+         GROUP BY 1 ORDER BY cust_bucket""",
+    // SQL MERGE (update * + insert *) then SQL DELETE == CASE + UNION + WHERE
+    "q_tx_merge_sql" ->
+      """WITH merged AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders
+           UNION ALL
+           SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM merged WHERE o_orderkey % 10 <> 5
+         GROUP BY 1 ORDER BY 1""",
     // JSONL round-trip must be lossless: stats from the parquet table
     "q_jsonl_ingest" ->
       """SELECT lang, COUNT(*) AS n_docs,

@@ -49,6 +49,7 @@ object ProfileBpe8k {
   private[graft] def run(args: Array[String]): Unit = {
     val numMerges = args.headOption.map(_.toInt).getOrElse(8192)
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -116,6 +117,7 @@ object ProfileCc {
   private[graft] def run(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -159,6 +161,7 @@ object ProfileDedup {
   }
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -225,6 +228,7 @@ object ProfileDeleteVectors {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -292,6 +296,7 @@ object ProfileFeedWidth {
   import graft.sources.TxTable
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -388,6 +393,7 @@ object ProfileOracleSix {
   import graft.operators.{Dedup, Similarity}
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // events.ts is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -489,6 +495,7 @@ object ProfilePrefix {
   }
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -618,6 +625,7 @@ object ProfileR11 {
   def imiMain(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
@@ -708,6 +716,7 @@ object ProfileR11 {
   def clusteredMain(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
@@ -766,6 +775,7 @@ object ProfileR11 {
   def plantedMain(): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
@@ -816,6 +826,7 @@ object ProfileR12 {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -864,6 +875,7 @@ object ProfileR9 {
   import graft.operators.Similarity
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -948,6 +960,7 @@ object ProfileR9b {
   import graft.operators.Similarity
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1028,6 +1041,7 @@ object ProfileR9c {
   import graft.operators.Similarity
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1092,6 +1106,7 @@ object ProfileRound3 {
   private[graft] def run(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -1126,6 +1141,7 @@ object ProfileScale {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -1383,6 +1399,7 @@ object ProfileScale100 {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1656,6 +1673,7 @@ object ProfileShingles {
   }
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1713,6 +1731,7 @@ object ProfileSimhashCap {
   import graft.operators.Dedup
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -1735,6 +1754,7 @@ object ProfileSimhashPhases {
   private[graft] def run(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -1860,6 +1880,7 @@ object ProfileStatsManifest {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -1973,6 +1994,7 @@ object ProfileTxTable {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -2078,6 +2100,7 @@ object ProfileTxTable17 {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -2216,6 +2239,7 @@ object ProfileTxTable18 {
 
   private[graft] def run(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -9,13 +9,20 @@ import org.apache.spark.sql.functions.call_function
  * Registration for graft's native Catalyst expressions — both as a
  * `SparkSessionExtensions` injector (for
  * `spark.sql.extensions=graft.plans.GraftExtensions`) and as an
- * idempotent per-session registration for library use.
+ * idempotent per-session registration for library use. The injector
+ * additionally installs the [[graft.sources.txtable.TxTableRewriteRule]]
+ * resolution rule (round 19) — the analysis-time rewrite that turns a
+ * `format("txtable")` / [[graft.sources.txtable.GraftCatalog]] relation
+ * into the snapshot plan `TxTable.readAt` builds.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectResolutionRule(session =>
+      graft.sources.txtable.TxTableRewriteRule(session))
+  }
 }
 
 object GraftExtensions {

@@ -538,6 +538,142 @@ object TxTable {
     } finally { winners.unpersist(); () }
   }
 
+  /**
+   * SQL-semantics MERGE (round 19, the engine behind
+   * [[graft.sources.txtable.TxSql]]'s `MERGE INTO` routing): one
+   * committed kill+add pair driven by a source relation and a key
+   * equality, with the standard MERGE clauses —
+   *
+   *  - `matchedAction = "update"`: WHEN MATCHED THEN UPDATE SET * —
+   *    every matched live row dies, the matching source row lands;
+   *  - `matchedAction = "delete"`: WHEN MATCHED THEN DELETE;
+   *  - `insertNotMatched`: WHEN NOT MATCHED THEN INSERT *;
+   *  - `deleteNotMatchedBySource`: WHEN NOT MATCHED BY SOURCE THEN
+   *    DELETE — the full-sync replication shape.
+   *
+   * Unlike [[upsert]] there is no version column: SQL MERGE is
+   * UNCONDITIONAL (the batch wins every matched row), and the SQL
+   * cardinality contract applies — a source with duplicate keys fails
+   * loudly when a matched action exists, exactly the "multiple source
+   * rows match a target row" error every SQL engine raises. Cost is the
+   * upsert shape: one snapshot scan, work ∝ source size, source-key set
+   * broadcast below `broadcastKeyLimit`. `conflictDetect` runs the same
+   * claim-ordered key validation as [[upsert]] (the source key set is
+   * the sidecar); under `deleteNotMatchedBySource` a concurrent
+   * disjoint-key writer serializes BEFORE the merge (its key survives —
+   * the merge-then-writer order), which is a valid serial history.
+   */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], matchedAction: String = "update",
+      insertNotMatched: Boolean = true,
+      deleteNotMatchedBySource: Boolean = false,
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty,
+      broadcastKeyLimit: Long = 4L * 1000 * 1000,
+      conflictDetect: Boolean = false,
+      conflictWaitMs: Long = 60L * 1000): Long =
+    retryOnConflict("mergeInto", root, conflictDetect) {
+      mergeOnce(spark, root, source, keys, matchedAction, insertNotMatched,
+        deleteNotMatchedBySource, bloomCols, partitionCols,
+        broadcastKeyLimit, conflictDetect, conflictWaitMs)
+    }
+
+  private def mergeOnce(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[String], matchedAction: String, insertNotMatched: Boolean,
+      deleteNotMatchedBySource: Boolean, bloomCols: Seq[String],
+      partitionCols: Seq[String], broadcastKeyLimit: Long,
+      conflictDetect: Boolean, conflictWaitMs: Long): Long = {
+    require(keys.nonEmpty, "txtable.mergeInto needs key columns")
+    require(Set("update", "delete", "none").contains(matchedAction),
+      s"txtable.mergeInto: matchedAction must be update|delete|none, got $matchedAction")
+    require(keys.forall(source.columns.contains),
+      s"txtable.mergeInto: keys ${keys.mkString(",")} missing from source")
+    val snap = committedIds(root)
+    require(snap.nonEmpty, s"txtable: create $root before merging")
+    // persisted once: the cardinality check, the key side, and both add
+    // legs consume the source
+    val src = source.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matchedAction != "none") {
+        val dup = src.groupBy(keys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          "txtable.mergeInto: the source has duplicate keys — SQL MERGE " +
+            "forbids multiple source rows matching one target row " +
+            s"(first duplicate: ${dup.headOption.getOrElse("")})")
+      }
+      val k = claimId(root)
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val keySide =
+        if (src.count() <= broadcastKeyLimit) broadcast(srcKeys) else srcKeys
+      val rks = resolvedOf(root, snap)
+      val live = DeleteVectors.applyVectorsKeepId(
+        scanResolved(spark, existingDataDirs(root, rks)),
+        DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+      // ONE table scan for the matched side, persisted: it feeds the
+      // kills AND the matched-key set both add legs anti/semi against
+      val matchedLive =
+        if (matchedAction == "none" && !insertNotMatched) None
+        else Some(live.join(keySide, keys.toSeq, "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      try {
+        val unmatchedKills =
+          if (!deleteNotMatchedBySource) None
+          else Some(live.join(keySide, keys.toSeq, "left_anti"))
+        val matchedKills =
+          if (matchedAction == "none") None else matchedLive
+        val kills = (matchedKills.toSeq ++ unmatchedKills.toSeq)
+          .reduceOption(_.unionByName(_))
+        kills.foreach { kdf =>
+          DeleteVectors.buildVectors(kdf.select(
+              col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
+            .write.mode("overwrite").parquet(dvDir(root, k))
+        }
+        if (writtenRows(dvDir(root, k)) == 0L)
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+        // add legs: matched keys are a SMALL relation (≤ source), so the
+        // source-side semi/anti stay broadcastable batch-cost joins
+        val tableCols = live.columns
+          .filterNot(c => c == "__dv_file" || c == "__dv_row").toSeq
+        lazy val matchedKeys = matchedLive.get
+          .select(keys.map(col): _*).distinct()
+        def aligned(df: DataFrame): DataFrame = {
+          val missing = tableCols.filterNot(df.columns.contains)
+          require(missing.isEmpty,
+            s"txtable.mergeInto: source is missing table columns " +
+              s"${missing.mkString(",")} (INSERT */UPDATE SET * need all of them)")
+          df.select(tableCols.map(col): _*)
+        }
+        val updateAdds =
+          if (matchedAction != "update") None
+          else Some(src.join(broadcast(matchedKeys), keys.toSeq, "left_semi"))
+        val insertAdds =
+          if (!insertNotMatched) None
+          else Some(src.join(broadcast(matchedKeys), keys.toSeq, "left_anti"))
+        val adds = (updateAdds.toSeq ++ insertAdds.toSeq)
+          .reduceOption(_.unionByName(_)).map(aligned)
+        adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols))
+        if (writtenRows(dataDir(root, k)) == 0L)
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+        if (conflictDetect) {
+          srcKeys.write.mode("overwrite").parquet(keysDir(root, k))
+          try validateNoKeyConflicts(spark, root, k, snap.toSet,
+            srcKeys, keys, conflictWaitMs)
+          catch {
+            case e: CommitConflictException =>
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(keysDir(root, k)))
+              Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+              throw e
+          }
+        }
+        commit(root, k)
+        k
+      } finally { matchedLive.foreach(_.unpersist()); () }
+    } finally { src.unpersist(); () }
+  }
+
   /** The optimistic-commit validation (round 18): serialization order is
     * CLAIM-ID order. Every id below ours that our snapshot did not
     * contain must resolve — a still-claimed lower id is an in-flight

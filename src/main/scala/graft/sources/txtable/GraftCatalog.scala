@@ -1,0 +1,121 @@
+package graft.sources.txtable
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{Fs, TxTable}
+
+/**
+ * A DataSource-V2 [[TableCatalog]] over a directory of
+ * [[graft.sources.TxTable]] roots (round 19) — the SQL front door:
+ *
+ * {{{
+ *   spark.sql.catalog.graft           = graft.sources.txtable.GraftCatalog
+ *   spark.sql.catalog.graft.warehouse = /data/tables
+ *
+ *   SELECT * FROM graft.orders WHERE priority = '1-URGENT'
+ *   SELECT * FROM graft.orders VERSION AS OF 3        -- time travel
+ *   SHOW TABLES IN graft
+ * }}}
+ *
+ * Layout convention, not metastore: `<warehouse>/<ns…>/<name>` is the
+ * table root iff it has a commit log (`_txn/commits`) — consistent with
+ * the table itself being convention-not-manifest. `loadTable` returns
+ * the same [[TxTableV2]] handle the `format("txtable")` path uses, so
+ * one analysis rule serves both. DDL: `dropTable` deletes the root
+ * (directory recursive — the table IS its directory); CREATE/ALTER/
+ * RENAME route users to the library API loudly ([[TxTable.create]]
+ * decides layout knobs — bloom columns, partitioning — that SQL DDL
+ * cannot express here).
+ */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: set spark.sql.catalog.$name.warehouse to the " +
+          "directory holding the txtable roots"))
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: ident.namespace().toSeq :+ ident.name()).mkString("/")
+
+  private def isTxRoot(path: String): Boolean =
+    Fs.isDirectory(s"$path/_txn/commits")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    if (!Fs.isDirectory(dir))
+      throw new NoSuchNamespaceException(catalogName +: namespace.toSeq)
+    Fs.listDirs(dir).map(_.getPath.getName)
+      .filter(n => isTxRoot((warehouse +: namespace.toSeq :+ n).mkString("/")))
+      .map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTxRoot(rootOf(ident))
+
+  override def loadTable(ident: Identifier): Table = loadAt(ident, Long.MaxValue)
+
+  /** SQL `VERSION AS OF <k>` — the commit id, exactly [[TxTable.readAt]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val asOf =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"txtable: VERSION AS OF takes a commit id, got '$version' " +
+            "(see TxTable.history for the committed ids)")
+      }
+    loadAt(ident, asOf)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "txtable: TIMESTAMP AS OF is not supported — commit ids are log " +
+        "positions, not wall-clock times; use VERSION AS OF <commit> " +
+        "(TxTable.history lists them)")
+
+  private def loadAt(ident: Identifier, asOf: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTxRoot(root))
+      throw new NoSuchTableException(
+        (ident.namespace().toSeq :+ ident.name()).toSeq)
+    val schema = TxTable.readAt(SparkSession.active, root, asOf).schema
+    TxTableV2(root, asOf, schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"txtable: create tables with TxTable.create(spark, \"${rootOf(ident)}\", df, " +
+        "bloomCols, partitionCols) — the layout knobs (bloom filters, hive " +
+        "partitioning) are write-side decisions SQL DDL does not carry here")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "txtable: schema evolves by writing commits with the new schema " +
+        "(readers reconcile by name) — there is no metastore to alter")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootOf(ident)
+    isTxRoot(root) && Fs.deleteRecursive(new org.apache.hadoop.fs.Path(root))
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "txtable: rename is a directory move — not supported through the " +
+        "catalog (object stores have no atomic rename; copy + drop instead)")
+}

@@ -1,0 +1,44 @@
+package graft.sources.txtable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/**
+ * Analysis-time rewrite of every [[TxTableV2]] relation into the plan
+ * [[graft.sources.TxTable.readAt]] builds — the Delta-style
+ * library-plan-behind-a-connector architecture: the V2 relation is a
+ * NAME, the library owns the plan. Injected by
+ * [[graft.plans.GraftExtensions]] as a resolution rule.
+ *
+ * The replacement preserves the relation's output attribute ids via an
+ * aliasing Project (parents resolved against the relation's exprIds may
+ * already exist in the same fixed-point batch), matching columns BY
+ * NAME — a commit changing the schema between relation creation and
+ * analysis surfaces as a loud missing-column error, never silent
+ * misalignment.
+ */
+case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxTableV2] =>
+        val t = r.table.asInstanceOf[TxTableV2]
+        val snapshot =
+          graft.sources.TxTable.readAt(spark, t.root, t.asOf)
+            .queryExecution.analyzed
+        val byName = snapshot.output.map(a => a.name -> a).toMap
+        val projections: Seq[NamedExpression] = r.output.map { o =>
+          val src = byName.getOrElse(o.name,
+            throw new IllegalStateException(
+              s"txtable: column '${o.name}' of relation ${t.name()} is " +
+                s"missing from the snapshot read (schema changed between " +
+                s"relation creation and analysis?) — snapshot columns: " +
+                snapshot.output.map(_.name).mkString(", ")))
+          Alias(src, o.name)(exprId = o.exprId)
+        }
+        Project(projections, snapshot)
+    }
+}
