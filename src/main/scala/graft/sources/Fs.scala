@@ -174,7 +174,34 @@ object Fs {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else if (fs.exists(p)) false
+    } else if (atomicCreateSupport(path, c) == "conditional") {
+      // STORE-SIDE conditional create (round 19, closing the r18
+      // advisory's implemented-nowhere gap): engage the If-None-Match
+      // PUT through the createFile builder's mandatory option, so the
+      // losing racer gets the store's 412 (surfaced as
+      // FileAlreadyExistsException) instead of the HEAD-then-PUT race.
+      // The option is addressed by NAME (Hadoop >= 3.4.1's
+      // fs.option.create.conditional.overwrite) — no compile-time
+      // dependency on the s3a module, and a store that rejects the
+      // option falls back to the check-then-act path below (which
+      // [[atomicCreateSupport]] then reports honestly as "unsafe").
+      try {
+        val b = fs.createFile(p)
+        b.must("fs.option.create.conditional.overwrite", false)
+        val out = b.build()
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: IllegalArgumentException | _: UnsupportedOperationException =>
+          createMarkerCheckThenAct(fs, p, content)
+      }
+    } else createMarkerCheckThenAct(fs, p, content)
+  }
+
+  private def createMarkerCheckThenAct(fs: FileSystem, p: Path,
+      content: String): Boolean = {
+    if (fs.exists(p)) false
     else {
       val out =
         try fs.create(p, false)
@@ -186,6 +213,57 @@ object Fs {
       }
     }
   }
+
+  /**
+   * What MUTUAL EXCLUSION [[createMarker]] can actually deliver on
+   * `path`'s store (round 19):
+   *
+   *  - `"atomic"` — create-no-overwrite is enforced at the store:
+   *    `file://` (O_EXCL), HDFS (namenode lease), ABFS (blob
+   *    If-None-Match), viewfs over those;
+   *  - `"conditional"` — the store needs (and has) an engaged
+   *    conditional-create: s3a with Hadoop ≥ 3.4.1's
+   *    `fs.s3a.create.conditional.enabled`, or any filesystem
+   *    advertising the `fs.capability.create.conditional.overwrite`
+   *    path capability;
+   *  - `"unsafe"` — create-no-overwrite is client-side check-then-act
+   *    (default s3a on older Hadoop): two racers can both "win".
+   *    Single-writer uses (replay idempotence, crash markers) are still
+   *    safe; the multi-writer CLAIM step of [[TxTable]]'s protocol is
+   *    not — [[warnIfNonAtomic]] says so at the point of use.
+   */
+  def atomicCreateSupport(path: String, c: Configuration = conf()): String = {
+    val (fs, p) = fileSystem(path, c)
+    val scheme = Option(p.toUri.getScheme).getOrElse(fs.getScheme)
+      .toLowerCase(java.util.Locale.ROOT)
+    if (Set("file", "hdfs", "abfs", "abfss", "viewfs").contains(scheme)) "atomic"
+    else {
+      val capability =
+        try fs.hasPathCapability(p, "fs.capability.create.conditional.overwrite")
+        catch { case scala.util.control.NonFatal(_) => false }
+      val s3aEngaged = scheme == "s3a" &&
+        c.getBoolean("fs.s3a.create.conditional.enabled", false)
+      if (capability || s3aEngaged) "conditional" else "unsafe"
+    }
+  }
+
+  private val nonAtomicWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Loud once-per-root notice when a MULTI-WRITER feature (optimistic
+    * conflict detection — the claim/OCC protocol's mutual exclusion
+    * premise) runs on a store where [[createMarker]] is check-then-act.
+    * A warning, not a refusal: single-writer deployments of the same
+    * code path stay valid, and the operator owns the topology claim. */
+  def warnIfNonAtomic(root: String, what: String, c: Configuration = conf()): Unit =
+    if (atomicCreateSupport(root, c) == "unsafe" && nonAtomicWarned.add(root))
+      System.err.println(
+        s"[txtable] WARNING: $what on $root relies on create-once claim " +
+          "markers, but this store's create-no-overwrite is client-side " +
+          "check-then-act — two racing writers can both win a claim. " +
+          "Engage conditional create (Hadoop >= 3.4.1 s3a: " +
+          "fs.s3a.create.conditional.enabled) or coordinate writers " +
+          "externally; single-writer use is unaffected.")
 
   /** Hadoop `Configuration` is not `java.io.Serializable`; this minimal
     * Writable-backed wrapper ships it into tasks (the same trick Spark

@@ -192,14 +192,25 @@ object TxTable {
     * any hive-layout table (CdcPropertySpec pins value equality across
     * the two layouts). */
   private def writeData(df: DataFrame, path: String,
-      bloomCols: Seq[String], partitionCols: Seq[String] = Seq.empty): Unit = {
+      bloomCols: Seq[String], partitionCols: Seq[String] = Seq.empty,
+      precluster: Boolean = true): Unit = {
     if (partitionCols.isEmpty) {
       if (bloomCols.isEmpty) df.write.mode("overwrite").parquet(path)
       else ParquetIO.writeWithBloomFilters(df, path, bloomCols)
     } else {
       require(partitionCols.forall(df.columns.contains),
         s"txtable: partition columns ${partitionCols.mkString(",")} missing from batch")
-      val base = df.write.mode("overwrite").partitionBy(partitionCols: _*)
+      // PRE-CLUSTER by default (round 19, r18 verdict #5): without it a
+      // partitioned write fans out to ~tasks x values files per commit
+      // (SCALE.md measured ~800 at 25 partitions). REBALANCE clusters
+      // rows by partition value AND lets AQE split oversized groups at
+      // the advisory partition size — ~one file per (value, size
+      // target). checkpoint/compactFiles pass precluster = false: their
+      // input is already repartitioned to the byte-target layout, and a
+      // second exchange would undo it.
+      val clustered =
+        if (precluster) df.hint("rebalance", partitionCols: _*) else df
+      val base = clustered.write.mode("overwrite").partitionBy(partitionCols: _*)
       val withBloom = bloomCols.foldLeft(base) { (w, c) =>
         w.option(s"parquet.bloom.filter.enabled#$c", "true")
           .option(s"parquet.bloom.filter.expected.ndv#$c", "100000")
@@ -364,16 +375,32 @@ object TxTable {
   private def writtenRows(dir: String): Long = {
     import scala.jdk.CollectionConverters._
     if (!Fs.isDirectory(dir)) return 0L
-    Fs.listFilesRecursive(dir)
+    val conf = Fs.conf()
+    def footerRows(p: org.apache.hadoop.fs.Path): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }
+    val files = Fs.listFilesRecursive(dir)
       .filter(f => f.getPath.getName.endsWith(".parquet") &&
         !f.getPath.getName.startsWith("_") && f.getLen > 0)
-      .map { f =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            f.getPath, Fs.conf()))
-        try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-        finally r.close()
-      }.sum
+      .map(_.getPath)
+    // PARALLEL footer reads (round 19, r18 verdict's wrong #2): a
+    // hive-partitioned commit writes ~tasks x values files, and each
+    // footer is an independent open+read round-trip — serially at
+    // object-store latency that is hundreds of HEADs per upsert. A
+    // bounded private pool keeps the one-job-not-per-file contract
+    // (still no Spark job) while overlapping the I/O.
+    if (files.size <= 2) files.map(footerRows).sum
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try files.map(p => pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = footerRows(p)
+      })).map(_.get()).sum
+      finally { pool.shutdown(); () }
+    }
   }
 
   /** A conflicting concurrent commit was detected during an optimistic
@@ -463,6 +490,7 @@ object TxTable {
     // DV fold, and (under conflictDetect) the validation set
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before upserting")
+    if (conflictDetect) Fs.warnIfNonAtomic(root, "upsert(conflictDetect)")
     val k = claimId(root)
 
     // batch-internal winner per key: latest version, tombstones
@@ -590,6 +618,7 @@ object TxTable {
       s"txtable.mergeInto: keys ${keys.mkString(",")} missing from source")
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before merging")
+    if (conflictDetect) Fs.warnIfNonAtomic(root, "mergeInto(conflictDetect)")
     // persisted once: the cardinality check, the key side, and both add
     // legs consume the source
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
@@ -806,6 +835,7 @@ object TxTable {
       conflictWaitMs: Long): Long = {
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before deleting")
+    if (conflictDetect) Fs.warnIfNonAtomic(root, "deleteWhere(conflictDetect)")
     val k = claimId(root)
     val rks = resolvedOf(root, snap)
     val live = DeleteVectors.applyVectorsKeepId(
@@ -866,6 +896,7 @@ object TxTable {
     require(set.nonEmpty, "txtable.updateWhere needs SET expressions")
     val snap = committedIds(root)
     require(snap.nonEmpty, s"txtable: create $root before updating")
+    if (conflictDetect) Fs.warnIfNonAtomic(root, "updateWhere(conflictDetect)")
     val k = claimId(root)
     val rks = resolvedOf(root, snap)
     val live = DeleteVectors.applyVectorsKeepId(
@@ -1348,7 +1379,8 @@ object TxTable {
         // cluster by the partition column so the fold keeps the hive
         // layout at ~one file per (task, value) instead of parts × values
         else moved.repartition(parts, partitionCols.map(col): _*)
-      writeData(sized, dataDir(root, k), bloomCols, partitionCols)
+      writeData(sized, dataDir(root, k), bloomCols, partitionCols,
+        precluster = false)
       // post-fold fence, same shape as checkpoint's: a lower writer that
       // claimed or committed mid-fold may have killed rows in the moved
       // files with this fold blind to it
@@ -1470,7 +1502,8 @@ object TxTable {
       else if (partitionCols.nonEmpty)
         live.repartition(parts, partitionCols.map(col): _*)
       else live.repartition(parts)
-    writeData(sized, dataDir(root, k), bloomCols, partitionCols)
+    writeData(sized, dataDir(root, k), bloomCols, partitionCols,
+      precluster = false)
     // post-fold fence: any lower commit not in the frozen snapshot, or
     // any still-unredeemed lower claim (it could commit after us), would
     // be dropped from the live view — abort instead. Claims taken AFTER
@@ -1509,19 +1542,92 @@ object TxTable {
     k
   }
 
+  private def cursorsDir(root: String) = s"$root/_txn/cursors"
+
+  /**
+   * Register a standing consumer's change-feed position (round 19, the
+   * retention-coordination contract): consumer `name` has applied every
+   * commit ≤ `cursor`, and [[expire]] will keep the commits ABOVE it —
+   * `min(live cursors) + 1` becomes the expire floor — so maintenance
+   * can no longer strand a lagging registered consumer mid-feed and
+   * force a full state rebuild. The position is create-once markers
+   * (`_txn/cursors/<name>/c<k>`, the same object-store-safe shape as
+   * every other protocol bit: registration is a new-object PUT, the
+   * consumer's floor is max(markers), no overwrite anywhere); markers
+   * the new one supersedes are swept opportunistically. UNregistered
+   * consumers keep today's contract — [[changeFeedFrom]] fails loudly
+   * past maintenance and the consumer rebootstraps from a snapshot.
+   * Call [[unregisterCursor]] when decommissioning a consumer: a dead
+   * registration pins history forever (the same trade as any
+   * replication slot).
+   */
+  def registerCursor(root: String, name: String, cursor: Long): Unit = {
+    require(name.nonEmpty && !name.contains("/"),
+      s"txtable: cursor name must be a plain identifier, got '$name'")
+    require(cursor >= 0, s"txtable: cursor must be a commit id, got $cursor")
+    val dir = s"${cursorsDir(root)}/$name"
+    Fs.createMarker(s"$dir/c$cursor", name)
+    // sweep superseded positions — max(markers) is the live one
+    markerIds(dir).filter(_ < cursor)
+      .foreach(k => Fs.deleteIfExists(s"$dir/c$k"))
+  }
+
+  /** Forget a consumer: its floor no longer holds history. */
+  def unregisterCursor(root: String, name: String): Unit =
+    Fs.deleteRecursive(new org.apache.hadoop.fs.Path(s"${cursorsDir(root)}/$name"))
+
+  /** Every registered consumer's applied position — (name, cursor). */
+  def registeredCursors(root: String): Seq[(String, Long)] = {
+    val dir = cursorsDir(root)
+    if (!Fs.isDirectory(dir)) Seq.empty
+    else Fs.listDirs(dir).map(_.getPath.getName).sorted.flatMap { n =>
+      markerIds(s"$dir/$n").lastOption.map(n -> _)
+    }
+  }
+
+  /** The expire floor: the first commit some registered consumer has
+    * NOT yet applied (min live cursor + 1); None when nobody registered. */
+  def cursorFloor(root: String): Option[Long] =
+    registeredCursors(root).map(_._2).minOption.map(_ + 1)
+
   /**
    * Collapse history below the newest committed checkpoint: delete the
-   * data dirs, DV dirs, and markers of every commit strictly older.
-   * The live snapshot is untouched (it resolves from the checkpoint
-   * forward); time travel BELOW the checkpoint fails loudly afterwards
-   * — the caller is trading history for storage, the generation-
-   * retention contract. No-op without a committed checkpoint.
+   * data dirs, DV dirs, key sidecars, and markers of every commit
+   * strictly older. The live snapshot is untouched (it resolves from
+   * the checkpoint forward); time travel BELOW the checkpoint fails
+   * loudly afterwards — the caller is trading history for storage, the
+   * generation-retention contract. No-op without a committed
+   * checkpoint. REGISTERED consumer cursors (round 19) bound the
+   * collapse: nothing at or above `min(live cursors) + 1` is deleted,
+   * so a lagging [[registerCursor]] consumer keeps its unread commits
+   * feed-readable (they stay out of every reader's RESOLUTION set —
+   * that still starts at the checkpoint — so retention costs storage,
+   * never read-plan width). Feed-readable includes the KILL SOURCES:
+   * commits below the floor whose files a retained feed commit's DVs
+   * reference are kept whole as well (the body's sidecar pass).
    */
   def expire(spark: SparkSession, root: String): Seq[Long] =
     checkpointIds(root).lastOption match {
       case None => Seq.empty
       case Some(cp) =>
-        committedIds(root).filter(_ < cp).map { id =>
+        val cutoff = cursorFloor(root).map(math.min(cp, _)).getOrElse(cp)
+        val all = committedIds(root)
+        // KILL-SOURCE retention (round 19): a retained feed commit's
+        // deletion vectors name files of OLDER commits — the feed's
+        // `d`/`u` rows resolve their last-known values from exactly
+        // those files — so any commit below the floor that a retained
+        // pre-checkpoint commit's DVs reference survives whole too.
+        // Decided from the tiny DV sidecars; no data page is read.
+        val feedDvs = all.filter(id => id >= cutoff && id < cp)
+          .map(dvDir(root, _)).filter(Fs.isDirectory(_))
+        val referenced: Set[Long] =
+          if (feedDvs.isEmpty) Set.empty
+          else spark.read.parquet(feedDvs: _*)
+            .select(col("file_path")).distinct().collect()
+            .map(r => new org.apache.hadoop.fs.Path(commitDirOf(r.getString(0)))
+              .getName.stripPrefix("c"))
+            .filter(s => s.nonEmpty && s.forall(_.isDigit)).map(_.toLong).toSet
+        all.filter(id => id < cutoff && !referenced.contains(id)).map { id =>
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, id)))
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, id)))
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(keysDir(root, id)))

@@ -373,8 +373,17 @@ object Streams {
    * tier (checkpoint/expire/compact) like any TxTable.
    */
   def txVectorStateSync(spark: SparkSession, srcRoot: String,
-      stateRoot: String, idCol: String, vecCol: String, cursor: Long): Long = {
+      stateRoot: String, idCol: String, vecCol: String, cursor: Long,
+      consumerName: Option[String] = None): Long = {
     import graft.sources.TxTable
+    // registered consumers (round 19): each successful sync publishes
+    // the applied position, so the SOURCE table's expire keeps the
+    // commits this state has not read yet — the standing consumer can
+    // lag maintenance without being forced into a snapshot rebuild
+    def registered(tip: Long): Long = {
+      consumerName.foreach(TxTable.registerCursor(srcRoot, _, tip))
+      tip
+    }
     if (TxTable.committedIds(stateRoot).isEmpty) {
       // BOOTSTRAP from the SNAPSHOT, not the feed (round 18): on a
       // long-lived table whose history was folded away, the feed's
@@ -391,10 +400,11 @@ object Streams {
         .select(col(idCol), col(vecCol))
         .withColumn("version", lit(tip))
       TxTable.create(spark, stateRoot, snap)
-      return tip
+      return registered(tip)
     }
     TxTable.changeFeedFrom(spark, srcRoot, Seq(idCol), cursor) match {
-      case None => cursor
+      case None =>
+        if (cursor >= 0) registered(cursor) else cursor
       case Some((feed, tip)) =>
         // one row per (id, commit); 'd' maps straight onto the MERGE's
         // tombstone op, commit onto its version
@@ -402,7 +412,7 @@ object Streams {
           col("commit").as("version"), col("op"))
         TxTable.upsert(spark, stateRoot, batch, Seq(idCol), "version",
           opCol = Some("op"))
-        tip
+        registered(tip)
     }
   }
 
@@ -424,11 +434,13 @@ object Streams {
    */
   def txFeedSink(ticks: DataFrame, root: String, keys: Seq[String],
       outDir: String, checkpoint: String,
-      withPreimage: Boolean = false): StreamingQuery = {
+      withPreimage: Boolean = false,
+      consumerName: Option[String] = None): StreamingQuery = {
     ticks.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        txFeedTick(batch.sparkSession, root, keys, outDir, withPreimage)
+        txFeedTick(batch.sparkSession, root, keys, outDir, withPreimage,
+          consumerName)
         ()
       }
       .start()
@@ -450,7 +462,8 @@ object Streams {
     * than emit a changelog with holes), and later polls consume deltas
     * from that tip like any other consumer. */
   def txFeedTick(spark: SparkSession, root: String, keys: Seq[String],
-      outDir: String, withPreimage: Boolean = false): Unit = {
+      outDir: String, withPreimage: Boolean = false,
+      consumerName: Option[String] = None): Unit = {
     import graft.sources.{Fs, TxTable}
     val cursor = feedCursor(outDir)
     val all = TxTable.committedIds(root)
@@ -464,6 +477,7 @@ object Streams {
           payload.map(col) :+ lit(tip).as("commit"): _*)
         .write.mode("overwrite").parquet(s"$outDir/batch=c0")
       Fs.createMarker(s"$outDir/_done_$tip", s"c0")
+      consumerName.foreach(TxTable.registerCursor(root, _, tip))
     } else {
       TxTable.changeFeedFrom(spark, root, keys, cursor,
         withPreimage = withPreimage).foreach { case (feed, tip) =>
@@ -471,6 +485,10 @@ object Streams {
           .parquet(s"$outDir/batch=c${cursor + 1}")
         Fs.createMarker(s"$outDir/_done_$tip", s"c${cursor + 1}")
       }
+      // registration covers the no-new-commits poll too: an idle
+      // consumer at the tip is still LIVE, and its floor must hold
+      val tip = feedCursor(outDir)
+      if (tip >= 0) consumerName.foreach(TxTable.registerCursor(root, _, tip))
     }
   }
 

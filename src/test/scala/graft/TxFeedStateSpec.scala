@@ -265,4 +265,54 @@ class TxFeedStateSpec extends AnyFunSuite {
     assert(replayed.exceptAll(live).isEmpty && live.exceptAll(replayed).isEmpty,
       "replaying the bootstrapped changelog reconstructs the live table")
   }
+
+  test("a REGISTERED consumer's cursor floors expire — lag survives maintenance") {
+    import spark.implicits._
+    val dir = tmp()
+    val src = s"$dir/src"
+    val st = s"$dir/state"
+    val base = vecs(0L until 40L, i => (i % 3).toInt).withColumn("version", lit(0L))
+    TxTable.create(spark, src, base)
+    // first sync registers the consumer at the tip (commit 0)
+    var cursor = Streams.txVectorStateSync(spark, src, st, "id", "vec", -1L,
+      consumerName = Some("vecstate"))
+    assert(TxTable.registeredCursors(src) === Seq(("vecstate", 0L)))
+    // the source mutates TWICE while the consumer lags...
+    TxTable.upsert(spark, src,
+      vecs(Seq(5L), _ => 1).withColumn("version", lit(1L)), Seq("id"), "version")
+    TxTable.upsert(spark, src,
+      vecs(Seq(9L), _ => 2).withColumn("version", lit(2L)), Seq("id"), "version")
+    // ...and maintenance folds the log. WITHOUT the registration this
+    // strands the consumer (the pinned loud-failure contract below);
+    // WITH it, expire keeps commits 1..2 feed-readable
+    TxTable.checkpoint(spark, src)
+    val expired = TxTable.expire(spark, src)
+    // commit 0 is the KILL SOURCE of the retained commits' deletion
+    // vectors (their d/u rows resolve last-known values from its files)
+    // — the floor retains it too, so nothing is deletable yet
+    assert(expired.isEmpty,
+      s"expire must stop at the registered floor and its kill sources: $expired")
+    assert(Seq(0L, 1L, 2L).forall(TxTable.committedIds(src).contains))
+    // the lagging consumer drains normally — no rebuild, no holes
+    cursor = Streams.txVectorStateSync(spark, src, st, "id", "vec", cursor,
+      consumerName = Some("vecstate"))
+    assert(stateRows(st) === stateRows(src),
+      "the lagging registered consumer must converge without a rebuild")
+    // caught up: the floor advanced, the next expire collapses the rest
+    assert(TxTable.registeredCursors(src).head._2 === cursor)
+    assert(TxTable.expire(spark, src).nonEmpty)
+    // decommission: the floor disappears with the registration
+    TxTable.unregisterCursor(src, "vecstate")
+    assert(TxTable.cursorFloor(src).isEmpty)
+    // an UNREGISTERED consumer keeps today's contract: loud, then
+    // snapshot rebootstrap (pinned in the earlier test too)
+    TxTable.upsert(spark, src,
+      vecs(Seq(7L), _ => 1).withColumn("version", lit(9L)), Seq("id"), "version")
+    TxTable.checkpoint(spark, src)
+    TxTable.expire(spark, src)
+    val ex = intercept[IllegalArgumentException] {
+      TxTable.changeFeedFrom(spark, src, Seq("id"), cursor)
+    }
+    assert(ex.getMessage.contains("retained history"))
+  }
 }

@@ -912,4 +912,44 @@ class TxTableSpec extends AnyFunSuite {
     assert(got.count() === 360L)
     assert(got.filter(col("cat") === "cat0").count() === 60L)
   }
+
+  test("expire retires committed OCC key sidecars; OCC straddling an expire still validates") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = tmp() + "/t"
+    TxTable.create(spark, t,
+      (0 until 50).map(i => (i.toLong, 100.0 + i, 0L)).toDF("id", "price", "version"))
+    // two optimistic commits leave key sidecars
+    TxTable.upsert(spark, t,
+      Seq((1L, 1111.0, 1L)).toDF("id", "price", "version"),
+      Seq("id"), "version", conflictDetect = true)
+    TxTable.upsert(spark, t,
+      Seq((2L, 2222.0, 2L)).toDF("id", "price", "version"),
+      Seq("id"), "version", conflictDetect = true)
+    assert(Fs.isDirectory(s"$t/_txn/keys/1") && Fs.isDirectory(s"$t/_txn/keys/2"))
+    TxTable.checkpoint(spark, t)
+    TxTable.expire(spark, t)
+    // history below the checkpoint can conflict with nobody — its
+    // sidecars fold away with it (they were permanent dead weight)
+    assert(!Fs.exists(s"$t/_txn/keys/1") && !Fs.exists(s"$t/_txn/keys/2"),
+      "expire must retire the collapsed commits' key sidecars")
+    // OCC across the collapsed history still serializes: same-key racers
+    // on the post-expire log (validation windows only ever contain
+    // near-tip commits, so the missing sidecars are never consulted)
+    val writers = (1 to 3).map { v =>
+      Future {
+        TxTable.upsert(spark, t,
+          Seq((7L, v * 1000.0, 10L + v)).toDF("id", "price", "version"),
+          Seq("id"), "version", conflictDetect = true,
+          conflictWaitMs = 180000L)
+      }
+    }
+    Await.result(Future.sequence(writers), 10.minutes)
+    val rows = TxTable.read(spark, t).filter(col("id") === 7L).collect()
+    assert(rows.length === 1 && rows.head.getLong(2) === 13L,
+      s"post-expire OCC must still serialize to the max version: ${rows.toSeq}")
+    assert(TxTable.read(spark, t).count() === 50L)
+  }
 }
