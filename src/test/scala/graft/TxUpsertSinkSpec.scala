@@ -149,4 +149,55 @@ class TxUpsertSinkSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
   }
+
+  test("sink-vs-batch-writer race converges under conflictDetect (round 19)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val base = java.nio.file.Files.createTempDirectory("graft-txsr").toString
+    val t = s"$base/t"
+    // batch 0 seeds keys 1..50; batches 1..3 reprice keys 1..10 at
+    // versions 10/20/30 — while a CONCURRENT batch writer OCC-upserts
+    // the same keys at interleaved versions 15/25/35. Every serial
+    // order of {sink batches, batch commits} converges per key to the
+    // MAX version (all versions are globally distinct); what the race
+    // must never produce is a duplicate live row or a lost update.
+    (1L to 50L).map(k => (k, "seed", 1L)).toDF("k", "payload", "v")
+      .coalesce(1).write.parquet(s"$base/in/f0")
+    (1 to 3).foreach { b =>
+      (1L to 10L).map(k => (k, s"sink$b", b * 10L)).toDF("k", "payload", "v")
+        .coalesce(1).write.parquet(s"$base/in/f$b")
+    }
+    val schema = spark.read.parquet(s"$base/in/f0").schema
+    val q = Streams.txUpsertSink(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in/*"),
+      t, s"$base/ckpt", Seq("k"), "v",
+      conflictDetect = true, conflictWaitMs = 180000L)
+    val batcher = Future {
+      // wait until the sink created the table, then race it
+      val deadline = System.currentTimeMillis() + 60000
+      while (TxTable.committedIds(t).isEmpty &&
+          System.currentTimeMillis() < deadline) Thread.sleep(20)
+      Seq(15L, 25L, 35L).map { v =>
+        TxTable.upsert(spark, t,
+          (1L to 10L).map(k => (k, s"batch$v", v)).toDF("k", "payload", "v"),
+          Seq("k"), "v", conflictDetect = true, conflictWaitMs = 180000L)
+      }
+    }
+    try {
+      q.processAllAvailable()
+      Await.result(batcher, 10.minutes)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = TxTable.read(spark, t)
+      .select("k", "payload", "v").as[(Long, String, Long)].collect()
+    assert(got.length === 50, s"no duplicate live rows: ${got.length}")
+    val byKey = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    (1L to 10L).foreach { k =>
+      assert(byKey(k) === (("batch35", 35L)),
+        s"key $k must converge to the max version: ${byKey(k)}")
+    }
+    (11L to 50L).foreach(k => assert(byKey(k) === (("seed", 1L))))
+  }
 }
