@@ -2315,6 +2315,41 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_tx_write_sql" -> ((s, dir) => {
+      // the DSv2 WRITE surface (round 19): the table is CREATED by
+      // df.write.format("txtable") (first write = commit 0), grown by a
+      // real SQL INSERT INTO through the catalog (routed via the DSv2
+      // V1-fallback write — one atomic commit), and then replaced by
+      // mode("overwrite") — TxTable.overwrite's kill-all + replacement
+      // under ONE marker. The UNION/WHERE oracle reconstructs all
+      // three statements; TxSqlSpec pins the mode semantics and that
+      // time travel below the overwrite still serves the old table.
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txwsql")
+      val wh = s"$tmp/wh"
+      val t = s"$wh/orders_w"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.write.format("txtable").mode("append").save(t)
+      // catalog names are instantiated once per session — derive a
+      // fresh one so repeated runs (bench passes) get this warehouse
+      val cat = s"graftw${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.txtable.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      orders.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1)
+        .createOrReplaceTempView("tx_write_ins")
+      s.sql(s"INSERT INTO $cat.orders_w SELECT * FROM tx_write_ins")
+      TxTable.read(s, t).filter(col("o_totalprice") <= 200000.0)
+        .write.format("txtable").mode("overwrite").save(t)
+      TxTable.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_jsonl_ingest" -> ((s, dir) => {
       // raw-crawl landing (round 12): documents → GZIPPED JSONL →
       // explicit-schema PERMISSIVE read-back → per-lang volume stats.
@@ -4036,6 +4071,17 @@ object PipelineQueries {
          SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM merged WHERE o_orderkey % 10 <> 5
+         GROUP BY 1 ORDER BY 1""",
+    // writer create + SQL INSERT INTO + writer overwrite == UNION + WHERE
+    "q_tx_write_sql" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+           UNION ALL
+           SELECT -o_orderkey - 1, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM t WHERE o_totalprice <= 200000.0
          GROUP BY 1 ORDER BY 1""",
     // JSONL round-trip must be lossless: stats from the parquet table
     "q_jsonl_ingest" ->

@@ -567,6 +567,39 @@ object TxTable {
   }
 
   /**
+   * Atomic FULL REPLACE as one commit (round 19 — the `INSERT
+   * OVERWRITE` / `mode("overwrite")` semantics behind the DSv2 write):
+   * this commit's deletion vectors kill every row live at its snapshot
+   * and its data dir carries the replacement — visible atomically at
+   * the marker like any commit, with history intact ([[readAt]] below
+   * the overwrite still serves the old table; [[checkpoint]]+[[expire]]
+   * reclaim it on the normal cadence). Cost: one snapshot scan for the
+   * row ids + the new data's write — never a directory swap, so
+   * concurrent readers at the old snapshot are undisturbed.
+   */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+      bloomCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    val snap = committedIds(root)
+    require(snap.nonEmpty, s"txtable: create $root before overwriting")
+    val k = claimId(root)
+    val rks = resolvedOf(root, snap)
+    val live = DeleteVectors.applyVectorsKeepId(
+      scanResolved(spark, existingDataDirs(root, rks)),
+      DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
+    DeleteVectors.buildVectors(live.select(
+        col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
+      .write.mode("overwrite").parquet(dvDir(root, k))
+    if (writtenRows(dvDir(root, k)) == 0L)
+      Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+    writeData(df, dataDir(root, k), bloomCols, partitionCols)
+    if (writtenRows(dataDir(root, k)) == 0L)
+      Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+    commit(root, k)
+    k
+  }
+
+  /**
    * SQL-semantics MERGE (round 19, the engine behind
    * [[graft.sources.txtable.TxSql]]'s `MERGE INTO` routing): one
    * committed kill+add pair driven by a source relation and a key

@@ -22,9 +22,25 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
  */
 case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // WRITE targets keep their V2 relation: the DSv2 write path
+    // (AppendData / overwrite, and the InsertIntoStatement that becomes
+    // one) resolves against the relation and executes through the
+    // table's V1-fallback InsertableRelation — only READ positions
+    // rewrite to the snapshot plan. (The write's SOURCE query still
+    // rewrites: it is not the target.)
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        writeTargets.add(i.table); ()
+      case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
+        writeTargets.add(w.table); ()
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[TxTableV2] =>
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[TxTableV2] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[TxTableV2]
         val snapshot =
           graft.sources.TxTable.readAt(spark, t.root, t.asOf)
@@ -41,4 +57,5 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Project(projections, snapshot)
     }
+  }
 }

@@ -4,11 +4,13 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.{SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -45,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Without the extension installed the table still resolves but any scan
  * fails LOUDLY with the config to set — never a silent wrong answer.
  */
-class TxTableSource extends TableProvider with DataSourceRegister {
+class TxTableSource extends TableProvider with DataSourceRegister
+    with CreatableRelationProvider {
 
   override def shortName(): String = "txtable"
 
@@ -54,13 +57,56 @@ class TxTableSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (root, asOf) = TxTableSource.rootAndAsOf(options.asScala.toMap)
-    graft.sources.TxTable.readAt(SparkSession.active, root, asOf).schema
+    // an UNCREATED root infers empty rather than throwing: the writer
+    // path probes the table before the first write can create it (a
+    // read of the empty relation still fails loudly downstream with
+    // the no-commits message)
+    if (graft.sources.TxTable.committedIds(root).isEmpty) new StructType()
+    else graft.sources.TxTable.readAt(SparkSession.active, root, asOf).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val (root, asOf) = TxTableSource.rootAndAsOf(properties.asScala.toMap)
     TxTableV2(root, asOf, schema)
+  }
+
+  /** `df.write.format("txtable").mode(…).save(root)` — the V1 writer
+    * hook `DataFrameWriter` routes a non-BATCH_WRITE V2 source through
+    * (the same arrangement Delta ships): every mode is one atomic
+    * commit — Append appends (creating the table on first write),
+    * Overwrite is [[graft.sources.TxTable.overwrite]]'s kill-all +
+    * replacement under one marker (history intact), ErrorIfExists /
+    * Ignore apply their SQL contract against the commit log. Layout
+    * knobs (bloom columns, hive partitioning) stay library-side
+    * ([[graft.sources.TxTable.create]]); writes here lay out flat. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val (root, asOf) = TxTableSource.rootAndAsOf(parameters)
+    require(asOf == Long.MaxValue,
+      "txtable: cannot write to a time-travel relation — drop the asOf option")
+    val spark = data.sparkSession
+    val exists = graft.sources.TxTable.committedIds(root).nonEmpty
+    mode match {
+      case SaveMode.Append =>
+        if (exists) graft.sources.TxTable.append(spark, root, data)
+        else graft.sources.TxTable.create(spark, root, data)
+      case SaveMode.Overwrite =>
+        if (exists) graft.sources.TxTable.overwrite(spark, root, data)
+        else graft.sources.TxTable.create(spark, root, data)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"txtable: $root already has commits (mode ErrorIfExists)")
+        graft.sources.TxTable.create(spark, root, data)
+      case SaveMode.Ignore =>
+        if (!exists) graft.sources.TxTable.create(spark, root, data)
+    }
+    val outSchema = data.schema
+    new BaseRelation {
+      override def sqlContext: SQLContext = ctx
+      override def schema: StructType = outSchema
+    }
   }
 }
 
@@ -78,13 +124,21 @@ object TxTableSource {
 }
 
 /**
- * The V2 handle: name, schema, BATCH_READ capability. The scan itself
- * never runs through this class — [[TxTableRewriteRule]] replaces the
- * relation at analysis time; [[newScanBuilder]] exists only to fail
- * loudly when the extension is missing.
+ * The V2 handle: name, schema, read + write capabilities. The scan
+ * itself never runs through this class — [[TxTableRewriteRule]]
+ * replaces the relation at analysis time; [[newScanBuilder]] exists
+ * only to fail loudly when the extension is missing. WRITES go through
+ * the DSv2 V1-fallback write ([[V1Write]] → [[InsertableRelation]]):
+ * the insert routes to [[graft.sources.TxTable.append]] (one atomic
+ * commit) and truncate-overwrite to [[graft.sources.TxTable.overwrite]]
+ * (kill-all + replacement under ONE marker, history intact) — so
+ * `INSERT INTO graft.t …`, `INSERT OVERWRITE graft.t …`, and
+ * `df.write.format("txtable").mode(…)` are real commits with the same
+ * crash atomicity as the library calls, and no per-row V2 writer
+ * reimplements the parquet path.
  */
 case class TxTableV2(root: String, asOf: Long, dataSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
     if (asOf == Long.MaxValue) s"txtable.`$root`" else s"txtable.`$root`@v$asOf"
@@ -92,7 +146,8 @@ case class TxTableV2(root: String, asOf: Long, dataSchema: StructType)
   override def schema(): StructType = dataSchema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new UnsupportedOperationException(
@@ -100,4 +155,30 @@ case class TxTableV2(root: String, asOf: Long, dataSchema: StructType)
         "session with spark.sql.extensions=graft.plans.GraftExtensions " +
         "(the rule rewrites the relation to the snapshot plan: resolved " +
         "commits, deletion vectors, partition pruning)")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf == Long.MaxValue,
+      s"txtable: ${name()} is a time-travel relation — writes go to the live table")
+    new WriteBuilder with SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val spark = data.sparkSession
+              // align by NAME against the table schema (SQL INSERT has
+              // already resolved positions/casts against schema())
+              val cols = dataSchema.fields.map(f =>
+                org.apache.spark.sql.functions.col(f.name))
+              val batch = data.select(cols.toIndexedSeq: _*)
+              if (replaceAll || overwrite)
+                graft.sources.TxTable.overwrite(spark, root, batch)
+              else graft.sources.TxTable.append(spark, root, batch)
+              ()
+            }
+          }
+      }
+    }
+  }
 }

@@ -175,6 +175,53 @@ class TxSqlSpec extends AnyFunSuite {
     assert(rows(got) === (0L until 10L).map(i => (i, "sync", 1.0 * i)).toSet)
   }
 
+  test("DSv2 writes: INSERT INTO / INSERT OVERWRITE via SQL, DataFrameWriter modes") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_wtest",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wtest.warehouse", wh)
+    val t = s"$wh/w1"
+    TxTable.create(spark, t, base(20))
+    // SQL INSERT INTO appends one atomic commit
+    spark.sql("INSERT INTO graft_wtest.w1 VALUES (500, 'catN', 5.0, 9)")
+    assert(TxTable.read(spark, t).count() === 21L)
+    assert(spark.sql("SELECT cat FROM graft_wtest.w1 WHERE id = 500")
+      .head.getString(0) === "catN")
+    // INSERT INTO ... SELECT (the source query itself reads a txtable)
+    spark.sql(
+      """INSERT INTO graft_wtest.w1
+         SELECT id + 1000, cat, price, version FROM graft_wtest.w1 WHERE id < 3""")
+    assert(TxTable.read(spark, t).count() === 24L)
+    // DataFrameWriter append
+    Seq((600L, "catW", 6.0, 9L)).toDF("id", "cat", "price", "version")
+      .write.format("txtable").mode("append").save(t)
+    assert(TxTable.read(spark, t).count() === 25L)
+    val beforeOverwrite = TxTable.committedIds(t).max
+    // INSERT OVERWRITE: atomic full replace, history INTACT
+    spark.sql(
+      "INSERT OVERWRITE graft_wtest.w1 VALUES (1, 'only', 1.0, 0)")
+    assert(rows(TxTable.read(spark, t)) === Set((1L, "only", 1.0)))
+    assert(TxTable.readAt(spark, t, beforeOverwrite).count() === 25L,
+      "time travel below the overwrite still serves the old table")
+    // DataFrameWriter overwrite takes the same truncate path
+    base(5).write.format("txtable").mode("overwrite").save(t)
+    assert(TxTable.read(spark, t).count() === 5L)
+    // a fresh root is CREATED by the writer (commit 0)
+    val t2 = s"$wh/w2"
+    base(7).write.format("txtable").mode("append").save(t2)
+    assert(TxTable.read(spark, t2).count() === 7L)
+    intercept[IllegalStateException] {
+      base(1).write.format("txtable").mode("errorifexists").save(t2)
+    }
+    // a time-travel relation refuses writes
+    val ex = intercept[Exception] {
+      base(1).write.format("txtable").option("asOf", "0")
+        .mode("append").save(t)
+    }
+    assert(ex.getMessage.contains("time-travel"))
+  }
+
   test("MERGE enforces the SQL cardinality contract and honest clause scope") {
     import spark.implicits._
     val t = tmp() + "/t"
