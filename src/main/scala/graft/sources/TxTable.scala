@@ -666,8 +666,11 @@ object TxTable {
       }
       val k = claimId(root)
       val srcKeys = src.select(keys.map(col): _*).distinct()
-      val keySide =
-        if (src.count() <= broadcastKeyLimit) broadcast(srcKeys) else srcKeys
+      // one size gate feeds BOTH broadcast decisions (the source key
+      // side and the matched-key side below): a backfill-sized MERGE
+      // falls back to shuffled joins everywhere, never a driver-OOM
+      val srcSmall = src.count() <= broadcastKeyLimit
+      val keySide = if (srcSmall) broadcast(srcKeys) else srcKeys
       val rks = resolvedOf(root, snap)
       val live = DeleteVectors.applyVectorsKeepId(
         scanResolved(spark, existingDataDirs(root, rks)),
@@ -697,8 +700,10 @@ object TxTable {
         // source-side semi/anti stay broadcastable batch-cost joins
         val tableCols = live.columns
           .filterNot(c => c == "__dv_file" || c == "__dv_row").toSeq
-        lazy val matchedKeys = matchedLive.get
-          .select(keys.map(col): _*).distinct()
+        lazy val matchedKeys = {
+          val mk = matchedLive.get.select(keys.map(col): _*).distinct()
+          if (srcSmall) broadcast(mk) else mk
+        }
         def aligned(df: DataFrame): DataFrame = {
           val missing = tableCols.filterNot(df.columns.contains)
           require(missing.isEmpty,
@@ -708,10 +713,10 @@ object TxTable {
         }
         val updateAdds =
           if (matchedAction != "update") None
-          else Some(src.join(broadcast(matchedKeys), keys.toSeq, "left_semi"))
+          else Some(src.join(matchedKeys, keys.toSeq, "left_semi"))
         val insertAdds =
           if (!insertNotMatched) None
-          else Some(src.join(broadcast(matchedKeys), keys.toSeq, "left_anti"))
+          else Some(src.join(matchedKeys, keys.toSeq, "left_anti"))
         val adds = (updateAdds.toSeq ++ insertAdds.toSeq)
           .reduceOption(_.unionByName(_)).map(aligned)
         adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols))

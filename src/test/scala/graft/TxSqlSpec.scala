@@ -222,6 +222,20 @@ class TxSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("time-travel"))
   }
 
+  test("mergeInto shuffled fallback (broadcastKeyLimit = 0) == broadcast plan") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    val t2 = tmp() + "/t"
+    TxTable.create(spark, t, base(50))
+    TxTable.create(spark, t2, base(50))
+    val source = Seq((3L, "catX", 3333.0, 9L), (500L, "catN", 5.0, 9L))
+      .toDF("id", "cat", "price", "version")
+    TxTable.mergeInto(spark, t, source, Seq("id"))
+    TxTable.mergeInto(spark, t2, source, Seq("id"), broadcastKeyLimit = 0L)
+    assert(rows(TxTable.read(spark, t)) === rows(TxTable.read(spark, t2)),
+      "a backfill-sized MERGE (shuffled joins everywhere) must agree")
+  }
+
   test("MERGE enforces the SQL cardinality contract and honest clause scope") {
     import spark.implicits._
     val t = tmp() + "/t"
