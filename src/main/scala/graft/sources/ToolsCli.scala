@@ -25,6 +25,11 @@ import org.apache.spark.sql.SparkSession
  *                                  ≙ the repo's namesake file-merge capability
  *                                    (plain size-derived merge, or clustered
  *                                    compaction when --sort-by is given)
+ *  - `cursors <root>` / `store <root>` /
+ *    `sql <root> --table=t --statement='…' [--conflict-detect]`
+ *                                  round 19: registered-consumer floor,
+ *                                  create-no-overwrite classification, and
+ *                                  one-shot MERGE/DELETE/UPDATE routing
  *
  * Run: `sbt "runMain graft.sources.ToolsCli <cmd> <path> [flags]"`.
  */
@@ -148,6 +153,32 @@ object ToolsCli {
       val rgs = Tools.rowGroups(spark, out)
       println(s"merged ${inputs.size} inputs -> $out: " +
         s"${rgs.map(_.numRows).sum} rows, ${rgs.map(_.file).distinct.size} files, ${rgs.size} row groups")
+
+    case "cursors" =>
+      // registered change-feed consumers + the expire floor (round 19)
+      val cs = TxTable.registeredCursors(path)
+      if (cs.isEmpty) println("no registered cursors")
+      else {
+        cs.foreach { case (n, c) => println(s"cursor $n: applied commit $c") }
+        println(s"expire floor: ${TxTable.cursorFloor(path).getOrElse(-1L)}")
+      }
+
+    case "store" =>
+      // what mutual exclusion createMarker can deliver here (round 19)
+      println(s"create-no-overwrite on $path: ${Fs.atomicCreateSupport(path)}")
+
+    case "sql" =>
+      // route one DML statement at a txtable root (round 19):
+      //   ToolsCli sql <root> --table=t --statement='DELETE FROM t WHERE …'
+      val stmt = flags.collectFirst {
+        case f if f.startsWith("--statement=") => f.stripPrefix("--statement=")
+      }.getOrElse(sys.error("sql requires --statement='MERGE|DELETE|UPDATE …'"))
+      val tname = flags.collectFirst {
+        case f if f.startsWith("--table=") => f.stripPrefix("--table=")
+      }.getOrElse("t")
+      val k = graft.sources.txtable.TxSql.exec(spark, stmt, Map(tname -> path),
+        conflictDetect = flags.contains("--conflict-detect"))
+      println(s"committed c$k")
 
     case other => sys.error(s"unknown command: $other")
     }

@@ -694,6 +694,26 @@ class ToolsCliSpec extends AnyFunSuite {
     assert(idle.contains("nothing to do"), idle)
   }
 
+  test("cursors / store / sql CLI commands (round 19)") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val t = java.nio.file.Files.createTempDirectory("graft-cli-sql").toString + "/t"
+    TxTable.create(spark, t,
+      (0L until 30L).map(i => (i, 1.0 * i, 0L)).toDF("id", "x", "version"))
+    val none = captureOut(graft.sources.ToolsCli.run(spark, "cursors", t, Nil, Nil))
+    assert(none.contains("no registered cursors"), none)
+    TxTable.registerCursor(t, "etl", 0L)
+    val cs = captureOut(graft.sources.ToolsCli.run(spark, "cursors", t, Nil, Nil))
+    assert(cs.contains("cursor etl: applied commit 0") &&
+      cs.contains("expire floor: 1"), cs)
+    val st = captureOut(graft.sources.ToolsCli.run(spark, "store", t, Nil, Nil))
+    assert(st.contains("atomic"), st)
+    val sql = captureOut(graft.sources.ToolsCli.run(spark, "sql", t,
+      Seq("--table=t", "--statement=DELETE FROM t WHERE id % 3 = 0"), Nil))
+    assert(sql.contains("committed c1"), sql)
+    assert(TxTable.read(spark, t).count() === 20L)
+  }
+
   test("read-row-group --memory-map equals the stream read (S9 CLI parity)") {
     val p = graft.sources.Tools.parquetFiles(spark, s"${TestSpark.sf}/nation.parquet")
       .head.toString
