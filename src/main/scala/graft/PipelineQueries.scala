@@ -2133,6 +2133,65 @@ object PipelineQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_tx_stream_feed" -> ((s, dir) => {
+      // STREAMING READ of the transactional table (round 19): the
+      // q_mor_change_feed CDC fixture, but the changelog is consumed by
+      // `spark.readStream.format("txtable")` — a real Structured
+      // Streaming source whose offsets ARE commit ids — in TWO
+      // AvailableNow runs over ONE stream checkpoint: run 1 drains the
+      // create + reprice commits, the i/d mutation commits land while
+      // the stream is DOWN, run 2 resumes from the stored offset and
+      // emits exactly the missed commits (nothing twice, nothing
+      // skipped). Replaying the accumulated parquet changelog
+      // (latest op per key wins, 'd' drops) must equal the oracle's
+      // direct survivor reconstruction — the checkpointed-restart
+      // contract, oracle-gated.
+      import graft.sources.TxTable
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = graft.operators.Materialize.scratch(s, "txsrc")
+      val t = s"$tmp/t"
+      def drain(): Unit = {
+        val q = s.readStream.format("txtable")
+          .option("keys", "o_orderkey")
+          .option("startingCursor", "-1")
+          .load(t)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, t, orders.withColumn("version", lit(0L)))
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      drain() // commits 0–1
+      TxTable.upsert(s, t,
+        orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+          .withColumn("op", lit("u"))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+            .withColumn("op", lit("d")))
+          .withColumn("version", lit(2L)),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      drain() // checkpointed resume: commit 2 only
+      val feed = s.read.parquet(s"$tmp/out")
+      val w = Window.partitionBy("o_orderkey").orderBy(col("commit").desc)
+      feed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") =!= "d")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_tx_delete_where" -> ((s, dir) => {
       // predicate DELETE on the transactional table (round 18): one
       // committed call marks every row matching a mixed predicate dead
@@ -4014,6 +4073,23 @@ object PipelineQueries {
          SELECT o_custkey, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM survivors GROUP BY 1 ORDER BY o_custkey""",
+    // the streamed changelog replays to the same survivor set the batch
+    // feed does (q_mor_change_feed's reconstruction) — two AvailableNow
+    // runs over one checkpoint, mutations landing between them
+    "q_tx_stream_feed" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS version
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice, 2
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
     // predicate DELETE == plain WHERE NOT
     "q_tx_delete_where" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -10,7 +10,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.{SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation}
+import org.apache.spark.sql.execution.streaming.{Source => V1Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,7 +49,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * fails LOUDLY with the config to set — never a silent wrong answer.
  */
 class TxTableSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider {
+    with CreatableRelationProvider with StreamSourceProvider {
 
   override def shortName(): String = "txtable"
 
@@ -107,6 +108,28 @@ class TxTableSource extends TableProvider with DataSourceRegister
       override def sqlContext: SQLContext = ctx
       override def schema: StructType = outSchema
     }
+  }
+
+  /** `spark.readStream.format("txtable")` — the streaming read is the
+    * row-level CHANGE FEED with offsets = commit ids ([[TxFeedSource]]);
+    * the V2 table advertises no streaming capability, so Spark routes
+    * here (the V1 `Source` path — `getBatch` returns the library's own
+    * feed plan, nothing re-implements the scan). */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "txtable: the stream schema comes from the table's own commit log")
+    val (root, keys, _, _, _) = TxFeedSource.streamParams(parameters)
+    (shortName(), TxFeedSource.feedSchema(ctx.sparkSession, root, keys))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): V1Source = {
+    val (root, keys, pre, starting, consumer) =
+      TxFeedSource.streamParams(parameters)
+    new TxFeedSource(ctx.sparkSession, root, keys, pre, starting, consumer)
   }
 }
 
