@@ -2192,6 +2192,60 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_tx_stream_sink" -> ((s, dir) => {
+      // END-TO-END STREAMING REPLICATION (round 19): the q_mor CDC
+      // fixture flows source-table → `readStream.format("txtable")`
+      // (the change feed) → `writeStream.format("txtable")` (per-batch
+      // MERGE, feed op column as tombstones, feed commit id as the
+      // replica's version) — two AvailableNow passes over one stream
+      // checkpoint with the i/d mutation commits landing between them.
+      // The REPLICA's live rows must equal the oracle's survivor
+      // reconstruction: the full table-to-table replication contract
+      // (change capture, checkpointed resume, tombstone MERGE) in one
+      // oracle gate, using only the public format("txtable") surface.
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = graft.operators.Materialize.scratch(s, "txrep")
+      val src = s"$tmp/src"
+      val rep = s"$tmp/rep"
+      def replicate(): Unit = {
+        val q = s.readStream.format("txtable")
+          .option("keys", "o_orderkey")
+          .option("startingCursor", "-1")
+          .load(src)
+          .writeStream.format("txtable")
+          .option("keys", "o_orderkey").option("versionCol", "commit")
+          .option("opCol", "op")
+          .option("checkpointLocation", s"$tmp/cp")
+          .trigger(Trigger.AvailableNow())
+          .start(rep)
+        q.awaitTermination()
+      }
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(s, src, orders.withColumn("version", lit(0L)))
+      TxTable.upsert(s, src,
+        orders.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(1L)),
+        Seq("o_orderkey"), "version")
+      replicate() // commits 0–1
+      TxTable.upsert(s, src,
+        orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1L)
+          .withColumn("op", lit("u"))
+          .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+            .withColumn("op", lit("d")))
+          .withColumn("version", lit(2L)),
+        Seq("o_orderkey"), "version", opCol = Some("op"))
+      replicate() // checkpointed resume: commit 2 only
+      TxTable.read(s, rep)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_tx_delete_where" -> ((s, dir) => {
       // predicate DELETE on the transactional table (round 18): one
       // committed call marks every row matching a mixed predicate dead
@@ -4089,6 +4143,20 @@ object PipelineQueries {
          SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
            CAST(version AS BIGINT) AS version
+         FROM survivors ORDER BY o_orderkey""",
+    // the REPLICA of a mutating table (feed → MERGE through the two
+    // format("txtable") streaming surfaces) == the survivor set
+    "q_tx_stream_sink" ->
+      """WITH survivors AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 5
+           UNION ALL
+           SELECT -o_orderkey - 1, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
          FROM survivors ORDER BY o_orderkey""",
     // predicate DELETE == plain WHERE NOT
     "q_tx_delete_where" ->

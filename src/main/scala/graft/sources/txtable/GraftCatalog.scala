@@ -68,7 +68,24 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = isTxRoot(rootOf(ident))
 
-  override def loadTable(ident: Identifier): Table = loadAt(ident, Long.MaxValue)
+  override def loadTable(ident: Identifier): Table = {
+    // Delta-style VIRTUAL metadata tables (round 19): `t$history` is the
+    // DESCRIBE HISTORY analogue (one row per committed id — checkpoint
+    // flag, file/byte counts, DV kill count; metadata-only, safe at any
+    // size), `t$cursors` lists the registered standing consumers and
+    // their applied positions (the expire floor's inputs). Virtual:
+    // never listed by SHOW TABLES, resolved by suffix convention like
+    // the roots themselves.
+    TxMetaV2.kindOf(ident.name()) match {
+      case Some((base, kind)) =>
+        val root = rootOf(Identifier.of(ident.namespace(), base))
+        if (!isTxRoot(root))
+          throw new NoSuchTableException(
+            (ident.namespace().toSeq :+ ident.name()).toSeq)
+        TxMetaV2(root, kind)
+      case None => loadAt(ident, Long.MaxValue)
+    }
+  }
 
   /** SQL `VERSION AS OF <k>` — the commit id, exactly [[TxTable.readAt]]. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -118,4 +135,68 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "txtable: rename is a directory move — not supported through the " +
         "catalog (object stores have no atomic rename; copy + drop instead)")
+}
+
+/**
+ * The V2 handle for a VIRTUAL metadata table (`t$history` /
+ * `t$cursors`) — like [[TxTableV2]] it is a NAME: the analysis rule
+ * [[TxTableRewriteRule]] replaces it with the library plan
+ * ([[TxTable.history]] / the registered-cursor listing). Schemas are
+ * pinned here because the relation must know them before any plan
+ * exists.
+ */
+case class TxMetaV2(root: String, kind: String)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = s"txtable.`$root`$$$kind"
+
+  override def schema(): StructType = TxMetaV2.schemas(kind)
+
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw new UnsupportedOperationException(
+      "txtable metadata tables resolve through the graft analysis rule — " +
+        "start the session with " +
+        "spark.sql.extensions=graft.plans.GraftExtensions")
+}
+
+object TxMetaV2 {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField}
+
+  private[txtable] val schemas: Map[String, StructType] = Map(
+    "history" -> StructType(Seq(
+      StructField("commit", LongType, nullable = false),
+      StructField("is_checkpoint", BooleanType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_deleted", LongType, nullable = false))),
+    "cursors" -> StructType(Seq(
+      StructField("consumer", StringType, nullable = true),
+      StructField("cursor", LongType, nullable = false))))
+
+  /** `orders$history` → `(orders, history)`; None for ordinary names. */
+  private[txtable] def kindOf(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val kind = name.substring(i + 1)
+      if (schemas.contains(kind)) Some((name.substring(0, i), kind)) else None
+    }
+  }
+
+  /** The library plan a metadata relation rewrites to. */
+  private[txtable] def planFor(spark: SparkSession, root: String,
+      kind: String): org.apache.spark.sql.DataFrame = kind match {
+    case "history" => TxTable.history(spark, root)
+    case "cursors" =>
+      import spark.implicits._
+      TxTable.registeredCursors(root).toDF("consumer", "cursor")
+  }
 }

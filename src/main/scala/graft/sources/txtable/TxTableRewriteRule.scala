@@ -45,17 +45,28 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val snapshot =
           graft.sources.TxTable.readAt(spark, t.root, t.asOf)
             .queryExecution.analyzed
-        val byName = snapshot.output.map(a => a.name -> a).toMap
-        val projections: Seq[NamedExpression] = r.output.map { o =>
-          val src = byName.getOrElse(o.name,
-            throw new IllegalStateException(
-              s"txtable: column '${o.name}' of relation ${t.name()} is " +
-                s"missing from the snapshot read (schema changed between " +
-                s"relation creation and analysis?) — snapshot columns: " +
-                snapshot.output.map(_.name).mkString(", ")))
-          Alias(src, o.name)(exprId = o.exprId)
-        }
-        Project(projections, snapshot)
+        rewire(r, t.name(), snapshot)
+      // virtual metadata tables (t$history / t$cursors) rewrite the same
+      // way — the relation is a name, the library owns the plan
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxMetaV2] =>
+        val t = r.table.asInstanceOf[TxMetaV2]
+        rewire(r, t.name(),
+          TxMetaV2.planFor(spark, t.root, t.kind).queryExecution.analyzed)
     }
+  }
+
+  private def rewire(r: DataSourceV2Relation, name: String,
+      snapshot: LogicalPlan): LogicalPlan = {
+    val byName = snapshot.output.map(a => a.name -> a).toMap
+    val projections: Seq[NamedExpression] = r.output.map { o =>
+      val src = byName.getOrElse(o.name,
+        throw new IllegalStateException(
+          s"txtable: column '${o.name}' of relation $name is " +
+            s"missing from the snapshot read (schema changed between " +
+            s"relation creation and analysis?) — snapshot columns: " +
+            snapshot.output.map(_.name).mkString(", ")))
+      Alias(src, o.name)(exprId = o.exprId)
+    }
+    Project(projections, snapshot)
   }
 }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.{SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.{Source => V1Source}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink => V1Sink, Source => V1Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, InsertableRelation, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -49,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * fails LOUDLY with the config to set — never a silent wrong answer.
  */
 class TxTableSource extends TableProvider with DataSourceRegister
-    with CreatableRelationProvider with StreamSourceProvider {
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider {
 
   override def shortName(): String = "txtable"
 
@@ -87,21 +89,26 @@ class TxTableSource extends TableProvider with DataSourceRegister
     val (root, asOf) = TxTableSource.rootAndAsOf(parameters)
     require(asOf == Long.MaxValue,
       "txtable: cannot write to a time-travel relation — drop the asOf option")
+    // layout knobs ride as OPTIONS (round 19): .partitionBy is the
+    // file-source contract (the V2 write path refuses it for table
+    // providers), so the hive layout and bloom columns are
+    // .option("partitionCols", "day").option("bloomCols", "id")
+    val (blooms, parts) = TxTableSource.layoutOf(parameters)
     val spark = data.sparkSession
     val exists = graft.sources.TxTable.committedIds(root).nonEmpty
     mode match {
       case SaveMode.Append =>
-        if (exists) graft.sources.TxTable.append(spark, root, data)
-        else graft.sources.TxTable.create(spark, root, data)
+        if (exists) graft.sources.TxTable.append(spark, root, data, blooms, parts)
+        else graft.sources.TxTable.create(spark, root, data, blooms, parts)
       case SaveMode.Overwrite =>
-        if (exists) graft.sources.TxTable.overwrite(spark, root, data)
-        else graft.sources.TxTable.create(spark, root, data)
+        if (exists) graft.sources.TxTable.overwrite(spark, root, data, blooms, parts)
+        else graft.sources.TxTable.create(spark, root, data, blooms, parts)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"txtable: $root already has commits (mode ErrorIfExists)")
-        graft.sources.TxTable.create(spark, root, data)
+        graft.sources.TxTable.create(spark, root, data, blooms, parts)
       case SaveMode.Ignore =>
-        if (!exists) graft.sources.TxTable.create(spark, root, data)
+        if (!exists) graft.sources.TxTable.create(spark, root, data, blooms, parts)
     }
     val outSchema = data.schema
     new BaseRelation {
@@ -131,6 +138,23 @@ class TxTableSource extends TableProvider with DataSourceRegister
       TxFeedSource.streamParams(parameters)
     new TxFeedSource(ctx.sparkSession, root, keys, pre, starting, consumer)
   }
+
+  /** `df.writeStream.format("txtable")` — every micro-batch is one
+    * atomic MERGE commit ([[TxStreamSink]], the same body as
+    * `Streams.txUpsertSink`). Append and Update modes both mean "merge
+    * this batch" (the version column decides winners); Complete would
+    * be an overwrite-per-batch — refused, that is a batch write. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): V1Sink = {
+    require(outputMode != OutputMode.Complete(),
+      "txtable sink: Complete mode would rewrite the table every batch — " +
+        "use Append/Update (per-batch MERGE), or a batch " +
+        "df.write.format(\"txtable\").mode(\"overwrite\") per refresh")
+    require(partitionColumns.isEmpty,
+      "txtable sink: pass the hive layout as .option(\"partitionCols\", " +
+        "\"col1,col2\") — partitionBy is the file-source contract")
+    TxStreamSink.sinkParams(parameters)
+  }
 }
 
 object TxTableSource {
@@ -143,6 +167,15 @@ object TxTableSource {
         "spark.read.format(\"txtable\").load(root)"))
     val asOf = lower.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
     (root, asOf)
+  }
+
+  /** Writer layout options: `bloomCols` / `partitionCols`, comma-split. */
+  private[txtable] def layoutOf(opts: Map[String, String])
+      : (Seq[String], Seq[String]) = {
+    val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    def cols(k: String): Seq[String] = lower.get(k).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    (cols("bloomcols"), cols("partitioncols"))
   }
 }
 

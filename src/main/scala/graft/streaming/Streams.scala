@@ -286,64 +286,81 @@ object Streams {
     // serializes instead of silently losing an update — and the sink's
     // in-stream maintenance folds abort (and retry next cadence) rather
     // than committing over a concurrent writer.
-    import graft.sources.{Fs, TxTable}
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val done = s"$root/_txn/stream/b$batchId"
-        if (!Fs.exists(done)) {
-          if (TxTable.committedIds(root).isEmpty) {
-            // first batch: an empty create in the table's schema (op is
-            // transport metadata, never table data), then the same MERGE
-            // path every later batch takes. The empty create stays FLAT
-            // even when partitionCols is set: a partitioned write of
-            // zero rows leaves no schema-bearing file at all, while the
-            // flat empty file carries the full schema (partition column
-            // included as a plain column) and reconciles by name with
-            // the partitioned commits that follow
-            val shape = opCol.map(batch.toDF().drop(_)).getOrElse(batch.toDF())
-            TxTable.create(spark, root, spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              shape.schema), bloomCols)
-          }
-          TxTable.upsert(spark, root, batch.toDF(), keyCols, versionCol,
-            opCol = opCol, bloomCols = bloomCols,
-            partitionCols = partitionCols,
-            conflictDetect = conflictDetect, conflictWaitMs = conflictWaitMs)
-          if (checkpointEvery > 0 && batchId > 0 &&
-              batchId % checkpointEvery == 0) {
-            // under multi-writer OCC the fold can lose its fence race —
-            // skip this cadence and fold at the next one rather than
-            // fail the stream (single-writer deployments never hit it)
-            try {
-              TxTable.checkpoint(spark, root, partitionCols = partitionCols)
-              TxTable.expire(spark, root)
-              TxTable.vacuum(spark, root)
-            } catch {
-              case e: TxTable.CommitConflictException if conflictDetect =>
-                System.err.println(
-                  s"[txUpsertSink] maintenance fold skipped this cadence: ${e.getMessage}")
-            }
-            // stream markers exist to short-circuit replays, and only
-            // the in-flight batch can replay — markers below it are
-            // dead weight; sweep them with the same cadence (losing one
-            // to a crash is safe: the merge absorbs a re-application)
-            if (Fs.isDirectory(s"$root/_txn/stream"))
-              Fs.listFiles(s"$root/_txn/stream")
-                .map(_.getPath.getName)
-                .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-                  n.drop(1).toLong < batchId)
-                .foreach(n => Fs.deleteIfExists(s"$root/_txn/stream/$n"))
-          }
-          // the stream marker is an at-least-once SHORTCUT, not the
-          // commit bit: it lands last, and a replay that beats it is
-          // absorbed by the merge's latest-wins no-op
-          Fs.createMarker(done, root)
-        }
-        ()
+        txUpsertBatch(batch.sparkSession, root, batch.toDF(), batchId,
+          keyCols, versionCol, opCol, checkpointEvery, bloomCols,
+          partitionCols, conflictDetect, conflictWaitMs)
       }
       .start()
+  }
+
+  /**
+   * ONE sink micro-batch — the shared body behind [[txUpsertSink]]
+   * (foreachBatch) and the `df.writeStream.format("txtable")` V1 Sink
+   * ([[graft.sources.txtable.TxTableSource]], round 19): marker-gated
+   * exactly-once MERGE of the batch into the table, first-batch
+   * auto-create, optional in-stream maintenance cadence.
+   */
+  private[graft] def txUpsertBatch(spark: SparkSession, root: String,
+      batchDf: DataFrame, batchId: Long,
+      keyCols: Seq[String], versionCol: String,
+      opCol: Option[String], checkpointEvery: Int,
+      bloomCols: Seq[String], partitionCols: Seq[String],
+      conflictDetect: Boolean, conflictWaitMs: Long): Unit = {
+    import graft.sources.{Fs, TxTable}
+    val done = s"$root/_txn/stream/b$batchId"
+    if (!Fs.exists(done)) {
+      if (TxTable.committedIds(root).isEmpty) {
+        // first batch: an empty create in the table's schema (op is
+        // transport metadata, never table data), then the same MERGE
+        // path every later batch takes. The empty create stays FLAT
+        // even when partitionCols is set: a partitioned write of
+        // zero rows leaves no schema-bearing file at all, while the
+        // flat empty file carries the full schema (partition column
+        // included as a plain column) and reconciles by name with
+        // the partitioned commits that follow
+        val shape = opCol.map(batchDf.drop(_)).getOrElse(batchDf)
+        TxTable.create(spark, root, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          shape.schema), bloomCols)
+      }
+      TxTable.upsert(spark, root, batchDf, keyCols, versionCol,
+        opCol = opCol, bloomCols = bloomCols,
+        partitionCols = partitionCols,
+        conflictDetect = conflictDetect, conflictWaitMs = conflictWaitMs)
+      if (checkpointEvery > 0 && batchId > 0 &&
+          batchId % checkpointEvery == 0) {
+        // under multi-writer OCC the fold can lose its fence race —
+        // skip this cadence and fold at the next one rather than
+        // fail the stream (single-writer deployments never hit it)
+        try {
+          TxTable.checkpoint(spark, root, partitionCols = partitionCols)
+          TxTable.expire(spark, root)
+          TxTable.vacuum(spark, root)
+        } catch {
+          case e: TxTable.CommitConflictException if conflictDetect =>
+            System.err.println(
+              s"[txUpsertSink] maintenance fold skipped this cadence: ${e.getMessage}")
+        }
+        // stream markers exist to short-circuit replays, and only
+        // the in-flight batch can replay — markers below it are
+        // dead weight; sweep them with the same cadence (losing one
+        // to a crash is safe: the merge absorbs a re-application)
+        if (Fs.isDirectory(s"$root/_txn/stream"))
+          Fs.listFiles(s"$root/_txn/stream")
+            .map(_.getPath.getName)
+            .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+              n.drop(1).toLong < batchId)
+            .foreach(n => Fs.deleteIfExists(s"$root/_txn/stream/$n"))
+      }
+      // the stream marker is an at-least-once SHORTCUT, not the
+      // commit bit: it lands last, and a replay that beats it is
+      // absorbed by the merge's latest-wins no-op
+      Fs.createMarker(done, root)
+    }
+    ()
   }
 
   /**

@@ -25,4 +25,16 @@ object StreamingShims {
     Dataset.ofRows(ds.sparkSession,
       LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = true))
   }
+
+  /** The inverse direction, for a V1 streaming `Sink.addBatch`: the
+    * engine hands the micro-batch as a one-shot incremental DataFrame;
+    * re-planting it as a batch `LogicalRDD` over its own RDD lineage
+    * makes it safely re-executable across the several jobs a MERGE
+    * commit runs (winner persist, DV build, add write) — again the
+    * arrangement Delta's sink ships. */
+  def asBatchDataFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[Row]]
+    Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
