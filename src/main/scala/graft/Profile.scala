@@ -41,7 +41,8 @@ object Profile {
     "txtable" -> (ProfileTxTable.run _, "transactional MOR merge vs copy-on-write at 100x: upsert/read/checkpoint walls + write volumes"),
     "txtable17" -> (ProfileTxTable17.run _, "round-17 TxTable: upsert broadcast vs shuffled fallback (CDC + backfill), compactFiles vs checkpoint on a skewed delete, changeFeed"),
     "txtable18" -> (ProfileTxTable18.run _, "round-18 TxTable: conflictDetect overhead, partition-pruned vs full reads at 25 dirs, state-sync initial vs delta chunk"),
-    "feedwidth" -> (ProfileFeedWidth.run _, "changeFeed construction/execution walls vs commit-log length (args: nCommits)"))
+    "feedwidth" -> (ProfileFeedWidth.run _, "changeFeed construction/execution walls vs commit-log length (args: nCommits)"),
+    "streamrep" -> (ProfileStreamRep.run _, "round-19 streaming relay at 15 M rows: bootstrap vs incremental vs idle drain through the format(\"txtable\") source+sink"))
 
   def main(args: Array[String]): Unit = args.toList match {
     case name :: rest if registry.contains(name) => registry(name)._1(rest.toArray)

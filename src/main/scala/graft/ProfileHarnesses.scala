@@ -2329,3 +2329,91 @@ object ProfileTxTable18 {
     spark.stop()
   }
 }
+
+/**
+ * Round-19 rehearsal behind the streaming-surface SCALE.md rows: a
+ * standing table-to-table relay through the two `format("txtable")`
+ * streaming surfaces (change-feed source → MERGE sink). Measures the
+ * three walls that define the 100 TB posture: the one-time snapshot
+ * bootstrap (∝ table), an incremental drain after a 0.1% CDC mutation
+ * (must be ∝ delta, nowhere near the bootstrap), and an idle drain
+ * (metadata-only — one commits listing, no data).
+ */
+object ProfileStreamRep {
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.sources.{Fs, TxTable}
+
+  private val Source = "/tmp/graft_delvec/orders" // ProfileDeleteVectors corpus
+  private val Base = "/tmp/graft_streamrep"
+
+  private def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[streamrep] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    r
+  }
+
+  private[graft] def run(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    require(Fs.isDirectory(Source),
+      s"run `Profile delvec` first to synthesize $Source")
+    Fs.deleteRecursive(new org.apache.hadoop.fs.Path(Base))
+    val src = spark.read.parquet(Source)
+    val t = s"$Base/src"
+    val rep = s"$Base/rep"
+
+    TxTable.create(spark, t, src.withColumn("version", lit(0L))
+      .repartitionByRange(32, col("o_orderkey")))
+    println(s"[streamrep] source rows: ${src.count()}")
+
+    def drain(label: String): Unit = time(label) {
+      val q = spark.readStream.format("txtable")
+        .option("keys", "o_orderkey")
+        .option("consumerName", "streamrep")
+        .load(t)
+        .writeStream.format("txtable")
+        .option("keys", "o_orderkey").option("versionCol", "commit")
+        .option("opCol", "op")
+        .option("checkpointLocation", s"$Base/cp")
+        .trigger(Trigger.AvailableNow())
+        .start(rep)
+      q.awaitTermination()
+    }
+
+    // leg 1: the deliberate one-time cost — snapshot bootstrap at 15 M
+    drain("bootstrap drain (snapshot-as-inserts, whole table)")
+
+    // leg 2: a 0.1% CDC mutation (repriced keys + a tombstone slice),
+    // then the incremental drain — the standing cost of the relay
+    val delta = src.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("version", lit(1L))
+    delta.write.mode("overwrite").parquet(s"$Base/d1")
+    val d1 = spark.read.parquet(s"$Base/d1")
+    println(s"[streamrep] CDC batch: ${d1.count()} rows (0.1%)")
+    TxTable.upsert(spark, t, d1, Seq("o_orderkey"), "version")
+    TxTable.upsert(spark, t,
+      src.filter(col("o_orderkey") % 997 === 0)
+        .withColumn("version", lit(2L)).withColumn("op", lit("d")),
+      Seq("o_orderkey"), "version", opCol = Some("op"))
+    drain("incremental drain (2 commits, ~0.2% of rows)")
+
+    // leg 3: nothing new — the idle poll
+    drain("idle drain (no new commits)")
+
+    val nSrc = TxTable.read(spark, t).count()
+    val nRep = TxTable.read(spark, rep).count()
+    println(s"[streamrep] live rows: source=$nSrc replica=$nRep " +
+      s"(equal: ${nSrc == nRep}); registered cursor: " +
+      TxTable.registeredCursors(t).toMap.get("streamrep"))
+    spark.stop()
+  }
+}
