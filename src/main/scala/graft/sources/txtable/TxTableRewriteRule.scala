@@ -52,6 +52,13 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val t = r.table.asInstanceOf[TxMetaV2]
         rewire(r, t.name(),
           TxMetaV2.planFor(spark, t.root, t.kind).queryExecution.analyzed)
+      // batch change-feed reads (option("feed", "true"))
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxFeedV2] =>
+        val t = r.table.asInstanceOf[TxFeedV2]
+        rewire(r, t.name(),
+          graft.sources.TxTable.changeFeed(spark, t.root, t.keys,
+            fromCommit = t.fromCommit, withPreimage = t.withPreimage,
+            toCommit = t.toCommit).queryExecution.analyzed)
     }
   }
 

@@ -59,7 +59,13 @@ class TxTableSource extends TableProvider with DataSourceRegister
   override def supportsExternalMetadata(): Boolean = false
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (root, asOf) = TxTableSource.rootAndAsOf(options.asScala.toMap)
+    val opts = options.asScala.toMap
+    TxTableSource.feedParams(opts) match {
+      case Some(f) =>
+        return TxFeedSource.feedSchema(SparkSession.active, f.root, f.keys)
+      case None => ()
+    }
+    val (root, asOf) = TxTableSource.rootAndAsOf(opts)
     // an UNCREATED root infers empty rather than throwing: the writer
     // path probes the table before the first write can create it (a
     // read of the empty relation still fails loudly downstream with
@@ -70,7 +76,12 @@ class TxTableSource extends TableProvider with DataSourceRegister
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (root, asOf) = TxTableSource.rootAndAsOf(properties.asScala.toMap)
+    val opts = properties.asScala.toMap
+    TxTableSource.feedParams(opts) match {
+      case Some(f) => return f
+      case None => ()
+    }
+    val (root, asOf) = TxTableSource.rootAndAsOf(opts)
     TxTableV2(root, asOf, schema)
   }
 
@@ -177,6 +188,51 @@ object TxTableSource {
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     (cols("bloomcols"), cols("partitioncols"))
   }
+
+  /** BATCH change-feed read (round 19, the Delta `readChangeFeed`
+    * analogue): `option("feed", "true")` turns the relation into the
+    * row-level changelog for `[fromCommit, toCommit]` — keys required,
+    * `withPreimage` adds `up` retraction rows. Returns None for
+    * ordinary snapshot reads. */
+  private[txtable] def feedParams(opts: Map[String, String])
+      : Option[TxFeedV2] = {
+    val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    if (!lower.get("feed").exists(_.toBoolean)) return None
+    val root = lower.getOrElse("path", throw new IllegalArgumentException(
+      "txtable: pass the table root as the load path"))
+    require(!lower.contains("asof"),
+      "txtable: feed reads take fromCommit/toCommit bounds, not asOf")
+    val keys = lower.get("keys").toSeq.flatMap(_.split(","))
+      .map(_.trim).filter(_.nonEmpty)
+    require(keys.nonEmpty,
+      "txtable feed reads need the key columns — .option(\"keys\", \"id1,id2\")")
+    Some(TxFeedV2(root, keys,
+      lower.get("fromcommit").map(_.toLong).getOrElse(0L),
+      lower.get("tocommit").map(_.toLong).getOrElse(Long.MaxValue),
+      lower.get("withpreimage").exists(_.toBoolean)))
+  }
+}
+
+/**
+ * The V2 handle for a BATCH change-feed read — a name like the others;
+ * [[TxTableRewriteRule]] rewrites it to [[graft.sources.TxTable.changeFeed]]'s
+ * plan. Read-only.
+ */
+case class TxFeedV2(root: String, keys: Seq[String], fromCommit: Long,
+    toCommit: Long, withPreimage: Boolean) extends Table with SupportsRead {
+
+  override def name(): String = s"txtable.`$root`$$feed"
+
+  override def schema(): StructType =
+    TxFeedSource.feedSchema(SparkSession.active, root, keys)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      "txtable feed reads resolve through the graft analysis rule — start " +
+        "the session with spark.sql.extensions=graft.plans.GraftExtensions")
 }
 
 /**

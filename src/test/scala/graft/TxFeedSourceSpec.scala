@@ -184,6 +184,39 @@ class TxFeedSourceSpec extends AnyFunSuite {
     TxTable.unregisterCursor(t, "specstream")
   }
 
+  test("batch feed read: option(feed) == TxTable.changeFeed, bounded and preimaged") {
+    val dir = tmp()
+    val t = s"$dir/t"
+    TxTable.create(spark, t, rows(25, 0L))
+    TxTable.upsert(spark, t, rows(25, 1L, "y").filter(col("id") % 5 === 0),
+      Seq("id"), "version")
+    TxTable.upsert(spark, t,
+      rows(25, 2L).filter(col("id") % 6 === 1).withColumn("op", lit("d")),
+      Seq("id"), "version", opCol = Some("op"))
+
+    val full = spark.read.format("txtable")
+      .option("feed", "true").option("keys", "id").load(t)
+    assert(feedSet(full) === feedSet(TxTable.changeFeed(spark, t, Seq("id"))),
+      "batch feed read == the library change feed")
+
+    val bounded = spark.read.format("txtable")
+      .option("feed", "true").option("keys", "id")
+      .option("fromCommit", "2").option("withPreimage", "true").load(t)
+    assert(feedSet(bounded) === feedSet(TxTable.changeFeed(spark, t,
+      Seq("id"), fromCommit = 2L, withPreimage = true)),
+      "fromCommit bound + preimages route through")
+
+    // feed relations are SQL-usable like any DataFrame
+    bounded.createOrReplaceTempView("feed_v")
+    assert(spark.sql("SELECT count(*) FROM feed_v WHERE op = 'd'")
+      .head().getLong(0) === (0 until 25).count(_ % 6 == 1).toLong)
+
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("txtable").option("feed", "true").load(t)
+    }
+    assert(ex.getMessage.contains("key columns"))
+  }
+
   private object Fs {
     def exists(p: String): Boolean =
       graft.sources.Fs.isDirectory(p) &&
