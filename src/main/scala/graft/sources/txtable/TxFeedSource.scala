@@ -67,7 +67,7 @@ import graft.sources.TxTable
  */
 class TxFeedSource(spark: SparkSession, root: String, keys: Seq[String],
     withPreimage: Boolean, startingCursor: Option[String],
-    consumerName: Option[String])
+    consumerName: Option[String], maxCommitsPerTrigger: Option[Long])
     extends Source with SupportsTriggerAvailableNow {
 
   require(TxTable.committedIds(root).nonEmpty,
@@ -103,7 +103,23 @@ class TxFeedSource(spark: SparkSession, root: String, keys: Seq[String],
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit)
       : ConnectorOffset = {
     if (start != null) registerApplied(LongOffset(start.json.trim.toLong))
-    LongOffset(availableNowTip.getOrElse(currentTip))
+    val tip = availableNowTip.getOrElse(currentTip)
+    // maxCommitsPerTrigger (round 19): without a cap, a stream restarted
+    // after long downtime plans its whole lag as ONE batch — bounded
+    // batches keep recovery incremental (and under AvailableNow the
+    // engine loops capped batches until the frozen tip drains). The cap
+    // needs a base position: the engine's committed start, or the
+    // configured starting cursor on the very first batch. Bootstrap and
+    // "latest" first batches are uncapped by construction (a snapshot /
+    // an empty batch, not a commit range).
+    val base: Option[Long] =
+      if (start != null) Some(start.json.trim.toLong)
+      else startingCursor.filter(_ != "latest").map(_.toLong)
+    val end = (maxCommitsPerTrigger, base) match {
+      case (Some(m), Some(b)) => math.min(tip, b + m)
+      case _ => tip
+    }
+    LongOffset(end)
   }
 
   override def reportLatestOffset(): ConnectorOffset = LongOffset(currentTip)
@@ -212,7 +228,8 @@ object TxFeedSource {
 
   /** Streaming options contract (see class doc). */
   private[txtable] def streamParams(parameters: Map[String, String])
-      : (String, Seq[String], Boolean, Option[String], Option[String]) = {
+      : (String, Seq[String], Boolean, Option[String], Option[String],
+         Option[Long]) = {
     val lower = parameters.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
     val root = lower.getOrElse("path", throw new IllegalArgumentException(
@@ -231,6 +248,11 @@ object TxFeedSource {
         s"txtable: startingCursor must be a commit id or 'latest', got '$v'")
       if (t.equalsIgnoreCase("latest")) "latest" else t
     }
-    (root, keys, pre, starting, lower.get("consumername"))
+    val maxCommits = lower.get("maxcommitspertrigger").map { v =>
+      val m = v.trim.toLong
+      require(m > 0, s"txtable: maxCommitsPerTrigger must be positive, got $v")
+      m
+    }
+    (root, keys, pre, starting, lower.get("consumername"), maxCommits)
   }
 }

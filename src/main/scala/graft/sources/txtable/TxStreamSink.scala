@@ -46,13 +46,13 @@ import org.apache.spark.sql.graftshims.StreamingShims
 class TxStreamSink(root: String, keys: Seq[String], versionCol: String,
     opCol: Option[String], checkpointEvery: Int, bloomCols: Seq[String],
     partitionCols: Seq[String], conflictDetect: Boolean,
-    conflictWaitMs: Long) extends Sink {
+    conflictWaitMs: Long, streamTag: String) extends Sink {
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit =
     graft.streaming.Streams.txUpsertBatch(data.sparkSession, root,
       StreamingShims.asBatchDataFrame(data.toDF()), batchId,
       keys, versionCol, opCol, checkpointEvery, bloomCols, partitionCols,
-      conflictDetect, conflictWaitMs)
+      conflictDetect, conflictWaitMs, streamTag)
 
   override def toString: String = s"TxStreamSink[$root]"
 }
@@ -79,11 +79,19 @@ object TxStreamSink {
         "txtable: name the latest-wins version column — " +
           ".option(\"versionCol\", \"version\") (a change-feed relay uses " +
           "its 'commit' column)"))
+    // batch ids are per-checkpoint — the checkpoint path scopes the
+    // replay markers so two streams into one table never skip each
+    // other's batches (Streams.streamTag)
+    val tag = graft.streaming.Streams.streamTag(
+      lower.getOrElse("checkpointlocation",
+        throw new IllegalArgumentException(
+          "txtable sink: set .option(\"checkpointLocation\", …) — the " +
+            "checkpoint identifies the stream for exactly-once replay")))
     new TxStreamSink(root, keys, version,
       lower.get("opcol"),
       lower.get("checkpointevery").map(_.toInt).getOrElse(0),
       cols("bloomcols"), cols("partitioncols"),
       lower.get("conflictdetect").exists(_.toBoolean),
-      lower.get("conflictwaitms").map(_.toLong).getOrElse(60L * 1000))
+      lower.get("conflictwaitms").map(_.toLong).getOrElse(60L * 1000), tag)
   }
 }

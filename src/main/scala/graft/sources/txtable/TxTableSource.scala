@@ -138,16 +138,17 @@ class TxTableSource extends TableProvider with DataSourceRegister
       : (String, StructType) = {
     require(schema.isEmpty,
       "txtable: the stream schema comes from the table's own commit log")
-    val (root, keys, _, _, _) = TxFeedSource.streamParams(parameters)
+    val (root, keys, _, _, _, _) = TxFeedSource.streamParams(parameters)
     (shortName(), TxFeedSource.feedSchema(ctx.sparkSession, root, keys))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): V1Source = {
-    val (root, keys, pre, starting, consumer) =
+    val (root, keys, pre, starting, consumer, maxCommits) =
       TxFeedSource.streamParams(parameters)
-    new TxFeedSource(ctx.sparkSession, root, keys, pre, starting, consumer)
+    new TxFeedSource(ctx.sparkSession, root, keys, pre, starting, consumer,
+      maxCommits)
   }
 
   /** `df.writeStream.format("txtable")` — every micro-batch is one

@@ -286,15 +286,27 @@ object Streams {
     // serializes instead of silently losing an update — and the sink's
     // in-stream maintenance folds abort (and retry next cadence) rather
     // than committing over a concurrent writer.
+    val tag = streamTag(checkpoint)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         txUpsertBatch(batch.sparkSession, root, batch.toDF(), batchId,
           keyCols, versionCol, opCol, checkpointEvery, bloomCols,
-          partitionCols, conflictDetect, conflictWaitMs)
+          partitionCols, conflictDetect, conflictWaitMs, tag)
       }
       .start()
   }
+
+  /** Marker namespace for one stream: batch ids are PER-CHECKPOINT, so
+    * two streams feeding the same table would collide on bare `b<id>`
+    * markers — stream A's marker would make stream B silently SKIP its
+    * own batch id (a lost batch, the worst failure mode). The stream's
+    * checkpoint path is its identity; its hash scopes the replay
+    * markers (round 19). Markers written by pre-tag code replay as
+    * misses, which the latest-wins MERGE absorbs — no migration step. */
+  private[graft] def streamTag(checkpoint: String): String =
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
 
   /**
    * ONE sink micro-batch — the shared body behind [[txUpsertSink]]
@@ -308,9 +320,10 @@ object Streams {
       keyCols: Seq[String], versionCol: String,
       opCol: Option[String], checkpointEvery: Int,
       bloomCols: Seq[String], partitionCols: Seq[String],
-      conflictDetect: Boolean, conflictWaitMs: Long): Unit = {
+      conflictDetect: Boolean, conflictWaitMs: Long,
+      tag: String): Unit = {
     import graft.sources.{Fs, TxTable}
-    val done = s"$root/_txn/stream/b$batchId"
+    val done = s"$root/_txn/stream/s${tag}_b$batchId"
     if (!Fs.exists(done)) {
       if (TxTable.committedIds(root).isEmpty) {
         // first batch: an empty create in the table's schema (op is
@@ -346,14 +359,23 @@ object Streams {
         }
         // stream markers exist to short-circuit replays, and only
         // the in-flight batch can replay — markers below it are
-        // dead weight; sweep them with the same cadence (losing one
-        // to a crash is safe: the merge absorbs a re-application)
-        if (Fs.isDirectory(s"$root/_txn/stream"))
+        // dead weight; sweep THIS stream's markers with the same
+        // cadence (losing one to a crash is safe: the merge absorbs a
+        // re-application). Another stream's markers are its own replay
+        // state — never touched. Legacy untagged `b<id>` markers from
+        // pre-tag code are dead (nothing checks that name anymore) and
+        // sweep unconditionally.
+        if (Fs.isDirectory(s"$root/_txn/stream")) {
+          val own = s"s${tag}_b"
           Fs.listFiles(s"$root/_txn/stream")
             .map(_.getPath.getName)
-            .filter(n => n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-              n.drop(1).toLong < batchId)
+            .filter { n =>
+              (n.startsWith(own) && n.drop(own.length).forall(_.isDigit) &&
+                n.drop(own.length).toLong < batchId) ||
+              (n.startsWith("b") && n.drop(1).forall(_.isDigit))
+            }
             .foreach(n => Fs.deleteIfExists(s"$root/_txn/stream/$n"))
+        }
       }
       // the stream marker is an at-least-once SHORTCUT, not the
       // commit bit: it lands last, and a replay that beats it is

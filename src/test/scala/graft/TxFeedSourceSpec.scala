@@ -184,6 +184,32 @@ class TxFeedSourceSpec extends AnyFunSuite {
     TxTable.unregisterCursor(t, "specstream")
   }
 
+  test("maxCommitsPerTrigger bounds each batch; the drain still reaches the tip") {
+    val dir = tmp()
+    val t = s"$dir/t"
+    TxTable.create(spark, t, rows(20, 0L))                    // commit 0
+    (1L to 4L).foreach { v =>                                  // commits 1-4
+      TxTable.upsert(spark, t,
+        rows(20, v, s"v$v").filter(col("id") % 5 === v % 5), Seq("id"), "version")
+    }
+    val q = spark.readStream.format("txtable")
+      .option("keys", "id").option("startingCursor", "-1")
+      .option("maxCommitsPerTrigger", "2")
+      .load(t)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(feedSet(spark.read.parquet(s"$dir/out")) ===
+      feedSet(TxTable.changeFeed(spark, t, Seq("id"))),
+      "capped drain == the full feed")
+    // 5 commits / cap 2 → at least 3 data batches instead of one mega-batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected >=3 capped batches, got $dataBatches")
+  }
+
   test("batch feed read: option(feed) == TxTable.changeFeed, bounded and preimaged") {
     val dir = tmp()
     val t = s"$dir/t"

@@ -128,6 +128,34 @@ class TxStreamSinkSpec extends AnyFunSuite {
       .map(_.getName).count(_.startsWith("bucket=")) === 4)
   }
 
+  test("two sinks into one table: checkpoint-scoped markers, no skipped batches") {
+    val dir = tmp()
+    val t = s"$dir/t"
+    // both streams run their batch 0 against the same table — before the
+    // checkpoint-scoped markers, sink B's batch 0 would see sink A's
+    // bare `b0` marker and silently SKIP its own first batch
+    def sinkOnce(tag: String, keys: Seq[(Long, String, Long)]): Unit = {
+      keys.toDF("k", "payload", "v")
+        .coalesce(1).write.parquet(s"$dir/in_$tag/f0")
+      val schema = spark.read.parquet(s"$dir/in_$tag/f0").schema
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in_$tag/*")
+        .writeStream.format("txtable")
+        .option("keys", "k").option("versionCol", "v")
+        .option("checkpointLocation", s"$dir/cp_$tag")
+        .start(t)
+      try q.processAllAvailable() finally q.stop()
+    }
+    sinkOnce("a", (1L to 20L).map(k => (k, "a", 1L)))
+    sinkOnce("b", (21L to 40L).map(k => (k, "b", 1L)))
+    val m = TxTable.read(spark, t).select("k", "payload")
+      .as[(Long, String)].collect().toMap
+    assert(m.size === 40, s"both sinks' batches landed (got ${m.size})")
+    assert((1L to 20L).forall(m(_) == "a") && (21L to 40L).forall(m(_) == "b"))
+    // and each stream's own replay shortcut still works
+    sinkOnce("a2", Seq((100L, "c", 1L)))
+    assert(TxTable.read(spark, t).count() === 41L)
+  }
+
   test("SQL metadata tables: t$history and t$cursors") {
     val dir = tmp()
     val wh = s"$dir/wh"

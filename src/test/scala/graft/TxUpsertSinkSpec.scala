@@ -75,17 +75,25 @@ class TxUpsertSinkSpec extends AnyFunSuite {
     val before = TxTable.read(spark, s"$base/t").orderBy("k", "v")
       .collect().toSeq
     val commits1 = TxTable.committedIds(s"$base/t")
-    // a FRESH checkpoint replays every batch id — the stream markers
-    // short-circuit all of them: no new commits at all
-    drain(base, s"$base/ckpt2")
+    // SAME-STREAM replay (crash between the sink's table commit and the
+    // stream's own commit log): the checkpoint-scoped marker
+    // short-circuits the re-application — no new commit
+    val tag1 = Streams.streamTag(s"$base/ckpt1")
+    val lastBatch = spark.read.parquet(s"$base/in/f2")
+    Streams.txUpsertBatch(spark, s"$base/t", lastBatch, 2L,
+      Seq("k"), "v", Some("op"), 0, Nil, Nil, false, 60000L, tag1)
     assert(TxTable.committedIds(s"$base/t") === commits1,
-      "marker-acknowledged batches must not commit again")
+      "a marker-acknowledged batch of the SAME stream must not commit again")
+    // a DIFFERENT stream (fresh checkpoint = new marker namespace,
+    // round 19 — bare `b<id>` markers let stream A's ids silently eat
+    // stream B's batches) re-applies every batch; the latest-wins MERGE
+    // absorbs them as snapshot no-ops: same data, empty commits
+    drain(base, s"$base/ckpt2")
     assert(TxTable.read(spark, s"$base/t").orderBy("k", "v").collect().toSeq
-      === before)
-    // now simulate the marker LOSING the race (crash between the table
-    // commit and the stream marker): drop the markers and replay — the
-    // merge re-applies every batch, and latest-wins absorbs it
-    (0L to 2L).foreach(id => Fs.deleteIfExists(s"$base/t/_txn/stream/b$id"))
+      === before, "cross-stream replay must be a snapshot no-op")
+    // and the marker LOSING its own race (crash between the table
+    // commit and the marker write) falls back to the same absorption
+    Fs.deleteIfExists(s"$base/t/_txn/stream/s${tag1}_b2")
     drain(base, s"$base/ckpt3")
     assert(TxTable.read(spark, s"$base/t").orderBy("k", "v").collect().toSeq
       === before, "a re-applied batch must be a snapshot no-op")
