@@ -110,7 +110,7 @@ class GraftCatalog extends TableCatalog {
     if (!isTxRoot(root))
       throw new NoSuchTableException(
         (ident.namespace().toSeq :+ ident.name()).toSeq)
-    val schema = TxTable.readAt(SparkSession.active, root, asOf).schema
+    val schema = TxTableSource.snapshotSchema(SparkSession.active, root, asOf)
     TxTableV2(root, asOf, schema)
   }
 

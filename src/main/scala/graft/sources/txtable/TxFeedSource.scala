@@ -103,20 +103,26 @@ class TxFeedSource(spark: SparkSession, root: String, keys: Seq[String],
   override def latestOffset(start: ConnectorOffset, limit: ReadLimit)
       : ConnectorOffset = {
     if (start != null) registerApplied(LongOffset(start.json.trim.toLong))
-    val tip = availableNowTip.getOrElse(currentTip)
+    val all = TxTable.committedIds(root)
+    val tip = availableNowTip.getOrElse(if (all.isEmpty) -1L else all.max)
     // maxCommitsPerTrigger (round 19): without a cap, a stream restarted
     // after long downtime plans its whole lag as ONE batch — bounded
     // batches keep recovery incremental (and under AvailableNow the
     // engine loops capped batches until the frozen tip drains). The cap
-    // needs a base position: the engine's committed start, or the
-    // configured starting cursor on the very first batch. Bootstrap and
-    // "latest" first batches are uncapped by construction (a snapshot /
-    // an empty batch, not a commit range).
+    // counts COMMITS, not id arithmetic — ids are sparse (abandoned
+    // claims, feed-invisible checkpoints), so a range cap would degrade
+    // recovery throughput on gappy logs. The cap needs a base position:
+    // the engine's committed start, or the configured starting cursor on
+    // the very first batch. Bootstrap and "latest" first batches are
+    // uncapped by construction (a snapshot / an empty batch, not a
+    // commit range).
     val base: Option[Long] =
       if (start != null) Some(start.json.trim.toLong)
       else startingCursor.filter(_ != "latest").map(_.toLong)
     val end = (maxCommitsPerTrigger, base) match {
-      case (Some(m), Some(b)) => math.min(tip, b + m)
+      case (Some(m), Some(b)) =>
+        val pending = all.filter(k => k > b && k <= tip).sorted
+        if (pending.size <= m) tip else pending(m.toInt - 1)
       case _ => tip
     }
     LongOffset(end)
@@ -161,8 +167,24 @@ class TxFeedSource(spark: SparkSession, root: String, keys: Seq[String],
       case Some(s) =>
         val lo = TxFeedSource.commitId(s)
         if (hi <= lo) aligned(emptyFeed())
-        else aligned(TxTable.changeFeed(spark, root, keys,
-          fromCommit = lo + 1, withPreimage = withPreimage, toCommit = hi))
+        else {
+          // LOUD, never lossy on RESTART too (same stance as
+          // changeFeedFrom): a stream that lagged past
+          // checkpoint+expire maintenance must not resume into a
+          // changelog with silent holes — the folded commits are
+          // feed-invisible. Registered streams (consumerName) never
+          // hit this: their cursor floors the expire.
+          val oldest = TxTable.committedIds(root).min
+          require(lo + 1 >= oldest,
+            s"txtable: stream offset $lo predates the retained history " +
+              s"(oldest commit $oldest) — the stream fell behind " +
+              "checkpoint+expire maintenance; rebuild its state from a " +
+              "snapshot read and restart with a fresh checkpoint (set " +
+              "consumerName to register a retention cursor and prevent " +
+              "this)")
+          aligned(TxTable.changeFeed(spark, root, keys,
+            fromCommit = lo + 1, withPreimage = withPreimage, toCommit = hi))
+        }
       case None => firstBatch(hi)
     }
   }

@@ -57,7 +57,16 @@ object TxSql {
       case u: UpdateTable =>
         val set = u.assignments.map { a =>
           val name = a.key match {
-            case attr: UnresolvedAttribute => attr.nameParts.last
+            // top-level columns only: collapsing a multipart target to
+            // its last part would let `SET addr.city = …` silently
+            // overwrite an unrelated top-level `city` column — reject
+            // struct-field assignment loudly instead
+            case attr: UnresolvedAttribute if attr.nameParts.size == 1 =>
+              attr.nameParts.head
+            case attr: UnresolvedAttribute => fail(
+              s"SET target '${attr.nameParts.mkString(".")}' is multipart — " +
+                "only top-level columns can be assigned (struct fields " +
+                "update by assigning the whole struct)")
             case other => fail(s"unsupported SET target $other")
           }
           name -> expr(a.value.sql)

@@ -59,9 +59,11 @@ class TxStreamSink(root: String, keys: Seq[String], versionCol: String,
 
 object TxStreamSink {
 
-  /** Streaming-write options contract (see class doc). */
-  private[txtable] def sinkParams(parameters: Map[String, String])
-      : TxStreamSink = {
+  /** Streaming-write options contract (see class doc);
+    * `partitionByCols` is `writeStream.partitionBy(...)`, honored as
+    * the hive layout. */
+  private[txtable] def sinkParams(parameters: Map[String, String],
+      partitionByCols: Seq[String] = Seq.empty): TxStreamSink = {
     val lower = parameters.map { case (k, v) =>
       k.toLowerCase(java.util.Locale.ROOT) -> v }
     val root = lower.getOrElse("path", throw new IllegalArgumentException(
@@ -87,10 +89,16 @@ object TxStreamSink {
         throw new IllegalArgumentException(
           "txtable sink: set .option(\"checkpointLocation\", …) — the " +
             "checkpoint identifies the stream for exactly-once replay")))
+    val optParts = cols("partitioncols")
+    require(optParts.isEmpty || partitionByCols.isEmpty ||
+        optParts == partitionByCols,
+      s"txtable sink: partitionBy(${partitionByCols.mkString(",")}) and " +
+        s"option(\"partitionCols\", \"${optParts.mkString(",")}\") disagree")
+    val parts = if (partitionByCols.nonEmpty) partitionByCols else optParts
     new TxStreamSink(root, keys, version,
       lower.get("opcol"),
       lower.get("checkpointevery").map(_.toInt).getOrElse(0),
-      cols("bloomcols"), cols("partitioncols"),
+      cols("bloomcols"), parts,
       lower.get("conflictdetect").exists(_.toBoolean),
       lower.get("conflictwaitms").map(_.toLong).getOrElse(60L * 1000), tag)
   }

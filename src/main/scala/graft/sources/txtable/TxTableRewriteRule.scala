@@ -31,11 +31,26 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // rewrites: it is not the target.)
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // the DML target arrives wrapped (SubqueryAlias over the relation) —
+    // search the subtree, not just the root
+    def isTxRelation(p: LogicalPlan): Boolean = p.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[TxTableV2] => r
+    }.nonEmpty
     plan.foreach {
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
         writeTargets.add(i.table); ()
       case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
         writeTargets.add(w.table); ()
+      // row-level SQL DML has no V2 execution path here — without this
+      // intercept the rule would rewrite the TARGET into the snapshot
+      // plan and Spark would fail with a misleading derived-plan error;
+      // fail with the documented routing instead
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+          if isTxRelation(d.table) => dmlRefused("DELETE")
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+          if isTxRelation(u.table) => dmlRefused("UPDATE")
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+          if isTxRelation(m.targetTable) => dmlRefused("MERGE")
       case _ => ()
     }
     plan.resolveOperatorsUp {
@@ -55,12 +70,28 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // batch change-feed reads (option("feed", "true"))
       case r: DataSourceV2Relation if r.table.isInstanceOf[TxFeedV2] =>
         val t = r.table.asInstanceOf[TxFeedV2]
+        // LOUD, never lossy (same stance as changeFeedFrom): commits
+        // below the oldest retained id were folded into a checkpoint
+        // and are feed-invisible — a fromCommit below that would
+        // silently return a changelog with holes
+        val oldest = graft.sources.TxTable.committedIds(t.root).min
+        require(t.fromCommit >= oldest,
+          s"txtable: feed read fromCommit=${t.fromCommit} predates the " +
+            s"retained history (oldest commit $oldest) — those commits " +
+            "were folded into a checkpoint and are feed-invisible; read " +
+            s"the snapshot instead, or set fromCommit >= $oldest")
         rewire(r, t.name(),
           graft.sources.TxTable.changeFeed(spark, t.root, t.keys,
             fromCommit = t.fromCommit, withPreimage = t.withPreimage,
             toCommit = t.toCommit).queryExecution.analyzed)
     }
   }
+
+  private def dmlRefused(kind: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"txtable: SQL $kind against a txtable relation routes through the " +
+        "library — TxTable.sqlDml(spark, statement, tables) / TxSql.exec " +
+        "(the positional DV write has no DataSource-V2 execution path)")
 
   private def rewire(r: DataSourceV2Relation, name: String,
       snapshot: LogicalPlan): LogicalPlan = {

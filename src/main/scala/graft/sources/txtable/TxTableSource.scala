@@ -71,7 +71,7 @@ class TxTableSource extends TableProvider with DataSourceRegister
     // read of the empty relation still fails loudly downstream with
     // the no-commits message)
     if (graft.sources.TxTable.committedIds(root).isEmpty) new StructType()
-    else graft.sources.TxTable.readAt(SparkSession.active, root, asOf).schema
+    else TxTableSource.snapshotSchema(SparkSession.active, root, asOf)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -100,11 +100,23 @@ class TxTableSource extends TableProvider with DataSourceRegister
     val (root, asOf) = TxTableSource.rootAndAsOf(parameters)
     require(asOf == Long.MaxValue,
       "txtable: cannot write to a time-travel relation — drop the asOf option")
-    // layout knobs ride as OPTIONS (round 19): .partitionBy is the
-    // file-source contract (the V2 write path refuses it for table
-    // providers), so the hive layout and bloom columns are
-    // .option("partitionCols", "day").option("bloomCols", "id")
-    val (blooms, parts) = TxTableSource.layoutOf(parameters)
+    // layout knobs ride as OPTIONS (round 19) — and `.partitionBy` is
+    // HONORED too: the V1 writer fallback encodes its columns as the
+    // __partition_columns option (silently dropping them here would
+    // write a flat commit while the user believes it is partitioned —
+    // lost pruning, no error)
+    val (blooms, optParts) = TxTableSource.layoutOf(parameters)
+    val byPartitionBy = parameters.get(
+      org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .PARTITIONING_COLUMNS_KEY)
+      .map(org.apache.spark.sql.execution.datasources.DataSourceUtils
+        .decodePartitioningColumns)
+      .getOrElse(Seq.empty)
+    require(optParts.isEmpty || byPartitionBy.isEmpty ||
+        optParts == byPartitionBy,
+      s"txtable: partitionBy(${byPartitionBy.mkString(",")}) and " +
+        s"option(\"partitionCols\", \"${optParts.mkString(",")}\") disagree")
+    val parts = if (byPartitionBy.nonEmpty) byPartitionBy else optParts
     val spark = data.sparkSession
     val exists = graft.sources.TxTable.committedIds(root).nonEmpty
     mode match {
@@ -162,14 +174,32 @@ class TxTableSource extends TableProvider with DataSourceRegister
       "txtable sink: Complete mode would rewrite the table every batch — " +
         "use Append/Update (per-batch MERGE), or a batch " +
         "df.write.format(\"txtable\").mode(\"overwrite\") per refresh")
-    require(partitionColumns.isEmpty,
-      "txtable sink: pass the hive layout as .option(\"partitionCols\", " +
-        "\"col1,col2\") — partitionBy is the file-source contract")
-    TxStreamSink.sinkParams(parameters)
+    // writeStream.partitionBy is honored as the hive layout (silently
+    // dropping it would be a flat table the user believes partitioned)
+    TxStreamSink.sinkParams(parameters, partitionColumns)
   }
 }
 
 object TxTableSource {
+
+  /** Snapshot schema with a tip-keyed cache: every `SELECT` derives the
+    * relation schema (commit listing + parquet footer merge) and then
+    * the rewrite rule builds the real plan — without the cache that
+    * derivation re-runs per analysis pass per query. Keyed by the
+    * committed tip, so any commit (the only way schema changes)
+    * invalidates naturally at the cost of ONE listing per lookup;
+    * bounded by a dumb full-clear (schemas are tiny, roots are few). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private[txtable] def snapshotSchema(spark: SparkSession, root: String,
+      asOf: Long): StructType = {
+    val tip = graft.sources.TxTable.committedIds(root).max
+    if (schemaCache.size > 1024) schemaCache.clear()
+    schemaCache.computeIfAbsent((root, asOf, tip),
+      _ => graft.sources.TxTable.readAt(spark, root, asOf).schema)
+  }
+
   /** Options contract: `path` (from `.load(root)`) names the table root;
     * `asOf` (optional) is the time-travel commit id. */
   private[txtable] def rootAndAsOf(opts: Map[String, String]): (String, Long) = {
@@ -224,8 +254,13 @@ case class TxFeedV2(root: String, keys: Seq[String], fromCommit: Long,
 
   override def name(): String = s"txtable.`$root`$$feed"
 
-  override def schema(): StructType =
+  // schema() is called repeatedly during analysis and each derivation
+  // lists commits + reads footers — fixed for the handle's lifetime, so
+  // derive once
+  private lazy val derivedSchema: StructType =
     TxFeedSource.feedSchema(SparkSession.active, root, keys)
+
+  override def schema(): StructType = derivedSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)

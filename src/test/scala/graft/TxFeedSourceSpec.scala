@@ -210,6 +210,56 @@ class TxFeedSourceSpec extends AnyFunSuite {
     assert(dataBatches >= 3, s"expected >=3 capped batches, got $dataBatches")
   }
 
+  test("lagged unregistered stream fails loudly on restart after maintenance folded its range") {
+    val dir = tmp()
+    val t = s"$dir/t"
+    TxTable.create(spark, t, rows(20, 0L))                      // commit 0
+    TxTable.upsert(spark, t, rows(20, 1L, "y").filter(col("id") < 5),
+      Seq("id"), "version")                                     // commit 1
+    // drain to offset 1 WITHOUT consumerName (no retention floor)
+    drain(t, s"$dir/out", s"$dir/cp", Map("startingCursor" -> "-1"))
+    // the stream lags; maintenance folds commits 0..3 away
+    TxTable.upsert(spark, t, rows(20, 2L, "z").filter(col("id") === 9L),
+      Seq("id"), "version")                                     // commit 2
+    TxTable.checkpoint(spark, t)                                // commit 3
+    TxTable.expire(spark, t)
+    assert(TxTable.committedIds(t).min === 3L, "history folded")
+    // restart: offset 1 predates retained history — LOUD, never a
+    // changelog with silent holes
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(t, s"$dir/out", s"$dir/cp", Map("startingCursor" -> "-1"))
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(_.contains("predates the retained history")),
+      s"unexpected: ${messages(ex).mkString(" | ")}")
+  }
+
+  test("batch feed read on a folded table: default fromCommit fails loudly") {
+    val dir = tmp()
+    val t = s"$dir/t"
+    TxTable.create(spark, t, rows(10, 0L))
+    TxTable.upsert(spark, t, rows(10, 1L, "y"), Seq("id"), "version")
+    TxTable.checkpoint(spark, t)
+    TxTable.expire(spark, t)
+    val oldest = TxTable.committedIds(t).min
+    val ex = intercept[Exception] {
+      spark.read.format("txtable").option("feed", "true")
+        .option("keys", "id").load(t).collect()
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Seq.empty
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(_.contains("predates the retained history")),
+      s"unexpected: ${messages(ex).mkString(" | ")}")
+    // an in-range fromCommit still reads
+    val ok = spark.read.format("txtable").option("feed", "true")
+      .option("keys", "id").option("fromCommit", oldest.toString).load(t)
+    assert(feedSet(ok) === feedSet(
+      TxTable.changeFeed(spark, t, Seq("id"), fromCommit = oldest)))
+  }
+
   test("batch feed read: option(feed) == TxTable.changeFeed, bounded and preimaged") {
     val dir = tmp()
     val t = s"$dir/t"

@@ -129,6 +129,40 @@ class TxSqlSpec extends AnyFunSuite {
       .collect().forall(_.getAs[Double]("price") < 400.0))
     // the routed statements are REAL log positions: history shows them
     assert(TxTable.history(spark, t).count() === 3L)
+    // a multipart SET target is refused loudly (collapsing addr.city to
+    // its last part would silently overwrite an unrelated top-level
+    // column named city)
+    val multi = intercept[Exception] {
+      TxSql.exec(spark, "UPDATE tbl SET addr.city = 'x' WHERE id = 1",
+        Map("tbl" -> t))
+    }
+    assert(multi.getMessage.contains("multipart"))
+  }
+
+  test("SQL DML against a catalog relation refuses with the routing message") {
+    val wh = tmp()
+    val t = s"$wh/dml_t"
+    TxTable.create(spark, t, base(20))
+    spark.conf.set("spark.sql.catalog.graft_dml",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dml.warehouse", wh)
+    try {
+      // without the intercept the rule rewrote the TARGET into the
+      // snapshot plan and Spark failed with a misleading derived-plan
+      // error; now the documented routing message fires
+      def messages(e: Throwable): Seq[String] =
+        if (e == null) Seq.empty
+        else Option(e.getMessage).toSeq ++ messages(e.getCause)
+      Seq("DELETE FROM graft_dml.dml_t WHERE id = 1",
+        "UPDATE graft_dml.dml_t SET price = 0 WHERE id = 1").foreach { st =>
+        val ex = intercept[Exception] { spark.sql(st).collect() }
+        assert(messages(ex).exists(_.contains("routes through")),
+          s"$st: ${messages(ex).mkString(" | ")}")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_dml")
+      spark.conf.unset("spark.sql.catalog.graft_dml.warehouse")
+    }
   }
 
   test("TxSql.exec routes MERGE INTO: update * + insert *") {

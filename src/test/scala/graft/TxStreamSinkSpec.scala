@@ -114,6 +114,16 @@ class TxStreamSinkSpec extends AnyFunSuite {
       .write.format("txtable")
       .option("partitionCols", "bucket").option("bloomCols", "id")
       .save(t)
+    // .partitionBy is honored too (the V1 fallback encodes it as the
+    // __partition_columns option — dropping it silently would write a
+    // flat commit the user believes partitioned)
+    val t2 = s"$dir/t2"
+    (0L until 40L).map(i => (i, (i % 4).toString, i * 2))
+      .toDF("id", "bucket", "x")
+      .write.format("txtable").partitionBy("bucket").save(t2)
+    assert(new java.io.File(s"$t2/data/c0").listFiles()
+      .map(_.getName).count(_.startsWith("bucket=")) === 4,
+      ".partitionBy lays the commit out hive-style")
     val commitDir = new java.io.File(s"$t/data/c0")
     assert(commitDir.listFiles().map(_.getName).count(_.startsWith("bucket=")) === 4,
       "commit laid out hive-style per partitionCols option")
