@@ -252,29 +252,26 @@ object TxFeedSource {
   private[txtable] def streamParams(parameters: Map[String, String])
       : (String, Seq[String], Boolean, Option[String], Option[String],
          Option[Long]) = {
-    val lower = parameters.map { case (k, v) =>
-      k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val root = lower.getOrElse("path", throw new IllegalArgumentException(
+    val o = TxOptions(parameters)
+    val root = o.required("path",
       "txtable: pass the table root as the load path — " +
-        "spark.readStream.format(\"txtable\").load(root)"))
-    val keys = lower.getOrElse("keys", throw new IllegalArgumentException(
+        "spark.readStream.format(\"txtable\").load(root)")
+    val keys = o.cols("keys")
+    require(keys.nonEmpty,
       "txtable streaming reads are the row-level change feed and need " +
-        "the key columns — .option(\"keys\", \"id1,id2\")"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    require(keys.nonEmpty, "txtable: empty keys option")
-    val pre = lower.get("withpreimage").exists(_.toBoolean)
-    val starting = lower.get("startingcursor").map { v =>
+        "the key columns — .option(\"keys\", \"id1,id2\")")
+    val pre = o.bool("withPreimage")
+    val starting = o.get("startingCursor").map { v =>
       val t = v.trim
       require(t.equalsIgnoreCase("latest") ||
           t.matches("-?\\d+"),
         s"txtable: startingCursor must be a commit id or 'latest', got '$v'")
       if (t.equalsIgnoreCase("latest")) "latest" else t
     }
-    val maxCommits = lower.get("maxcommitspertrigger").map { v =>
-      val m = v.trim.toLong
-      require(m > 0, s"txtable: maxCommitsPerTrigger must be positive, got $v")
+    val maxCommits = o.long("maxCommitsPerTrigger").map { m =>
+      require(m > 0, s"txtable: maxCommitsPerTrigger must be positive, got $m")
       m
     }
-    (root, keys, pre, starting, lower.get("consumername"), maxCommits)
+    (root, keys, pre, starting, o.get("consumerName"), maxCommits)
   }
 }

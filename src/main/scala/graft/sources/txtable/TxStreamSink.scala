@@ -61,45 +61,57 @@ object TxStreamSink {
 
   /** Streaming-write options contract (see class doc);
     * `partitionByCols` is `writeStream.partitionBy(...)`, honored as
-    * the hive layout. */
+    * the hive layout; `sessionDefaultCheckpoint` is the session's
+    * `spark.sql.streaming.checkpointLocation` (the fallback identity
+    * source when the explicit option is absent). */
   private[txtable] def sinkParams(parameters: Map[String, String],
-      partitionByCols: Seq[String] = Seq.empty): TxStreamSink = {
-    val lower = parameters.map { case (k, v) =>
-      k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val root = lower.getOrElse("path", throw new IllegalArgumentException(
+      partitionByCols: Seq[String] = Seq.empty,
+      sessionDefaultCheckpoint: Option[String] = None): TxStreamSink = {
+    val o = TxOptions(parameters)
+    val root = o.required("path",
       "txtable: pass the table root as the start path — " +
-        "df.writeStream.format(\"txtable\").start(root)"))
-    def cols(k: String): Seq[String] = lower.get(k).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    val keys = cols("keys")
+        "df.writeStream.format(\"txtable\").start(root)")
+    val keys = o.cols("keys")
     require(keys.nonEmpty,
       "txtable streaming writes are per-batch MERGE commits and need the " +
         "key columns — .option(\"keys\", \"id1,id2\") (append-only streams " +
         "use a unique key; a keyless sink would duplicate rows on replay)")
-    val version = lower.getOrElse("versioncol",
-      throw new IllegalArgumentException(
-        "txtable: name the latest-wins version column — " +
-          ".option(\"versionCol\", \"version\") (a change-feed relay uses " +
-          "its 'commit' column)"))
+    val version = o.required("versionCol",
+      "txtable: name the latest-wins version column — " +
+        ".option(\"versionCol\", \"version\") (a change-feed relay uses " +
+        "its 'commit' column)")
     // batch ids are per-checkpoint — the checkpoint path scopes the
     // replay markers so two streams into one table never skip each
-    // other's batches (Streams.streamTag)
-    val tag = graft.streaming.Streams.streamTag(
-      lower.getOrElse("checkpointlocation",
-        throw new IllegalArgumentException(
-          "txtable sink: set .option(\"checkpointLocation\", …) — the " +
-            "checkpoint identifies the stream for exactly-once replay")))
-    val optParts = cols("partitioncols")
+    // other's batches (Streams.streamTag). Resolution mirrors Spark's
+    // own: the explicit option, else the session default + the query
+    // name (a NAMED stream on the session default resolves exactly
+    // there; an unnamed one gets a random UUID dir we cannot predict at
+    // createSink time — loud, because a guessed identity would shift on
+    // every restart and break the replay markers' exactly-once gate).
+    val checkpoint = o.get("checkpointLocation")
+      .orElse(for {
+        base <- sessionDefaultCheckpoint
+        name <- o.get("queryName")
+      } yield s"${base.stripSuffix("/")}/$name")
+      .getOrElse(throw new IllegalArgumentException(
+        "txtable sink: set .option(\"checkpointLocation\", …) — or the " +
+          "session default spark.sql.streaming.checkpointLocation PLUS " +
+          ".queryName(…) — the checkpoint identifies the stream for " +
+          "exactly-once replay (an unnamed stream on the session default " +
+          "checkpoints under a fresh random dir each start, which would " +
+          "reset the replay markers)"))
+    val tag = graft.streaming.Streams.streamTag(checkpoint)
+    val optParts = o.cols("partitionCols")
     require(optParts.isEmpty || partitionByCols.isEmpty ||
         optParts == partitionByCols,
       s"txtable sink: partitionBy(${partitionByCols.mkString(",")}) and " +
         s"option(\"partitionCols\", \"${optParts.mkString(",")}\") disagree")
     val parts = if (partitionByCols.nonEmpty) partitionByCols else optParts
     new TxStreamSink(root, keys, version,
-      lower.get("opcol"),
-      lower.get("checkpointevery").map(_.toInt).getOrElse(0),
-      cols("bloomcols"), parts,
-      lower.get("conflictdetect").exists(_.toBoolean),
-      lower.get("conflictwaitms").map(_.toLong).getOrElse(60L * 1000), tag)
+      o.get("opCol"),
+      o.long("checkpointEvery").map(_.toInt).getOrElse(0),
+      o.cols("bloomCols"), parts,
+      o.bool("conflictDetect"),
+      o.long("conflictWaitMs").getOrElse(60L * 1000), tag)
   }
 }

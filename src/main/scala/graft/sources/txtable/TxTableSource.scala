@@ -176,7 +176,8 @@ class TxTableSource extends TableProvider with DataSourceRegister
         "df.write.format(\"txtable\").mode(\"overwrite\") per refresh")
     // writeStream.partitionBy is honored as the hive layout (silently
     // dropping it would be a flat table the user believes partitioned)
-    TxStreamSink.sinkParams(parameters, partitionColumns)
+    TxStreamSink.sinkParams(parameters, partitionColumns,
+      ctx.sparkSession.conf.getOption("spark.sql.streaming.checkpointLocation"))
   }
 }
 
@@ -203,21 +204,18 @@ object TxTableSource {
   /** Options contract: `path` (from `.load(root)`) names the table root;
     * `asOf` (optional) is the time-travel commit id. */
   private[txtable] def rootAndAsOf(opts: Map[String, String]): (String, Long) = {
-    val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val root = lower.getOrElse("path", throw new IllegalArgumentException(
+    val o = TxOptions(opts)
+    val root = o.required("path",
       "txtable: pass the table root as the load path — " +
-        "spark.read.format(\"txtable\").load(root)"))
-    val asOf = lower.get("asof").map(_.toLong).getOrElse(Long.MaxValue)
-    (root, asOf)
+        "spark.read.format(\"txtable\").load(root)")
+    (root, o.long("asof").getOrElse(Long.MaxValue))
   }
 
   /** Writer layout options: `bloomCols` / `partitionCols`, comma-split. */
   private[txtable] def layoutOf(opts: Map[String, String])
       : (Seq[String], Seq[String]) = {
-    val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    def cols(k: String): Seq[String] = lower.get(k).toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    (cols("bloomcols"), cols("partitioncols"))
+    val o = TxOptions(opts)
+    (o.cols("bloomCols"), o.cols("partitionCols"))
   }
 
   /** BATCH change-feed read (round 19, the Delta `readChangeFeed`
@@ -227,20 +225,19 @@ object TxTableSource {
     * ordinary snapshot reads. */
   private[txtable] def feedParams(opts: Map[String, String])
       : Option[TxFeedV2] = {
-    val lower = opts.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    if (!lower.get("feed").exists(_.toBoolean)) return None
-    val root = lower.getOrElse("path", throw new IllegalArgumentException(
-      "txtable: pass the table root as the load path"))
-    require(!lower.contains("asof"),
+    val o = TxOptions(opts)
+    if (!o.bool("feed")) return None
+    val root = o.required("path",
+      "txtable: pass the table root as the load path")
+    require(!o.contains("asOf"),
       "txtable: feed reads take fromCommit/toCommit bounds, not asOf")
-    val keys = lower.get("keys").toSeq.flatMap(_.split(","))
-      .map(_.trim).filter(_.nonEmpty)
+    val keys = o.cols("keys")
     require(keys.nonEmpty,
       "txtable feed reads need the key columns — .option(\"keys\", \"id1,id2\")")
     Some(TxFeedV2(root, keys,
-      lower.get("fromcommit").map(_.toLong).getOrElse(0L),
-      lower.get("tocommit").map(_.toLong).getOrElse(Long.MaxValue),
-      lower.get("withpreimage").exists(_.toBoolean)))
+      o.long("fromCommit").getOrElse(0L),
+      o.long("toCommit").getOrElse(Long.MaxValue),
+      o.bool("withPreimage")))
   }
 }
 

@@ -301,12 +301,19 @@ object Streams {
     * two streams feeding the same table would collide on bare `b<id>`
     * markers — stream A's marker would make stream B silently SKIP its
     * own batch id (a lost batch, the worst failure mode). The stream's
-    * checkpoint path is its identity; its hash scopes the replay
-    * markers (round 19). Markers written by pre-tag code replay as
-    * misses, which the latest-wins MERGE absorbs — no migration step. */
+    * checkpoint path is its identity; its digest scopes the replay
+    * markers (round 19). The digest is the first 128 bits of SHA-256
+    * (round 20, widening the original 32-bit hash): a tag COLLISION
+    * between two checkpoints feeding one table would recreate exactly
+    * the shared-namespace skip this tag exists to eliminate, so the
+    * collision probability must be cryptographically negligible —
+    * markers are cheap, 32 hex chars cost nothing. Markers written
+    * under the old 32-bit tags (or by pre-tag code) replay as misses,
+    * which the latest-wins MERGE absorbs — no migration step. */
   private[graft] def streamTag(checkpoint: String): String =
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0xffffffffL)
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(16).map(b => f"$b%02x").mkString
 
   /**
    * ONE sink micro-batch — the shared body behind [[txUpsertSink]]
