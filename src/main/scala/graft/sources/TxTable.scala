@@ -146,11 +146,42 @@ object TxTable {
   /** The commit bit, REQUIRED to be this writer's: under the claim
     * protocol nobody else can be on a claimed id, so a pre-existing
     * commit marker means out-of-band interference — fail the operation
-    * loudly instead of reporting an id whose contents may not be ours. */
+    * loudly instead of reporting an id whose contents may not be ours.
+    * The marker CONTENT carries the commit wall-clock (round 20,
+    * `ts=<epochMillis>` — an explicit field survives copies/rsyncs whose
+    * mtimes do not), recorded at every commit so `TIMESTAMP AS OF` and
+    * [[history]]'s `commit_ts` column have data even for tables created
+    * long before anyone asks; markers written by pre-stamp code fall
+    * back to marker mtime in [[commitTimestamps]]. */
   private[graft] def commit(root: String, k: Long): Unit =
-    require(Fs.createMarker(marker(root, k), dataDir(root, k)),
+    require(Fs.createMarker(marker(root, k),
+        s"${dataDir(root, k)}\nts=${System.currentTimeMillis()}"),
       s"txtable: commit marker c$k already exists under $root — " +
         "lost a commit race (id written outside the claim protocol?)")
+
+  /** Every committed id with its commit WALL-CLOCK (epoch millis),
+    * ascending by id: the stamped `ts=` field from the marker content
+    * when present (any commit written since round 20), else the
+    * marker's mtime — also wall-clock, just copy-fragile. One listing
+    * for ids + mtimes, then one tiny content read per marker (bounded
+    * by log length; [[expire]] keeps that short on maintained tables).
+    * NOTE commit wall-clocks are the WRITERS' clocks: monotonic per
+    * writer, skew-bounded across writers — the standard caveat every
+    * log-structured table's TIMESTAMP AS OF carries. */
+  private[graft] def commitTimestamps(root: String): Seq[(Long, Long)] = {
+    val dir = commitsDir(root)
+    if (!Fs.isDirectory(dir)) return Seq.empty
+    Fs.listFiles(dir)
+      .filter(_.getPath.getName.matches("c\\d+"))
+      .map { st =>
+        val k = st.getPath.getName.stripPrefix("c").toLong
+        val stamped = Fs.readUtf8(s"$dir/c$k").flatMap(
+          _.linesIterator.find(_.startsWith("ts="))
+            .flatMap(l => l.stripPrefix("ts=").trim.toLongOption))
+        k -> stamped.getOrElse(st.getModificationTime)
+      }
+      .sortBy(_._1)
+  }
 
   private def existingDataDirs(root: String, ks: Seq[Long]): Seq[String] =
     ks.map(dataDir(root, _)).filter(Fs.isDirectory(_))
@@ -1706,6 +1737,9 @@ object TxTable {
             .getParent.getName.toLong, r.getLong(0))
         }
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    // commit wall-clocks (round 20): the stamped ts= marker field, mtime
+    // fallback for pre-stamp tables — the TIMESTAMP AS OF data source
+    val stamps = commitTimestamps(root).toMap
     val rows = committed.map { k =>
       val d = dataDir(root, k)
       // recursive: hive-partitioned commits keep their leaf files below
@@ -1717,9 +1751,13 @@ object TxTable {
             !f.getPath.getName.startsWith("_")
         }
       (k, cps.contains(k), files.size.toLong, files.map(_.getLen).sum,
-        killed.getOrElse(k, 0L))
+        killed.getOrElse(k, 0L), stamps.getOrElse(k, 0L))
     }
-    rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted")
+    rows.toDF("commit", "is_checkpoint", "n_files", "bytes", "n_deleted",
+        "commit_ts_millis")
+      .withColumn("commit_ts",
+        org.apache.spark.sql.functions.timestamp_millis(col("commit_ts_millis")))
+      .drop("commit_ts_millis")
   }
 
   /**

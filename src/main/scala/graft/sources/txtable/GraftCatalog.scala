@@ -99,11 +99,32 @@ class GraftCatalog extends TableCatalog {
     loadAt(ident, asOf)
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "txtable: TIMESTAMP AS OF is not supported — commit ids are log " +
-        "positions, not wall-clock times; use VERSION AS OF <commit> " +
-        "(TxTable.history lists them)")
+  /** SQL `TIMESTAMP AS OF <t>` (round 20): the newest commit whose
+    * recorded wall-clock is ≤ `t` — commit times are the stamped
+    * `ts=` marker field ([[TxTable.commit]]; marker mtime for tables
+    * written by pre-stamp code), i.e. the WRITERS' clocks: monotonic
+    * per writer, skew-bounded across writers, the standard caveat every
+    * log-structured table's time travel carries (Delta/Iceberg bind the
+    * same way). `timestamp` arrives in MICROSECONDS since the epoch
+    * (the [[TableCatalog]] contract). A `t` before the first retained
+    * commit fails loudly — history below the expire floor is gone, and
+    * serving the oldest snapshot instead would silently misdate it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTxRoot(root))
+      throw new NoSuchTableException(
+        (ident.namespace().toSeq :+ ident.name()).toSeq)
+    val tsMillis = timestamp / 1000L
+    val stamps = TxTable.commitTimestamps(root)
+    val asOf = stamps.filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"txtable: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"predates the oldest retained commit of $root " +
+          s"(first retained: commit ${stamps.headOption.map(_._1).getOrElse(-1L)} " +
+          s"at ${stamps.headOption.map(s => java.time.Instant.ofEpochMilli(s._2))
+            .getOrElse("?")}) — earlier history was expired"))
+    loadAt(ident, asOf)
+  }
 
   private def loadAt(ident: Identifier, asOf: Long): Table = {
     val root = rootOf(ident)
@@ -176,7 +197,9 @@ object TxMetaV2 {
       StructField("is_checkpoint", BooleanType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
-      StructField("n_deleted", LongType, nullable = false))),
+      StructField("n_deleted", LongType, nullable = false),
+      StructField("commit_ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true))),
     "cursors" -> StructType(Seq(
       StructField("consumer", StringType, nullable = true),
       StructField("cursor", LongType, nullable = false))))

@@ -104,14 +104,63 @@ class TxSqlSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT price FROM graft_test.orders_t VERSION AS OF 0 WHERE id = 7")
       .head.getDouble(0) === 107.0)
+    // a timestamp predating the whole retained history is a loud error
+    // (serving the oldest snapshot instead would silently misdate it)
     val ex = intercept[Exception] {
       spark.sql("SELECT * FROM graft_test.orders_t TIMESTAMP AS OF '2026-01-01'")
         .collect()
     }
-    assert(ex.getMessage.contains("VERSION AS OF"),
-      s"timestamp travel must route users to commit ids: ${ex.getMessage}")
+    assert(ex.getMessage.contains("predates"),
+      s"pre-history timestamp travel must fail loudly: ${ex.getMessage}")
     assert(spark.sql("DROP TABLE graft_test.orders_t").collect().isEmpty)
     assert(spark.sql("SHOW TABLES IN graft_test").count() === 0L)
+  }
+
+  test("TIMESTAMP AS OF resolves via stamped commit wall-clocks (round 20)") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_ts",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ts.warehouse", wh)
+    try {
+      val root = s"$wh/ts_t"
+      TxTable.create(spark, root, base())                       // c0
+      Thread.sleep(50)
+      val mid = System.currentTimeMillis()                      // between c0 and c1
+      Thread.sleep(50)
+      TxTable.upsert(spark, root,
+        Seq((7L, "cat3", 7777.0, 1L)).toDF("id", "cat", "price", "version"),
+        Seq("id"), "version")                                   // c1
+      // history carries the stamped wall-clock, non-decreasing by commit
+      val h = TxTable.history(spark, root).orderBy("commit").collect()
+      val ts = h.map(_.getAs[java.sql.Timestamp]("commit_ts"))
+      assert(ts.forall(_ != null), "every commit must carry commit_ts")
+      assert(ts(0).getTime <= ts(1).getTime,
+        "commit wall-clocks must be non-decreasing for one writer")
+      assert(math.abs(ts(0).getTime - mid) < 5L * 60 * 1000,
+        s"c0's stamp must be wall-clock-accurate, got ${ts(0)}")
+      // the SQL metadata table serves the same column
+      val metaTs = spark.sql(s"SELECT commit, commit_ts FROM graft_ts.`ts_t$$history`")
+        .orderBy("commit").collect()
+      assert(metaTs.map(_.getAs[java.sql.Timestamp]("commit_ts")).forall(_ != null))
+      // TIMESTAMP AS OF between the commits sees the pre-upsert snapshot
+      def fmt(millis: Long): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(millis))
+      assert(spark.sql(
+        s"SELECT price FROM graft_ts.ts_t TIMESTAMP AS OF '${fmt(mid)}' WHERE id = 7")
+        .head.getDouble(0) === 107.0)
+      // and after c1, the live value
+      assert(spark.sql(
+        s"SELECT price FROM graft_ts.ts_t TIMESTAMP AS OF " +
+          s"'${fmt(System.currentTimeMillis() + 1000)}' WHERE id = 7")
+        .head.getDouble(0) === 7777.0)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_ts")
+      spark.conf.unset("spark.sql.catalog.graft_ts.warehouse")
+    }
   }
 
   test("TxSql.exec routes DELETE and UPDATE statements to the predicate DML") {
