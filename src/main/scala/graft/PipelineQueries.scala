@@ -2463,6 +2463,50 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    "q_tx_merge_cond" -> ((s, dir) => {
+      // FULL-fidelity SQL MERGE (round 20, the r19 verdict's top ask):
+      // one op-coded CDC batch through a single parsed statement with
+      // clause-level AND conditions, a per-column assignment list, a
+      // conditional INSERT (cols) VALUES list, and a conditional NOT
+      // MATCHED BY SOURCE DELETE — routed by TxSql.exec to
+      // TxTable.mergeClauses (one committed kill+add pair; the matched
+      // side is ONE broadcast join evaluated once for kills and every
+      // clause leg). 'X' rows prove the no-clause-fires → untouched
+      // contract; the CASE/UNION oracle reconstructs all four clauses.
+      import graft.sources.txtable.TxSql
+      import graft.sources.TxTable
+      val tmp = graft.operators.Materialize.scratch(s, "txmcond")
+      val t = s"$tmp/t"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      TxTable.create(s, t, orders)
+      orders.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("U"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("op", lit("D")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 2)
+          .withColumn("op", lit("X")))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)
+          .withColumn("op", lit("I")))
+        .createOrReplaceTempView("tx_cond_updates")
+      TxSql.exec(s,
+        """MERGE INTO t USING tx_cond_updates u ON t.o_orderkey = u.o_orderkey
+           WHEN MATCHED AND u.op = 'D' THEN DELETE
+           WHEN MATCHED AND u.op = 'U' THEN
+             UPDATE SET o_totalprice = u.o_totalprice + 10.0, o_orderstatus = 'R'
+           WHEN NOT MATCHED AND u.op <> 'D' THEN
+             INSERT (o_orderkey, o_orderstatus, o_totalprice)
+             VALUES (u.o_orderkey, u.o_orderstatus, u.o_totalprice * 2)
+           WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 10 = 7 THEN DELETE""",
+        Map("t" -> t))
+      TxTable.read(s, t)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_jsonl_ingest" -> ((s, dir) => {
       // raw-crawl landing (round 12): documents → GZIPPED JSONL →
       // explicit-schema PERMISSIVE read-back → per-lang volume stats.
@@ -4227,6 +4271,23 @@ object PipelineQueries {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM t WHERE o_totalprice <= 200000.0
          GROUP BY 1 ORDER BY 1""",
+    // full-fidelity MERGE: matched-D delete + matched-U reprice/restatus
+    // + conditional negated-key insert (doubled price) + NBS %10=7
+    // delete + untouched X rows == this CASE/UNION reconstruction
+    "q_tx_merge_cond" ->
+      """WITH kept AS (
+           SELECT o_orderkey, 'R' AS o_orderstatus,
+                  o_totalprice + 10.0 AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey % 10 IN (1,2,3,4,6,8,9)
+           UNION ALL
+           SELECT -o_orderkey - 1, o_orderstatus, o_totalprice * 2
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM kept GROUP BY 1 ORDER BY 1""",
     // JSONL round-trip must be lossless: stats from the parquet table
     "q_jsonl_ingest" ->
       """SELECT lang, COUNT(*) AS n_docs,

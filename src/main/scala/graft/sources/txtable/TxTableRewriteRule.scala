@@ -57,10 +57,11 @@ case class TxTableRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[TxTableV2] && !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[TxTableV2]
-        val snapshot =
-          graft.sources.TxTable.readAt(spark, t.root, t.asOf)
-            .queryExecution.analyzed
-        rewire(r, t.name(), snapshot)
+        // the SAME analyzed plan the relation's schema derivation built
+        // (tip-keyed cache) — one commit listing + footer pass per
+        // (root, tip) across inferSchema AND this rewrite (round 20)
+        rewire(r, t.name(),
+          TxTableSource.snapshotPlan(spark, t.root, t.asOf))
       // virtual metadata tables (t$history / t$cursors) rewrite the same
       // way — the relation is a name, the library owns the plan
       case r: DataSourceV2Relation if r.table.isInstanceOf[TxMetaV2] =>

@@ -116,22 +116,29 @@ class TxTableSource extends TableProvider with DataSourceRegister
         optParts == byPartitionBy,
       s"txtable: partitionBy(${byPartitionBy.mkString(",")}) and " +
         s"option(\"partitionCols\", \"${optParts.mkString(",")}\") disagree")
-    val parts = if (byPartitionBy.nonEmpty) byPartitionBy else optParts
+    // a catalog-created table's DECLARED layout is the default when the
+    // writer passes no knobs of its own (round 20)
+    val (declaredBlooms, declaredParts) = TxTableSource.persistedLayout(root)
+    val parts =
+      if (byPartitionBy.nonEmpty) byPartitionBy
+      else if (optParts.nonEmpty) optParts
+      else declaredParts
+    val effBlooms = if (blooms.nonEmpty) blooms else declaredBlooms
     val spark = data.sparkSession
     val exists = graft.sources.TxTable.committedIds(root).nonEmpty
     mode match {
       case SaveMode.Append =>
-        if (exists) graft.sources.TxTable.append(spark, root, data, blooms, parts)
-        else graft.sources.TxTable.create(spark, root, data, blooms, parts)
+        if (exists) graft.sources.TxTable.append(spark, root, data, effBlooms, parts)
+        else graft.sources.TxTable.create(spark, root, data, effBlooms, parts)
       case SaveMode.Overwrite =>
-        if (exists) graft.sources.TxTable.overwrite(spark, root, data, blooms, parts)
-        else graft.sources.TxTable.create(spark, root, data, blooms, parts)
+        if (exists) graft.sources.TxTable.overwrite(spark, root, data, effBlooms, parts)
+        else graft.sources.TxTable.create(spark, root, data, effBlooms, parts)
       case SaveMode.ErrorIfExists =>
         if (exists) throw new IllegalStateException(
           s"txtable: $root already has commits (mode ErrorIfExists)")
-        graft.sources.TxTable.create(spark, root, data, blooms, parts)
+        graft.sources.TxTable.create(spark, root, data, effBlooms, parts)
       case SaveMode.Ignore =>
-        if (!exists) graft.sources.TxTable.create(spark, root, data, blooms, parts)
+        if (!exists) graft.sources.TxTable.create(spark, root, data, effBlooms, parts)
     }
     val outSchema = data.schema
     new BaseRelation {
@@ -183,23 +190,96 @@ class TxTableSource extends TableProvider with DataSourceRegister
 
 object TxTableSource {
 
-  /** Snapshot schema with a tip-keyed cache: every `SELECT` derives the
-    * relation schema (commit listing + parquet footer merge) and then
-    * the rewrite rule builds the real plan — without the cache that
-    * derivation re-runs per analysis pass per query. Keyed by the
-    * committed tip, so any commit (the only way schema changes)
-    * invalidates naturally at the cost of ONE listing per lookup;
-    * bounded by a dumb full-clear (schemas are tiny, roots are few). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+  /** Snapshot schema AND analyzed plan with one tip-keyed cache
+    * (round 20, closing the r19 verdict's double-construction tax):
+    * every `SELECT` used to derive the relation schema (commit listing
+    * + parquet footer merge) in `inferSchema`/`loadTable` and then the
+    * rewrite rule re-built the SAME `readAt` plan — at object-store
+    * latency each fresh SELECT paid the listing + footer pass roughly
+    * twice. Now ONE derivation produces both, keyed by
+    * `(root, asOf, tip, first-marker-mtime)`:
+    *
+    *  - the TIP invalidates on any commit (the only way schema or the
+    *    resolution set changes);
+    *  - the FIRST retained marker's MTIME is the table IDENTITY — a
+    *    drop+recreate restarts commit ids at 0 and would otherwise
+    *    recur on the same `(root, tip)` key, silently serving the
+    *    pre-drop schema (round-19 advisory). Both come from the SAME
+    *    single listing, so identity costs no extra round-trip.
+    *
+    * Reusing the analyzed plan across queries is safe: the rewrite rule
+    * wraps it in a fresh aliasing Project per relation (distinct output
+    * ids), and a self-join's duplicated leaves are re-instanced by
+    * Spark's own DeduplicateRelations, the same mechanism every reused
+    * DataFrame relies on (TxSqlSpec pins a catalog self-join). Bounded
+    * by a dumb full-clear; plans are driver-side metadata. */
+  private val snapshotCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, Long),
+      (StructType, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)]()
+
+  /** Cache-miss count — the listing-economy spec's observation hook. */
+  private[graft] val snapshotDerivations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def cachedSnapshot(spark: SparkSession, root: String,
+      asOf: Long): (StructType,
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) = {
+    val stats = graft.sources.TxTable.commitStats(root)
+    require(stats.nonEmpty, s"txtable: no commits under $root")
+    if (snapshotCache.size > 1024) snapshotCache.clear()
+    snapshotCache.computeIfAbsent((root, asOf, stats.last._1, stats.head._2),
+      _ => {
+        snapshotDerivations.incrementAndGet()
+        val df = graft.sources.TxTable.readAt(spark, root, asOf)
+        (df.schema, df.queryExecution.analyzed)
+      })
+  }
 
   private[txtable] def snapshotSchema(spark: SparkSession, root: String,
-      asOf: Long): StructType = {
-    val tip = graft.sources.TxTable.committedIds(root).max
-    if (schemaCache.size > 1024) schemaCache.clear()
-    schemaCache.computeIfAbsent((root, asOf, tip),
-      _ => graft.sources.TxTable.readAt(spark, root, asOf).schema)
+      asOf: Long): StructType = cachedSnapshot(spark, root, asOf)._1
+
+  /** The analyzed snapshot plan the rewrite rule grafts in — the SAME
+    * derivation the schema came from, never a second one. */
+  private[txtable] def snapshotPlan(spark: SparkSession, root: String,
+      asOf: Long): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    cachedSnapshot(spark, root, asOf)._2
+
+  /** Drop every cached snapshot for `root` — [[GraftCatalog.purgeTable]]
+    * calls this so an in-session recreate can never be served the
+    * dropped table's plan (the identity key already guards it; this
+    * just frees the entries). */
+  private[txtable] def invalidateRoot(root: String): Unit = {
+    val it = snapshotCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == root) it.remove()
   }
+
+  /** Catalog-created tables persist their layout knobs under
+    * `_txn/props` (round 20) so EVERY later write — SQL INSERT, the
+    * DataFrameWriter, another session — lays data out the way the DDL
+    * declared, without the user re-passing options. Plain k=v lines;
+    * absent file → no declared layout (library-created tables keep
+    * passing knobs per call). */
+  private[txtable] def persistLayout(root: String, bloomCols: Seq[String],
+      partitionCols: Seq[String]): Unit =
+    if (bloomCols.nonEmpty || partitionCols.nonEmpty)
+      graft.sources.Fs.writeUtf8(s"$root/_txn/props",
+        s"partitionCols=${partitionCols.mkString(",")}\n" +
+          s"bloomCols=${bloomCols.mkString(",")}\n")
+
+  /** (bloomCols, partitionCols) declared at CREATE time; empty when the
+    * table has no persisted layout. */
+  private[txtable] def persistedLayout(root: String): (Seq[String], Seq[String]) =
+    graft.sources.Fs.readUtf8(s"$root/_txn/props").map { txt =>
+      val kv = txt.linesIterator.flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }.toMap
+      def cols(k: String): Seq[String] = kv.get(k).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      (cols("bloomCols"), cols("partitionCols"))
+    }.getOrElse((Seq.empty, Seq.empty))
 
   /** Options contract: `path` (from `.load(root)`) names the table root;
     * `asOf` (optional) is the time-travel commit id. */
@@ -282,7 +362,9 @@ case class TxFeedV2(root: String, keys: Seq[String], fromCommit: Long,
  * crash atomicity as the library calls, and no per-row V2 writer
  * reimplements the parquet path.
  */
-case class TxTableV2(root: String, asOf: Long, dataSchema: StructType)
+case class TxTableV2(root: String, asOf: Long, dataSchema: StructType,
+    bloomCols: Seq[String] = Seq.empty,
+    partitionCols: Seq[String] = Seq.empty)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String =
@@ -317,9 +399,13 @@ case class TxTableV2(root: String, asOf: Long, dataSchema: StructType)
               val cols = dataSchema.fields.map(f =>
                 org.apache.spark.sql.functions.col(f.name))
               val batch = data.select(cols.toIndexedSeq: _*)
+              // the table's DECLARED layout (CREATE-time knobs) shapes
+              // every SQL write — round 20
               if (replaceAll || overwrite)
-                graft.sources.TxTable.overwrite(spark, root, batch)
-              else graft.sources.TxTable.append(spark, root, batch)
+                graft.sources.TxTable.overwrite(spark, root, batch,
+                  bloomCols, partitionCols)
+              else graft.sources.TxTable.append(spark, root, batch,
+                bloomCols, partitionCols)
               ()
             }
           }

@@ -112,8 +112,135 @@ class TxSqlSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("predates"),
       s"pre-history timestamp travel must fail loudly: ${ex.getMessage}")
-    assert(spark.sql("DROP TABLE graft_test.orders_t").collect().isEmpty)
+    // plain DROP refuses committed history (round 20) — one SQL verb
+    // must not irrevocably delete data AND history; PURGE is the
+    // explicit escape hatch
+    val drop = intercept[Exception] {
+      spark.sql("DROP TABLE graft_test.orders_t")
+    }
+    assert(drop.getMessage.contains("PURGE"),
+      s"plain DROP must route to the purge escape hatch: ${drop.getMessage}")
+    assert(spark.sql("SHOW TABLES IN graft_test").count() === 1L,
+      "the refused DROP must leave the table intact")
+    assert(spark.sql("DROP TABLE graft_test.orders_t PURGE").collect().isEmpty)
     assert(spark.sql("SHOW TABLES IN graft_test").count() === 0L)
+  }
+
+  test("CREATE TABLE AS SELECT through the catalog honors layout knobs (round 20)") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_ctas",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ctas.warehouse", wh)
+    try {
+      base(200).createOrReplaceTempView("ctas_src")
+      spark.sql(
+        """CREATE TABLE graft_ctas.t1
+           TBLPROPERTIES ('partitionCols'='cat', 'bloomCols'='id')
+           AS SELECT * FROM ctas_src""")
+      val root = s"$wh/t1"
+      // the CTAS result IS the source
+      assert(rows(spark.sql("SELECT * FROM graft_ctas.t1").toDF())
+        === rows(base(200)))
+      assert(rows(TxTable.read(spark, root)) === rows(base(200)),
+        "the library read agrees — one table, two surfaces")
+      // layout knobs honored: the DATA commit (c1; c0 is the empty
+      // schema-bearing create) lays out hive-style per cat value
+      val dataDirs = new java.io.File(s"$root/data/c1").listFiles()
+      assert(dataDirs != null && dataDirs.exists(_.getName.startsWith("cat=")),
+        s"CTAS data commit must be hive-partitioned: ${Option(dataDirs).toSeq.flatten.map(_.getName)}")
+      // declared layout persists: a later SQL INSERT also lands partitioned
+      spark.sql("INSERT INTO graft_ctas.t1 SELECT id + 1000, cat, price, version FROM ctas_src")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ctas.t1").head.getLong(0) === 400L)
+      val insDirs = new java.io.File(s"$root/data/c2").listFiles()
+      assert(insDirs != null && insDirs.exists(_.getName.startsWith("cat=")),
+        "the CREATE-time layout must shape later INSERTs too")
+      // partition pruning reaches the SQL read
+      val pruned = spark.sql("SELECT * FROM graft_ctas.t1 WHERE cat = 'cat2'")
+      assert(pruned.count() === 100L)
+      assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(cat"),
+        "the declared partitioning must prune SQL reads")
+      // bare CREATE TABLE: an empty, readable table in the declared schema
+      spark.sql(
+        "CREATE TABLE graft_ctas.t2 (k BIGINT, v STRING) PARTITIONED BY (v)")
+      assert(spark.sql("SELECT * FROM graft_ctas.t2").count() === 0L)
+      assert(spark.table("graft_ctas.t2").schema.fieldNames.toSeq === Seq("k", "v"))
+      spark.sql("INSERT INTO graft_ctas.t2 VALUES (1, 'a'), (2, 'b')")
+      assert(spark.sql("SELECT sum(k) AS s FROM graft_ctas.t2").head.getLong(0) === 3L)
+      // duplicate create refuses
+      val dup = intercept[Exception] {
+        spark.sql("CREATE TABLE graft_ctas.t2 (k BIGINT) ")
+      }
+      assert(dup.getMessage.toLowerCase.contains("already exists"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_ctas")
+      spark.conf.unset("spark.sql.catalog.graft_ctas.warehouse")
+    }
+  }
+
+  test("one snapshot derivation serves inferSchema AND the rewrite; self-join safe") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_pc",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pc.warehouse", wh)
+    try {
+      val root = s"$wh/pc_t"
+      TxTable.create(spark, root, base(100))
+      val before = graft.sources.txtable.TxTableSource.snapshotDerivations.get()
+      // two SELECTs at the same tip: ONE derivation total (schema +
+      // analyzed plan from the same cache entry — the round-19 verdict's
+      // double-construction tax)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_pc.pc_t").head.getLong(0) === 100L)
+      assert(spark.sql("SELECT sum(id) AS s FROM graft_pc.pc_t WHERE cat = 'cat1'")
+        .head.getLong(0) > 0L)
+      val after = graft.sources.txtable.TxTableSource.snapshotDerivations.get()
+      assert(after - before === 1L,
+        s"expected ONE snapshot derivation for two same-tip SELECTs, got ${after - before}")
+      // the cached analyzed plan must survive SELF-JOIN reuse (Spark's
+      // DeduplicateRelations re-instances the duplicated leaves)
+      val sj = spark.sql(
+        """SELECT count(*) AS n FROM graft_pc.pc_t a
+           JOIN graft_pc.pc_t b ON a.id = b.id
+           WHERE a.cat = 'cat2' AND b.price > 0""")
+      assert(sj.head.getLong(0) === 25L, "self-join over the cached plan")
+      // a commit moves the tip → exactly one fresh derivation
+      TxTable.upsert(spark, root,
+        Seq((7L, "cat3", 7777.0, 1L)).toDF("id", "cat", "price", "version"),
+        Seq("id"), "version")
+      assert(spark.sql("SELECT price FROM graft_pc.pc_t WHERE id = 7")
+        .head.getDouble(0) === 7777.0)
+      val third = graft.sources.txtable.TxTableSource.snapshotDerivations.get()
+      assert(third - after === 1L,
+        s"a new tip must cost exactly one derivation, got ${third - after}")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_pc")
+      spark.conf.unset("spark.sql.catalog.graft_pc.warehouse")
+    }
+  }
+
+  test("drop + recreate at the same tip is never served the stale schema") {
+    import spark.implicits._
+    val wh = tmp()
+    spark.conf.set("spark.sql.catalog.graft_rc",
+      "graft.sources.txtable.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rc.warehouse", wh)
+    try {
+      val root = s"$wh/rc_t"
+      TxTable.create(spark, root, base(10))  // schema: id,cat,price,version
+      assert(spark.sql("SELECT * FROM graft_rc.rc_t").columns.toSeq
+        === Seq("id", "cat", "price", "version"))
+      spark.sql("DROP TABLE graft_rc.rc_t PURGE")
+      // recreate with a DIFFERENT schema at the same (root, tip=0)
+      TxTable.create(spark, root,
+        Seq((1L, "x")).toDF("k", "name"))
+      assert(spark.sql("SELECT * FROM graft_rc.rc_t").columns.toSeq
+        === Seq("k", "name"),
+        "the post-recreate SELECT must see the NEW schema (identity-keyed cache)")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_rc")
+      spark.conf.unset("spark.sql.catalog.graft_rc.warehouse")
+    }
   }
 
   test("TIMESTAMP AS OF resolves via stamped commit wall-clocks (round 20)") {
@@ -305,6 +432,119 @@ class TxSqlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("time-travel"))
   }
 
+  test("MERGE clause conditions, assignment lists, conditional INSERT (round 20)") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(20))
+    // one CDC batch, op-coded: U reprices id 3, D kills id 5, I inserts
+    // id 200, X matches id 7 but fires no clause (untouched)
+    Seq((3L, "srccat", 1000.0, 9L, "U"), (5L, "srccat", 0.0, 9L, "D"),
+        (200L, "newcat", 50.0, 9L, "I"), (7L, "srccat", 0.0, 9L, "X"))
+      .toDF("id", "cat", "price", "version", "op")
+      .createOrReplaceTempView("txsql_cond_src")
+    TxSql.exec(spark,
+      """MERGE INTO tbl USING txsql_cond_src u ON tbl.id = u.id
+         WHEN MATCHED AND u.op = 'D' THEN DELETE
+         WHEN MATCHED AND u.op = 'U' THEN UPDATE SET price = u.price + 1, cat = 'upd'
+         WHEN NOT MATCHED AND u.op <> 'D' THEN
+           INSERT (id, cat, price) VALUES (u.id, u.cat, u.price * 2)""",
+      Map("tbl" -> t))
+    val got = TxTable.read(spark, t)
+    assert(got.count() === 20L, "one delete (id 5) + one insert (id 200)")
+    assert(got.filter(col("id") === 5L).isEmpty, "matched D clause deletes")
+    val r3 = got.filter(col("id") === 3L).head
+    assert(r3.getAs[Double]("price") === 1001.0 &&
+      r3.getAs[String]("cat") === "upd" && r3.getAs[Long]("version") === 0L,
+      s"assignment list updates named columns, keeps the rest: $r3")
+    val r7 = got.filter(col("id") === 7L).head
+    assert(r7.getAs[String]("cat") === "cat3" &&
+      r7.getAs[Double]("price") === 107.0,
+      s"a matched row no clause fires for is untouched: $r7")
+    val r200 = got.filter(col("id") === 200L).head
+    assert(r200.getAs[String]("cat") === "newcat" &&
+      r200.getAs[Double]("price") === 100.0,
+      s"conditional INSERT with a VALUES list: $r200")
+    assert(r200.isNullAt(r200.fieldIndex("version")),
+      "table columns absent from the INSERT list are NULL — the SQL contract")
+  }
+
+  test("MERGE clause ORDER: the first clause whose condition holds fires") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(10))
+    Seq((2L, "x", 1.0, 9L), (4L, "x", -1.0, 9L))
+      .toDF("id", "cat", "price", "version")
+      .createOrReplaceTempView("txsql_order_src")
+    // both clauses match id 2 (price 1.0 > 0); only the FIRST fires
+    TxSql.exec(spark,
+      """MERGE INTO tbl USING txsql_order_src u ON tbl.id = u.id
+         WHEN MATCHED AND u.price > 0 THEN UPDATE SET cat = 'first'
+         WHEN MATCHED THEN UPDATE SET cat = 'second'""",
+      Map("tbl" -> t))
+    val got = TxTable.read(spark, t)
+    assert(got.filter(col("id") === 2L).head.getAs[String]("cat") === "first")
+    assert(got.filter(col("id") === 4L).head.getAs[String]("cat") === "second",
+      "a row the first clause skips falls through to the next")
+  }
+
+  test("NOT MATCHED BY SOURCE: conditional UPDATE and DELETE (round 20)") {
+    import spark.implicits._
+    val t = tmp() + "/t"
+    TxTable.create(spark, t, base(10))   // ids 0..9
+    Seq((3L, "cat3", 3.0, 9L)).toDF("id", "cat", "price", "version")
+      .createOrReplaceTempView("txsql_nbs_src")
+    TxSql.exec(spark,
+      """MERGE INTO tbl USING txsql_nbs_src u ON tbl.id = u.id
+         WHEN MATCHED THEN UPDATE SET price = u.price
+         WHEN NOT MATCHED BY SOURCE AND tbl.id % 2 = 0 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE AND tbl.id % 2 = 1 THEN UPDATE SET cat = 'stale'""",
+      Map("tbl" -> t))
+    val got = TxTable.read(spark, t)
+    // evens without a source match (0,2,4,6,8) die; id 3 repriced; odd
+    // unmatched rows (1,5,7,9) flagged stale
+    assert(got.count() === 5L)
+    assert(got.filter(col("id") === 3L).head.getAs[Double]("price") === 3.0)
+    assert(got.filter(col("cat") === "stale").select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 5L, 7L, 9L))
+  }
+
+  test("mergeClauses Scala API: t/s scoping, shuffled fallback parity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val t = tmp() + "/t"
+    val t2 = tmp() + "/t"
+    TxTable.create(spark, t, base(30))
+    TxTable.create(spark, t2, base(30))
+    val source = Seq((3L, "m", 1000.0, 9L, "U"), (5L, "m", 0.0, 9L, "D"),
+        (300L, "m", 10.0, 9L, "I"))
+      .toDF("id", "cat", "price", "version", "op")
+    def run(root: String, limit: Long): Unit = {
+      TxTable.mergeClauses(spark, root, source, Seq("id"),
+        matched = Seq(
+          TxTable.MatchedDelete(Some(sqlExpr("s.op = 'D'"))),
+          TxTable.MatchedUpdate(
+            Map("price" -> sqlExpr("t.price + s.price")),
+            Some(sqlExpr("s.op = 'U'")))),
+        notMatched = Seq(
+          TxTable.InsertValues(
+            Map("id" -> sqlExpr("s.id"), "cat" -> sqlExpr("s.cat"),
+              "price" -> sqlExpr("s.price"), "version" -> sqlExpr("s.version")),
+            Some(sqlExpr("s.op <> 'D'")))),
+        broadcastKeyLimit = limit)
+      ()
+    }
+    run(t, 4L * 1000 * 1000)   // broadcast plan
+    run(t2, 0L)                // shuffled fallback
+    val got = rows(TxTable.read(spark, t))
+    assert(got === rows(TxTable.read(spark, t2)),
+      "broadcast and shuffled clause plans must agree")
+    val r3 = TxTable.read(spark, t).filter(col("id") === 3L).head
+    assert(r3.getAs[Double]("price") === 1103.0,
+      s"t.price + s.price must see BOTH scopes: $r3")
+    assert(TxTable.read(spark, t).filter(col("id") === 5L).isEmpty)
+    assert(TxTable.read(spark, t).filter(col("id") === 300L).count() === 1L)
+  }
+
   test("mergeInto shuffled fallback (broadcastKeyLimit = 0) == broadcast plan") {
     import spark.implicits._
     val t = tmp() + "/t"
@@ -332,13 +572,14 @@ class TxSqlSpec extends AnyFunSuite {
         Map("tbl" -> t))
     }
     assert(dup.getMessage.contains("duplicate keys"))
-    val cond = intercept[UnsupportedOperationException] {
+    // the cardinality contract holds on the clause path too (round 20)
+    val dupCond = intercept[IllegalArgumentException] {
       TxSql.exec(spark,
         """MERGE INTO tbl USING txsql_dups d ON tbl.id = d.id
            WHEN MATCHED AND d.price > 1 THEN UPDATE SET *""",
         Map("tbl" -> t))
     }
-    assert(cond.getMessage.contains("unconditional"))
+    assert(dupCond.getMessage.contains("duplicate keys"))
     val on = intercept[UnsupportedOperationException] {
       TxSql.exec(spark,
         "MERGE INTO tbl USING txsql_dups d ON tbl.id > d.id WHEN MATCHED THEN DELETE",
