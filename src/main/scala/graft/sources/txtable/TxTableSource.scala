@@ -158,7 +158,15 @@ class TxTableSource extends TableProvider with DataSourceRegister
     require(schema.isEmpty,
       "txtable: the stream schema comes from the table's own commit log")
     val (root, keys, _, _, _, _) = TxFeedSource.streamParams(parameters)
-    (shortName(), TxFeedSource.feedSchema(ctx.sparkSession, root, keys))
+    val derived = TxFeedSource.feedSchema(ctx.sparkSession, root, keys)
+    // remember what THIS definition declared: createSource fires at
+    // query START, and a commit evolving the table in between would
+    // otherwise hand the source a wider schema than the relation's —
+    // Spark's invalid-batch assert kills such a stream (round 20)
+    if (TxTableSource.definedFeedSchemas.size > 1024)
+      TxTableSource.definedFeedSchemas.clear()
+    TxTableSource.definedFeedSchemas.put((root, keys), derived)
+    (shortName(), derived)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -167,7 +175,8 @@ class TxTableSource extends TableProvider with DataSourceRegister
     val (root, keys, pre, starting, consumer, maxCommits) =
       TxFeedSource.streamParams(parameters)
     new TxFeedSource(ctx.sparkSession, root, keys, pre, starting, consumer,
-      maxCommits)
+      maxCommits,
+      Option(TxTableSource.definedFeedSchemas.get((root, keys))))
   }
 
   /** `df.writeStream.format("txtable")` — every micro-batch is one
@@ -220,6 +229,15 @@ object TxTableSource {
   /** Cache-miss count — the listing-economy spec's observation hook. */
   private[graft] val snapshotDerivations =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The feed schema each stream DEFINITION declared, by (root, keys) —
+    * consumed by `createSource` at query start so the running source
+    * aligns batches to the relation's schema even when a commit evolved
+    * the table in between (round 20; see [[TxFeedSource]]). Two
+    * definitions racing a schema change on one root collide last-wins —
+    * the loser dies on Spark's invalid-batch assert, loud never lossy. */
+  private[txtable] val definedFeedSchemas =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), StructType]()
 
   private def cachedSnapshot(spark: SparkSession, root: String,
       asOf: Long): (StructType,

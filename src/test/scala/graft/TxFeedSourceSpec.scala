@@ -293,6 +293,54 @@ class TxFeedSourceSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("key columns"))
   }
 
+  test("schema evolution: a mid-stream evolved commit's new column is " +
+      "absent until restart, present after (round 20)") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = s"$dir/t"
+    val out = s"$dir/out"   // ONE sink dir: the FileSink's metadata log
+    val cp = s"$dir/cp"     // tracks the checkpoint's batch ids
+    TxTable.create(spark, t, rows(10, 0L))                        // commit 0
+    // the stream's schema is FIXED when the streaming relation is
+    // DEFINED — this is the drop-until-restart contract under test
+    // (TxFeedSource class doc): pin it so a future refactor cannot
+    // silently start leaking half-schema'd batches
+    val stream1 = spark.readStream.format("txtable")
+      .option("keys", "id").load(t)
+    assert(!stream1.schema.fieldNames.contains("extra"))
+    // an EVOLVED commit lands before the run drains it
+    TxTable.upsert(spark, t,                                      // commit 1
+      Seq((100L, "n", 1L, "EXTRA")).toDF("id", "s", "version", "extra"),
+      Seq("id"), "version")
+    val q1 = stream1.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination()
+    val got1 = spark.read.parquet(out)
+    assert(!got1.columns.contains("extra"),
+      "a column added after stream definition must be DROPPED until restart")
+    assert(got1.filter(col("id") === 100L).count() === 1L,
+      "the evolved commit's ROWS still flow — only the new column is absent")
+    // RESTART from the same checkpoint: the new column is now part of
+    // the stream schema and carries values for post-restart commits
+    TxTable.upsert(spark, t,                                      // commit 2
+      Seq((101L, "m", 2L, "AFTER")).toDF("id", "s", "version", "extra"),
+      Seq("id"), "version")
+    val stream2 = spark.readStream.format("txtable")
+      .option("keys", "id").load(t)
+    assert(stream2.schema.fieldNames.contains("extra"),
+      "after restart the evolved column joins the stream schema")
+    val q2 = stream2.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got2 = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got2.columns.contains("extra"))
+    assert(got2.filter(col("id") === 101L).head.getAs[String]("extra") === "AFTER")
+    assert(got2.filter(col("id") === 100L).count() === 1L,
+      "the restart resumes AFTER the stored offset — nothing re-emitted")
+  }
+
   private object Fs {
     def exists(p: String): Boolean =
       graft.sources.Fs.isDirectory(p) &&
