@@ -2554,6 +2554,59 @@ object PipelineQueries {
         GROUP BY 1 ORDER BY 1""")
     }),
 
+    "q_tx_maintain_sql" -> ((s, dir) => {
+      // SQL-only MAINTENANCE (round 20): the last Scala detour in the
+      // SQL journey was checkpoint/expire/compact — now CALL
+      // graft.system.* procedures (GraftProcedures on the DSv2
+      // ProcedureCatalog) run the whole lifecycle: CTAS bootstrap → CDC
+      // MERGE wave → CALL checkpoint + expire (fold, trim history) →
+      // a second MERGE wave accruing deletion vectors against the
+      // folded base → CALL compact at a 1% dead-fraction threshold
+      // (every base file carries ~10% kills, so all rewrite). The
+      // receipts are sanity-required mid-query (real checkpoint marker,
+      // non-empty expiry, non-null compaction commit); the oracle
+      // reconstructs only the DML because maintenance must NEVER change
+      // the answer — that invariant IS what this query gates.
+      import graft.sources.txtable.TxSql
+      import graft.sources.TxTable
+      val (cat, wh) = ctasCatalog(s)
+      val t = s"$wh/orders_maint"
+      val orders = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      orders.createOrReplaceTempView("tx_maint_src")
+      s.sql(s"DROP TABLE IF EXISTS $cat.orders_maint PURGE")
+      s.sql(s"CREATE TABLE $cat.orders_maint AS SELECT * FROM tx_maint_src")
+      // wave 1: reprice the %10=0 keys, delete the %10=5 keys
+      orders.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit("U"))
+        .unionByName(orders.filter(col("o_orderkey") % 10 === 5)
+          .withColumn("op", lit("D")))
+        .createOrReplaceTempView("tx_maint_w1")
+      TxSql.exec(s,
+        """MERGE INTO t USING tx_maint_w1 u ON t.o_orderkey = u.o_orderkey
+           WHEN MATCHED AND u.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice + 1000.0""",
+        Map("t" -> t))
+      val ck = s.sql(s"CALL $cat.system.checkpoint(table => 'orders_maint')")
+        .head.getLong(0)
+      require(TxTable.checkpointIds(t).contains(ck),
+        s"checkpoint receipt $ck must be a real marker")
+      require(s.sql(s"CALL $cat.system.expire('orders_maint')")
+        .head.getLong(0) > 0L, "expire must trim the pre-checkpoint history")
+      // wave 2 AFTER the fold: ~10% of every base file dies to DVs
+      orders.filter(col("o_orderkey") % 10 === 1)
+        .createOrReplaceTempView("tx_maint_w2")
+      TxSql.exec(s,
+        """MERGE INTO t USING tx_maint_w2 u ON t.o_orderkey = u.o_orderkey
+           WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice + 50.0""",
+        Map("t" -> t))
+      require(!s.sql(
+        s"CALL $cat.system.compact('orders_maint', min_dead_fraction => 0.01)")
+        .head.isNullAt(0), "10% dead must rewrite at a 1% threshold")
+      s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM $cat.orders_maint GROUP BY 1 ORDER BY 1""")
+    }),
+
     "q_jsonl_ingest" -> ((s, dir) => {
       // raw-crawl landing (round 12): documents → GZIPPED JSONL →
       // explicit-schema PERMISSIVE read-back → per-lang volume stats.
@@ -4345,6 +4398,19 @@ object PipelineQueries {
          SELECT o_orderpriority, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM t GROUP BY 1 ORDER BY 1""",
+    // CALL-procedure lifecycle: the oracle reconstructs only the DML
+    // (reprice %10=0, delete %10=5, reprice %10=1) — CALL checkpoint /
+    // expire / compact must never change the answer
+    "q_tx_maintain_sql" ->
+      """WITH kept AS (
+           SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  WHEN o_orderkey % 10 = 1 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS o_totalprice
+           FROM orders WHERE o_orderkey % 10 <> 5)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM kept GROUP BY 1 ORDER BY 1""",
     // JSONL round-trip must be lossless: stats from the parquet table
     "q_jsonl_ingest" ->
       """SELECT lang, COUNT(*) AS n_docs,

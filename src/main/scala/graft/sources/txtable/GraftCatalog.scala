@@ -35,9 +35,12 @@ import graft.sources.{Fs, TxTable}
  * `TBLPROPERTIES ('partitionCols'='…','bloomCols'='…')`, persisted with
  * the table; `DROP TABLE` refuses committed history without `PURGE`;
  * ALTER/RENAME stay loud refusals (schema evolves by writing commits;
- * object stores have no atomic rename).
+ * object stores have no atomic rename). Maintenance is SQL-callable
+ * through the DSv2 procedure surface —
+ * `CALL graft.system.checkpoint('t')` etc., see [[GraftProcedures]].
  */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -222,6 +225,34 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "txtable: rename is a directory move — not supported through the " +
         "catalog (object stores have no atomic rename; copy + drop instead)")
+
+  /** Resolve a procedure's `table` argument ('orders' / 'ns.orders')
+    * against this catalog's warehouse — same layout convention as
+    * [[loadTable]], same loud miss. */
+  private def resolveRoot(table: String): String = {
+    val root = (warehouse +: table.split("\\.").toSeq).mkString("/")
+    if (!isTxRoot(root))
+      throw new NoSuchTableException(table.split("\\.").toSeq)
+    root
+  }
+
+  /** SQL `CALL <cat>.system.<proc>(…)` — table maintenance through the
+    * DSv2 procedure surface (round 20); see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = ident.namespace().toSeq == Seq("system")
+    (if (known) GraftProcedures.load(ident.name(), resolveRoot) else None)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$catalogName: no procedure " +
+          s"${(ident.namespace() :+ ident.name()).mkString(".")} — " +
+          s"maintenance lives under $catalogName.system " +
+          s"(${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 }
 
 /**

@@ -67,6 +67,37 @@ class TxStreamSinkSpec extends AnyFunSuite {
     assert(TxTable.read(spark, s"$dir/t").count() === 51L)
   }
 
+  test("checkpoint fallback: session default + queryName resolves, unnamed stays loud (round 20)") {
+    val dir = tmp()
+    (1L to 20L).map(k => (k, 1L)).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/in/f0")
+    val schema = spark.read.parquet(s"$dir/in/f0").schema
+    spark.conf.set("spark.sql.streaming.checkpointLocation", s"$dir/cps")
+    try {
+      // a NAMED stream on the session default resolves exactly where
+      // Spark itself would checkpoint it — same identity, same markers
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+        .writeStream.format("txtable").queryName("fallback_sink")
+        .option("keys", "k").option("versionCol", "v")
+        .start(s"$dir/t")
+      try q.processAllAvailable() finally q.stop()
+      assert(TxTable.read(spark, s"$dir/t").count() === 20L)
+      assert(new java.io.File(s"$dir/cps/fallback_sink").exists(),
+        "the stream must checkpoint under <sessionDefault>/<queryName>")
+      // an UNNAMED stream on the session default checkpoints under a
+      // fresh random dir each start — a guessed identity would reset
+      // the replay markers, so it must stay loud
+      val ex = intercept[Exception] {
+        spark.readStream.schema(schema).parquet(s"$dir/in/*")
+          .writeStream.format("txtable")
+          .option("keys", "k").option("versionCol", "v")
+          .start(s"$dir/t2")
+      }
+      assert(ex.getMessage.contains("checkpointLocation"),
+        s"unnamed session-default stream must route loudly: ${ex.getMessage}")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+
   test("end-to-end replication: readStream(txtable) piped into writeStream(txtable)") {
     val dir = tmp()
     val src = s"$dir/src"
