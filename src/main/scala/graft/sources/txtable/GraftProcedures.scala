@@ -67,6 +67,8 @@ private[txtable] object GraftProcedures {
     // dedup/reorder invocations as if they were pure
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      require(!input.isNullAt(0),
+        s"$procName: the table argument must not be NULL")
       val root = resolveRoot(input.getUTF8String(0).toString)
       val out: Scan = Result(resultSchema,
         body(SparkSession.active, root, input))
