@@ -199,6 +199,23 @@ object TxTable {
       .sortBy(_._1)
   }
 
+  /** Wall-clock time travel's ONE binding rule (round 20, shared by SQL
+    * `TIMESTAMP AS OF` and the reader's `timestampAsOf` option): the
+    * newest commit whose recorded wall-clock is ≤ `tsMillis`. A `t`
+    * before the first retained commit fails loudly — history below the
+    * expire floor is gone, and serving the oldest snapshot instead
+    * would silently misdate it. */
+  private[graft] def commitAtTimestamp(root: String, tsMillis: Long): Long = {
+    val stamps = commitTimestamps(root)
+    stamps.filter(_._2 <= tsMillis).map(_._1).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"txtable: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"predates the oldest retained commit of $root " +
+          s"(first retained: commit ${stamps.headOption.map(_._1).getOrElse(-1L)} " +
+          s"at ${stamps.headOption.map(s => java.time.Instant.ofEpochMilli(s._2))
+            .getOrElse("?")}) — earlier history was expired"))
+  }
+
   private def existingDataDirs(root: String, ks: Seq[Long]): Seq[String] =
     ks.map(dataDir(root, _)).filter(Fs.isDirectory(_))
   private def existingDvDirs(root: String, ks: Seq[Long]): Seq[String] =

@@ -118,16 +118,7 @@ class GraftCatalog extends TableCatalog
     if (!isTxRoot(root))
       throw new NoSuchTableException(
         (ident.namespace().toSeq :+ ident.name()).toSeq)
-    val tsMillis = timestamp / 1000L
-    val stamps = TxTable.commitTimestamps(root)
-    val asOf = stamps.filter(_._2 <= tsMillis).map(_._1).maxOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"txtable: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
-          s"predates the oldest retained commit of $root " +
-          s"(first retained: commit ${stamps.headOption.map(_._1).getOrElse(-1L)} " +
-          s"at ${stamps.headOption.map(s => java.time.Instant.ofEpochMilli(s._2))
-            .getOrElse("?")}) — earlier history was expired"))
-    loadAt(ident, asOf)
+    loadAt(ident, TxTable.commitAtTimestamp(root, timestamp / 1000L))
   }
 
   private def loadAt(ident: Identifier, asOf: Long): Table = {

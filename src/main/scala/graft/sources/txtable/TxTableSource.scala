@@ -300,13 +300,51 @@ object TxTableSource {
     }.getOrElse((Seq.empty, Seq.empty))
 
   /** Options contract: `path` (from `.load(root)`) names the table root;
-    * `asOf` (optional) is the time-travel commit id. */
+    * `asOf` (optional) is the time-travel commit id; `timestampAsOf`
+    * (optional, round 20 — the path-based reader's half of the
+    * catalog's `TIMESTAMP AS OF`) binds wall-clock time travel to the
+    * newest commit whose stamped `ts=` is ≤ the given time. Accepted
+    * forms: epoch MILLIS (all digits), an ISO-8601 instant
+    * (`2026-08-16T12:00:00Z` — offset respected), or
+    * `yyyy-MM-dd[ HH:mm:ss[.f…]]` interpreted as UTC (documented —
+    * commit stamps are writer wall-clocks, so a session-zone reading
+    * would bind differently per client for the same string). */
   private[txtable] def rootAndAsOf(opts: Map[String, String]): (String, Long) = {
     val o = TxOptions(opts)
     val root = o.required("path",
       "txtable: pass the table root as the load path — " +
         "spark.read.format(\"txtable\").load(root)")
-    (root, o.long("asof").getOrElse(Long.MaxValue))
+    val asOf = o.long("asof").getOrElse(Long.MaxValue)
+    o.get("timestampasof") match {
+      case None => (root, asOf)
+      case Some(ts) =>
+        require(asOf == Long.MaxValue,
+          "txtable: pass asOf (commit id) OR timestampAsOf (wall-clock), not both")
+        (root, graft.sources.TxTable.commitAtTimestamp(root, parseTsMillis(ts)))
+    }
+  }
+
+  /** `timestampAsOf` string → epoch millis (forms documented above). */
+  private[txtable] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    else {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          val normalized = if (t.contains(" ") || t.contains("T")) t else s"$t 00:00:00"
+          try java.time.LocalDateTime
+            .parse(normalized.replace(" ", "T"))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"txtable: cannot parse timestampAsOf '$s' — pass epoch " +
+                  "millis, an ISO-8601 instant (2026-08-16T12:00:00Z), or " +
+                  "yyyy-MM-dd[ HH:mm:ss] (read as UTC)")
+          }
+      }
+    }
   }
 
   /** Writer layout options: `bloomCols` / `partitionCols`, comma-split. */

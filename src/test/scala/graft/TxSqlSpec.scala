@@ -290,6 +290,44 @@ class TxSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("reader option(timestampAsOf): the path-based half of TIMESTAMP AS OF (round 20)") {
+    import spark.implicits._
+    val root = tmp() + "/t"
+    TxTable.create(spark, root, base())                       // c0
+    Thread.sleep(50)
+    val mid = System.currentTimeMillis()                      // between c0 and c1
+    Thread.sleep(50)
+    TxTable.upsert(spark, root,
+      Seq((7L, "cat3", 7777.0, 1L)).toDF("id", "cat", "price", "version"),
+      Seq("id"), "version")                                   // c1
+    def priceAt(ts: String): Double =
+      spark.read.format("txtable").option("timestampAsOf", ts).load(root)
+        .filter(col("id") === 7L).head.getAs[Double]("price")
+    // epoch millis between the commits binds to c0; now binds to c1
+    assert(priceAt(mid.toString) === 107.0)
+    assert(priceAt((System.currentTimeMillis() + 1000).toString) === 7777.0)
+    // ISO instant form binds identically (same millis, Z offset)
+    assert(priceAt(java.time.Instant.ofEpochMilli(mid).toString) === 107.0)
+    // both time-travel options together: loud
+    val both = intercept[Exception] {
+      spark.read.format("txtable").option("timestampAsOf", mid.toString)
+        .option("asOf", "0").load(root).collect()
+    }
+    assert(both.getMessage.contains("not both"), both.getMessage)
+    // predating the whole retained history: loud, names the floor
+    val early = intercept[Exception] {
+      spark.read.format("txtable").option("timestampAsOf", "2000-01-01")
+        .load(root).collect()
+    }
+    assert(early.getMessage.contains("predates"), early.getMessage)
+    // garbage: loud with the accepted forms
+    val bad = intercept[Exception] {
+      spark.read.format("txtable").option("timestampAsOf", "yesterday-ish")
+        .load(root).collect()
+    }
+    assert(bad.getMessage.contains("cannot parse"), bad.getMessage)
+  }
+
   test("TxSql.exec routes DELETE and UPDATE statements to the predicate DML") {
     val t = tmp() + "/t"
     TxTable.create(spark, t, base())
