@@ -70,7 +70,14 @@ object Materialize {
   def viaParquet(df: DataFrame, tag: String): DataFrame = {
     val dir = s"${root(df.sparkSession)}/${tag}_${counter.incrementAndGet()}"
     df.write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
+    // read back under the schema we just wrote (as-nullable — what
+    // inference would return) instead of re-inferring it: the files are
+    // ours, so the footer listing + inference pass per spill is pure
+    // overhead (round 21; iterative consumers like the CC loop spill
+    // every couple of rounds, so this is per-round driver latency)
+    val nullable = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    df.sparkSession.read.schema(nullable).parquet(dir)
   }
 
   /**

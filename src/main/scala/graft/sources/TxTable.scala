@@ -259,8 +259,32 @@ object TxTable {
       bloomCols: Seq[String], partitionCols: Seq[String] = Seq.empty,
       precluster: Boolean = true): Unit = {
     if (partitionCols.isEmpty) {
-      if (bloomCols.isEmpty) df.write.mode("overwrite").parquet(path)
-      else ParquetIO.writeWithBloomFilters(df, path, bloomCols)
+      // REBALANCE flat commits too (round 21, guide §6): a map-only
+      // batch (create/append, the anti-joined adds when the planner
+      // keeps scan partitioning) otherwise writes one file PER INPUT
+      // SPLIT — ~32 KB-sized files per commit at bench scale, and
+      // unsized files at any scale — and every subsequent snapshot
+      // read pays the listing + footer + task fan-out again. The
+      // rebalance hint lets AQE size output partitions to the advisory
+      // target (~64 MB default): one file per commit locally, sized
+      // files at 100 TB — the same role Iceberg's write
+      // distribution-mode plays. checkpoint/compactFiles pass
+      // precluster = false (their input already carries the byte-target
+      // layout), and a batch whose plan carries an EXPLICIT layout —
+      // any repartition/rebalance/sort — is honored verbatim: a caller
+      // that range-sorted its create for file-level pruning declared
+      // the file layout on purpose, and round-robin sizing would
+      // silently destroy it.
+      import org.apache.spark.sql.catalyst.plans.logical.{
+        RebalancePartitions, RepartitionOperation, Sort}
+      val explicitLayout = df.queryExecution.logical.exists {
+        case _: RepartitionOperation | _: RebalancePartitions | _: Sort => true
+        case _ => false
+      }
+      val sized =
+        if (precluster && !explicitLayout) df.hint("rebalance") else df
+      if (bloomCols.isEmpty) sized.write.mode("overwrite").parquet(path)
+      else ParquetIO.writeWithBloomFilters(sized, path, bloomCols)
     } else {
       require(partitionCols.forall(df.columns.contains),
         s"txtable: partition columns ${partitionCols.mkString(",")} missing from batch")
@@ -309,10 +333,45 @@ object TxTable {
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
     if (dirs.size <= 1) return DeleteVectors.scanWithRowId(spark, dirs)
-    val schemas = dirs.map(d => spark.read.parquet(d).schema)
-    if (schemas.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, dirs)
+    // ROUTING probe only (round 21): the old per-dir
+    // `spark.read.parquet(d).schema` ran a full DataSource resolution —
+    // listing + footer + inference — per commit dir on EVERY snapshot
+    // read. A commit dir is immutable once its marker exists and ids are
+    // never reused, so one footer's parquet MessageType string per dir,
+    // cached process-wide, answers the only question asked here: did the
+    // schema change between commits? Equal signatures ⇒ identical Spark
+    // schemas ⇒ the single multi-dir scan; any difference (even a
+    // spurious physical-encoding one) routes to the by-name union, which
+    // is correct for same-schema dirs too — the probe can only choose
+    // between two correct plans.
+    val sigs = dirs.map(schemaSig)
+    if (sigs.toSet.size <= 1) DeleteVectors.scanWithRowId(spark, dirs)
     else dirs.map(d => DeleteVectors.scanWithRowId(spark, Seq(d)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** First parquet footer's MessageType string under an immutable commit
+    * dir — cached by path (dumb full-clear cap like the snapshot cache;
+    * vacuumed dirs just strand an unqueried entry until then). A dir with
+    * no parquet file signs as "" (routes conservatively to the union). */
+  private val schemaSigCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def schemaSig(dir: String): String = {
+    val cached = schemaSigCache.get(dir)
+    if (cached != null) return cached
+    val first = Fs.listFilesRecursive(dir)
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && f.getLen > 0)
+      .sortBy(_.getPath.toString).headOption
+    val sig = first.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, Fs.conf()))
+      try r.getFooter.getFileMetaData.getSchema.toString
+      finally r.close()
+    }.getOrElse("")
+    if (schemaSigCache.size > 4096) schemaSigCache.clear()
+    schemaSigCache.put(dir, sig)
+    sig
   }
 
   /** The commit data dir a file belongs to: the nearest ancestor named
@@ -467,6 +526,16 @@ object TxTable {
     }
   }
 
+  /** Driver-side CDC-batch size shortcut for the broadcast gates
+    * (round 21): when the optimizer's size estimate for the batch plan
+    * is comfortably under broadcast scale, skip the `count()` job the
+    * gate otherwise runs per commit. Estimates only ever SHRINK the
+    * set of counted batches — an estimate above the bar still counts,
+    * and the 8 MB bar is far below any row count that could threaten
+    * the 4M-key broadcast limit (rows are > 2 bytes). */
+  private def smallByStats(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(8L * 1024 * 1024)
+
   /** A conflicting concurrent commit was detected during an optimistic
     * [[upsert]] — the writer retries from a fresh snapshot. */
   final class CommitConflictException(msg: String)
@@ -575,7 +644,8 @@ object TxTable {
       val keyed = winners.select(
         keys.map(col) :+ col(versionCol).as("__tx_wv"): _*)
       val keySide =
-        if (winners.count() <= broadcastKeyLimit) broadcast(keyed) else keyed
+        if (smallByStats(batch) || winners.count() <= broadcastKeyLimit)
+          broadcast(keyed) else keyed
       val rks = resolvedOf(root, snap)
       val live = DeleteVectors.applyVectorsKeepId(
         scanResolved(spark, existingDataDirs(root, rks)),
@@ -733,7 +803,7 @@ object TxTable {
       // one size gate feeds BOTH broadcast decisions (the source key
       // side and the matched-key side below): a backfill-sized MERGE
       // falls back to shuffled joins everywhere, never a driver-OOM
-      val srcSmall = src.count() <= broadcastKeyLimit
+      val srcSmall = smallByStats(source) || src.count() <= broadcastKeyLimit
       val keySide = if (srcSmall) broadcast(srcKeys) else srcKeys
       val rks = resolvedOf(root, snap)
       val live = DeleteVectors.applyVectorsKeepId(
@@ -926,7 +996,7 @@ object TxTable {
       }
       val k = claimId(root)
       val srcKeys = src.select(keys.map(col): _*).distinct()
-      val srcSmall = src.count() <= broadcastKeyLimit
+      val srcSmall = smallByStats(source) || src.count() <= broadcastKeyLimit
       val rks = resolvedOf(root, snap)
       val live = DeleteVectors.applyVectorsKeepId(
         scanResolved(spark, existingDataDirs(root, rks)),
