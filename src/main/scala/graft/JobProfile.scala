@@ -24,6 +24,7 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
     // experiment passthrough: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -115,6 +116,10 @@ object JobProfile {
           f"sr=${r.shufReadB / 1e6}%8.2fMB in=${r.inputB / 1e6}%8.2fMB  ${r.desc.take(90)}")
       }
     }
+    val cm = org.apache.spark.metrics.source.CodegenMetrics
+    println(f"== codegen: units=${cm.METRIC_COMPILATION_TIME.getCount} " +
+      f"totalMs=${cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum} " +
+      f"meanMs=${cm.METRIC_COMPILATION_TIME.getSnapshot.getMean}%.1f")
     spark.stop()
   }
 }

@@ -25,7 +25,25 @@ import scala.collection.immutable.ListMap
 object RelationalQueries {
 
   private[graft] def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(s, dir)
+    else {
+      // schema-cached fixture read (round 21): every query invocation
+      // re-inferred the same table's schema (a listing + footer pass per
+      // read — the cost a production catalog/metastore exists to
+      // amortize). Cache the inferred schema per (path, mtime): an
+      // mtime change — fixture regeneration — invalidates, and the read
+      // itself is unchanged (pushdown/pruning intact; an asserted
+      // schema skips only the inference step).
+      val path = s"$dir/$name.parquet"
+      val key = (path, new java.io.File(path).lastModified())
+      val schema = rdSchemaCache.computeIfAbsent(key,
+        _ => s.read.parquet(path).schema)
+      s.read.schema(schema).parquet(path)
+    }
+
+  private val rdSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.types.StructType]()
 
   /**
    * Normalize an events-shaped `ts` column to session-TZ TIMESTAMP (µs),
@@ -68,7 +86,14 @@ object RelationalQueries {
     // should set it in their builder; Verify/Bench do.
     if (!s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventsTs(s.read.parquet(s"$dir/events.parquet"))
+    // same (path, mtime)-keyed schema cache as rd — the ts-encoding
+    // adaptivity is untouched (normalizeEventsTs keys off the LOADED
+    // schema, which the cache returns verbatim)
+    val path = s"$dir/events.parquet"
+    val key = (path, new java.io.File(path).lastModified())
+    val schema = rdSchemaCache.computeIfAbsent(key,
+      _ => s.read.parquet(path).schema)
+    normalizeEventsTs(s.read.schema(schema).parquet(path))
   }
 
   /** exact order-independent sum of a 2-decimal double column */

@@ -16,6 +16,8 @@ object Verify {
       // plan strings are diagnostics — never let one grow into driver
       // heap trouble (AQE rebuilds the string on every replan)
       .config("spark.sql.maxPlanStringLength", "1048576")
+      // keep repeated plans' generated classes warm (see Bench)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
