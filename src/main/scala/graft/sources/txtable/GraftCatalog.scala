@@ -221,9 +221,18 @@ class GraftCatalog extends TableCatalog
     * against this catalog's warehouse — same layout convention as
     * [[loadTable]], same loud miss. */
   private def resolveRoot(table: String): String = {
-    val root = (warehouse +: table.split("\\.").toSeq).mkString("/")
+    // the procedure arg is a PLAIN STRING joined into a filesystem path
+    // — reject traversal shapes before the join (round 21, r20 advice:
+    // CALL vacuum('../../other/t', grace_ms => 0) would otherwise run
+    // file-deleting maintenance on any tx root outside this warehouse)
+    val segs = table.split("\\.").toSeq
+    require(segs.nonEmpty && segs.forall(s =>
+        s.nonEmpty && s != ".." && s != "." && !s.contains("/") && !s.contains("\\")),
+      s"$catalogName: illegal table name '$table' — name segments must be " +
+        "plain identifiers (no empty segments, no path separators, no '..')")
+    val root = (warehouse +: segs).mkString("/")
     if (!isTxRoot(root))
-      throw new NoSuchTableException(table.split("\\.").toSeq)
+      throw new NoSuchTableException(segs)
     root
   }
 
@@ -240,8 +249,12 @@ class GraftCatalog extends TableCatalog
           s"(${GraftProcedures.names.mkString(", ")})"))
   }
 
+  // DSv2 namespace semantics: only ['system'] holds procedures — the
+  // empty (top-level) namespace returns nothing, so SHOW PROCEDURES IN
+  // <cat> does not double-report the system inventory (round 21,
+  // r20 advice)
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+    if (namespace.sameElements(Array("system")))
       GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
 }

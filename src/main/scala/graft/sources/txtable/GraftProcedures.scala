@@ -67,8 +67,18 @@ private[txtable] object GraftProcedures {
     // dedup/reorder invocations as if they were pure
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
-      require(!input.isNullAt(0),
-        s"$procName: the table argument must not be NULL")
+      // EVERY declared parameter is NULL-guarded, not just the table
+      // (round 21, r20 advice): an explicit NULL for e.g.
+      // min_dead_fraction would otherwise read through
+      // GenericInternalRow as 0.0/0L — compact would silently rewrite
+      // every file, checkpoint would size files at 0 bytes. Defaults
+      // are filled by the analyzer for OMITTED args; an explicit NULL
+      // is a caller error and fails loudly with the parameter's name.
+      params.zipWithIndex.foreach { case (p, i) =>
+        require(!input.isNullAt(i),
+          s"$procName: argument '${p.name}' must not be NULL " +
+            "(omit it to take the declared default)")
+      }
       val root = resolveRoot(input.getUTF8String(0).toString)
       val out: Scan = Result(resultSchema,
         body(SparkSession.active, root, input))

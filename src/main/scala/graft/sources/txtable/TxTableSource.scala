@@ -327,7 +327,18 @@ object TxTableSource {
   /** `timestampAsOf` string → epoch millis (forms documented above). */
   private[txtable] def parseTsMillis(s: String): Long = {
     val t = s.trim
-    if (t.nonEmpty && t.forall(_.isDigit)) t.toLong
+    // all-digit strings are epoch MILLIS, but require a plausible digit
+    // count (round 21, r20 advice): a compact date like '20260816'
+    // would otherwise parse as ~1970 epoch millis and fail with a
+    // misleading 'predates the oldest retained commit' instead of a
+    // parse error. 11 digits = earliest 1973, well below any commit
+    // this format can have stamped.
+    if (t.nonEmpty && t.forall(_.isDigit) && t.length >= 11) t.toLong
+    else if (t.nonEmpty && t.forall(_.isDigit))
+      throw new IllegalArgumentException(
+        s"txtable: cannot parse timestampAsOf '$s' — an all-digit value " +
+          "is read as epoch millis and needs >= 11 digits; for a date use " +
+          "yyyy-MM-dd (read as UTC)")
     else {
       try java.time.Instant.parse(t).toEpochMilli
       catch {
