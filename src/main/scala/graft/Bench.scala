@@ -35,22 +35,14 @@ object Bench {
         sys.exit(2)
       }
     }
-    val spark = SparkSession.builder()
+    // engine-recommended confs (codegen cache sizing, plan-string bound,
+    // ns-parquet legibility) come from the shared SessionDefaults helper
+    // (round 22, r21 verdict #5): they are engine properties, not
+    // harness ones — an embedding application gets them the same way
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")  // inert for µs fixtures; keeps ns-encoded events loadable
-      // plan strings are diagnostics — never let one grow into driver
-      // heap trouble (AQE rebuilds the string on every replan)
-      .config("spark.sql.maxPlanStringLength", "1048576")
-      // round 21: the default 100-entry codegen cache thrashes across a
-      // 180-query battery (measured: ~12.6 s of janino compilation for
-      // 8 queries' executions, mean 11.7 ms/unit, >1000 units), so every
-      // pass re-compiles every plan. 10k entries keeps repeated plans'
-      // generated classes warm — the same setting a long-running
-      // production session (Thrift server, streaming driver) wants, and
-      // independent of core count or data scale.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

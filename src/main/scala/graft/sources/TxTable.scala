@@ -532,14 +532,65 @@ object TxTable {
     * gate otherwise runs per commit. Estimates only ever SHRINK the
     * set of counted batches — an estimate above the bar still counts,
     * and the 8 MB bar is far below any row count that could threaten
-    * the 4M-key broadcast limit (rows are > 2 bytes). */
-  private def smallByStats(df: DataFrame): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(8L * 1024 * 1024)
+    * the 4M-key broadcast limit (rows are > 2 bytes).
+    *
+    * GUARD (round 22, r21 verdict #4): catalyst shrinks a plan's
+    * estimate below its leaves' only through selectivity GUESSES
+    * (filter fractions, join selectivity) — exactly the estimates that
+    * under-estimate a selective-filter backfill into "broadcastable".
+    * The shortcut therefore fires only when the plan carries no Filter
+    * at all (the estimate is then leaf-derived, reliable) OR every leaf
+    * is itself under the bar (whatever the guesses say, at most 8 MB of
+    * source rows feed the batch; the keys projection cannot exceed it).
+    * Anything else falls back to the exact `count()` gate. */
+  private[graft] def smallByStats(df: DataFrame): Boolean = {
+    val bar = BigInt(8L * 1024 * 1024)
+    val plan = df.queryExecution.optimizedPlan
+    if (plan.stats.sizeInBytes > bar) return false
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val guessy = plan.exists { case _: Filter => true; case _ => false }
+    !guessy || plan.collectLeaves().forall(_.stats.sizeInBytes <= bar)
+  }
 
   /** A conflicting concurrent commit was detected during an optimistic
     * [[upsert]] — the writer retries from a fresh snapshot. */
   final class CommitConflictException(msg: String)
     extends RuntimeException(msg)
+
+  /** Run a commit's two INDEPENDENT write legs concurrently (round 22,
+    * guide §2.6 — overlap independent driver actions): the protocol
+    * orders every leg BEFORE the marker but never legs among
+    * themselves, so the DV-vector write and the adds write overlap
+    * instead of serializing their per-action fixed costs (job
+    * scheduling, AQE stage materialization, output commit — the r21
+    * profile's dominant cost on the tx family). Shared persisted
+    * inputs (the winners/candidate caches) are safe under concurrent
+    * first materialization: the block manager serializes per-partition
+    * cache writes. BOTH futures are awaited before anything is thrown —
+    * a failure's cleanup (dir deletes in the conflict handlers) must
+    * never race a still-in-flight leg's write. */
+  private def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fra = pool.submit(new java.util.concurrent.Callable[A] {
+        override def call(): A = fa
+      })
+      val frb = pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = fb
+      })
+      def unwrap[T](f: java.util.concurrent.Future[T]): Either[Throwable, T] =
+        try Right(f.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Left(Option(e.getCause).getOrElse(e))
+        }
+      (unwrap(fra), unwrap(frb)) match {
+        case (Right(a), Right(b)) => (a, b)
+        case (Left(e), _) => throw e
+        case (_, Left(e)) => throw e
+      }
+    } finally { pool.shutdown(); () }
+  }
 
   /**
    * Merge-on-read MERGE of one CDC batch, committed atomically:
@@ -656,21 +707,24 @@ object TxTable {
         // live rows the batch winner beats (ties to the batch) die
         val hits = cand.filter(col("__tx_wv") >= col(versionCol))
           .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-        val vectors = DeleteVectors.buildVectors(hits)
-        vectors.write.mode("overwrite").parquet(dvDir(root, k))
-        val dvEmpty = writtenRows(dvDir(root, k)) == 0L
-        if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
-
         // winners that LOSE to a strictly newer live row are dropped —
         // the live side's latest-wins leg; tombstones drop their key.
-        // Written FIRST, emptiness decided from the footers: an isEmpty
-        // probe here executed the anti-join a second time
+        // Emptiness decided from the footers: an isEmpty probe here
+        // executed the anti-join a second time
         val beaten = cand.filter(col(versionCol) > col("__tx_wv"))
           .select(keys.map(col): _*).distinct()
         val adds0 = winners.join(beaten, keys.toSeq, "left_anti")
         val adds = opCol.map(c => adds0.filter(col(c) =!= "d").drop(c))
           .getOrElse(adds0)
-        writeData(adds, dataDir(root, k), bloomCols, partitionCols)
+        // the two legs are independent (both read the persisted
+        // winners/cand) and only the MARKER orders the commit — overlap
+        // them (round 22, guide §2.6)
+        inParallel(
+          DeleteVectors.buildVectors(hits)
+            .write.mode("overwrite").parquet(dvDir(root, k)),
+          writeData(adds, dataDir(root, k), bloomCols, partitionCols))
+        val dvEmpty = writtenRows(dvDir(root, k)) == 0L
+        if (dvEmpty) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
         val anyAdds = writtenRows(dataDir(root, k)) > 0L
         if (!anyAdds) Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
 
@@ -721,12 +775,15 @@ object TxTable {
     val live = DeleteVectors.applyVectorsKeepId(
       scanResolved(spark, existingDataDirs(root, rks)),
       DeleteVectors.foldDvDirs(spark, existingDvDirs(root, rks)))
-    DeleteVectors.buildVectors(live.select(
-        col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
-      .write.mode("overwrite").parquet(dvDir(root, k))
+    // kill-everything-live and write-the-replacement are independent
+    // legs — overlap them (round 22, guide §2.6)
+    inParallel(
+      DeleteVectors.buildVectors(live.select(
+          col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
+        .write.mode("overwrite").parquet(dvDir(root, k)),
+      writeData(df, dataDir(root, k), bloomCols, partitionCols))
     if (writtenRows(dvDir(root, k)) == 0L)
       Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
-    writeData(df, dataDir(root, k), bloomCols, partitionCols)
     if (writtenRows(dataDir(root, k)) == 0L)
       Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
     commit(root, k)
@@ -823,13 +880,6 @@ object TxTable {
           if (matchedAction == "none") None else matchedLive
         val kills = (matchedKills.toSeq ++ unmatchedKills.toSeq)
           .reduceOption(_.unionByName(_))
-        kills.foreach { kdf =>
-          DeleteVectors.buildVectors(kdf.select(
-              col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
-            .write.mode("overwrite").parquet(dvDir(root, k))
-        }
-        if (writtenRows(dvDir(root, k)) == 0L)
-          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
         // add legs: matched keys are a SMALL relation (≤ source), so the
         // source-side semi/anti stay broadcastable batch-cost joins
         val tableCols = live.columns
@@ -853,7 +903,17 @@ object TxTable {
           else Some(src.join(matchedKeys, keys.toSeq, "left_anti"))
         val adds = (updateAdds.toSeq ++ insertAdds.toSeq)
           .reduceOption(_.unionByName(_)).map(aligned)
-        adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols))
+        // kill leg ∥ adds leg — both read the persisted src/matchedLive,
+        // only the marker orders the commit (round 22, guide §2.6)
+        inParallel(
+          kills.foreach { kdf =>
+            DeleteVectors.buildVectors(kdf.select(
+                col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
+              .write.mode("overwrite").parquet(dvDir(root, k))
+          },
+          adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)))
+        if (writtenRows(dvDir(root, k)) == 0L)
+          Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
         if (writtenRows(dataDir(root, k)) == 0L)
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
         if (conflictDetect) {
@@ -1062,12 +1122,6 @@ object TxTable {
               col("t.__dv_row").as("ri")))
           val kills = (matchedKills.toSeq ++ bySourceKills.toSeq)
             .reduceOption(_.unionByName(_))
-          kills.foreach { kdf =>
-            DeleteVectors.buildVectors(kdf)
-              .write.mode("overwrite").parquet(dvDir(root, k))
-          }
-          if (writtenRows(dvDir(root, k)) == 0L)
-            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
 
           // add legs, every output cast to the table column's type (SQL
           // assignment semantics; keeps each commit's schema = the table's)
@@ -1113,7 +1167,16 @@ object TxTable {
           }
           val adds = (updateAdds ++ insertAdds ++ bySourceAdds)
             .reduceOption(_.unionByName(_))
-          adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols))
+          // kill leg ∥ adds leg over the persisted matchedEval
+          // (round 22, guide §2.6)
+          inParallel(
+            kills.foreach { kdf =>
+              DeleteVectors.buildVectors(kdf)
+                .write.mode("overwrite").parquet(dvDir(root, k))
+            },
+            adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)))
+          if (writtenRows(dvDir(root, k)) == 0L)
+            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
           if (writtenRows(dataDir(root, k)) == 0L)
             Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
           if (conflictDetect) {
@@ -1340,23 +1403,28 @@ object TxTable {
     try {
       val hits = matched
         .select(col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-      DeleteVectors.buildVectors(hits)
-        .write.mode("overwrite").parquet(dvDir(root, k))
+      val old = matched.drop("__dv_file", "__dv_row")
+      require(set.keySet.subsetOf(old.columns.toSet),
+        s"txtable.updateWhere: SET names ${set.keySet.mkString(",")} " +
+          s"must be existing columns (${old.columns.mkString(",")})")
+      // ONE select, so every SET expression evaluates against the OLD
+      // row (SQL UPDATE semantics — a fold of withColumn would let one
+      // SET read another's result in map order)
+      val mutated = old.select(old.columns.map(c =>
+        set.getOrElse(c, col(c)).as(c)): _*)
+      // kill leg ∥ mutated-copies leg, both over the persisted match
+      // (round 22, guide §2.6). A no-match predicate writes two empty
+      // dirs and the footer checks below remove both — the same EMPTY
+      // commit the serial form produced.
+      inParallel(
+        DeleteVectors.buildVectors(hits)
+          .write.mode("overwrite").parquet(dvDir(root, k)),
+        writeData(mutated, dataDir(root, k), bloomCols, partitionCols))
       val anyKills = writtenRows(dvDir(root, k)) > 0L
       if (!anyKills)
         Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
-      if (anyKills) {
-        val old = matched.drop("__dv_file", "__dv_row")
-        require(set.keySet.subsetOf(old.columns.toSet),
-          s"txtable.updateWhere: SET names ${set.keySet.mkString(",")} " +
-            s"must be existing columns (${old.columns.mkString(",")})")
-        // ONE select, so every SET expression evaluates against the OLD
-        // row (SQL UPDATE semantics — a fold of withColumn would let one
-        // SET read another's result in map order)
-        val mutated = old.select(old.columns.map(c =>
-          set.getOrElse(c, col(c)).as(c)): _*)
-        writeData(mutated, dataDir(root, k), bloomCols, partitionCols)
-      }
+      if (writtenRows(dataDir(root, k)) == 0L)
+        Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
       if (conflictDetect && anyKills) {
         try validateNoFileConflicts(spark, root, k, snap.toSet,
           dvFileKeys(spark, root, k), conflictWaitMs)
@@ -1621,6 +1689,30 @@ object TxTable {
         .groupBy(_._1).map { case (k, v) =>
           k -> v.map(_._2).distinct.sorted.toSeq
         }
+    // ONE-PASS multi-commit delta (round 22, r21 verdict #6): when every
+    // involved commit dir is flat and shares one footer signature — the
+    // overwhelmingly common case; schema evolution and hive layouts take
+    // the per-commit fallback below — the whole feed is ONE diff: one
+    // scan of all adds dirs (commit attributed from the file path), one
+    // scan of the union kill-file set joined against the commit-labeled
+    // DV sidecars, one full-outer join keyed (commit, keys). The
+    // per-commit form planned and executed one kill-resolution join PER
+    // COMMIT (the r21 profile's q_incr_agg_cdc/q_mor_change_feed cost);
+    // the fold produces the same rows — the join key carries the commit,
+    // so every comparison stays within its commit — with O(1) plan
+    // branches however long the log, which also supersedes the
+    // spillEvery chunking (that existed to bound PLANNING width).
+    val addDirs = feedIds.map(dataDir(root, _)).filter(Fs.isDirectory(_))
+    val allKillFiles = killFiles.values.flatten.toSeq.distinct.sorted
+    val involved = (addDirs ++ allKillFiles.map(commitDirOf)).distinct
+    val reserved = Set("commit", "__commit", "op")
+    val uniform = involved.nonEmpty &&
+      involved.forall(d => !isHivePartitioned(d)) &&
+      involved.map(schemaSig).toSet.size == 1 &&
+      feedColumnsSafe(involved.head, reserved)
+    if (uniform)
+      return onePassFeed(spark, keys, addDirs,
+        allKillFiles, dvPresent.map(dvDir(root, _)), withPreimage)
     val feeds = feedIds.flatMap(k =>
       commitChanges(spark, root, k, keys,
         killFiles.getOrElse(k, Seq.empty), withPreimage))
@@ -1637,6 +1729,57 @@ object TxTable {
       else union(chunks.map(c =>
         graft.operators.Materialize.viaParquet(union(c), "txfeed")))
     }
+  }
+
+  /** Fast-path guard: the one-pass feed reserves `__commit`/`commit`/`op`
+    * working names; a table whose OWN columns collide routes to the
+    * per-commit path (whose behavior for such tables — `withColumn`
+    * replacement — predates this round and stays untouched). One cached
+    * footer per immutable dir, no listing beyond what [[schemaSig]] did. */
+  private def feedColumnsSafe(dir: String, reserved: Set[String]): Boolean = {
+    val sig = schemaSig(dir)
+    if (sig.isEmpty) return false
+    !reserved.exists(r => sig.contains(s" $r ") || sig.contains(s" $r;"))
+  }
+
+  /** The one-pass feed body: commit-labeled kills diffed to
+    * commit-labeled adds in ONE full-outer join on (commit, keys) —
+    * emits exactly the rows the per-commit [[commitChanges]] union
+    * emits for uniform-schema flat commits (the join key carries the
+    * commit, so adds/kills never compare across commits; a kill+re-add
+    * with identical payload inside one commit still compares equal and
+    * stays feed-invisible). */
+  private def onePassFeed(spark: SparkSession, keys: Seq[String],
+      addDirs: Seq[String], killFilesAll: Seq[String], dvDirs: Seq[String],
+      withPreimage: Boolean): DataFrame = {
+    val commitOfParent =
+      regexp_extract(element_at(split(col("_metadata.file_path"), "/"), -2),
+        "^c?(\\d+)$", 1).cast("long").as("__commit")
+    val adds: Option[DataFrame] =
+      if (addDirs.isEmpty) None
+      else Some(spark.read.parquet(addDirs: _*)
+        .withColumn("__commit", commitOfParent))
+    val kills: Option[DataFrame] =
+      if (killFilesAll.isEmpty) None
+      else {
+        // DV sidecars labeled by their commit (the dv dir name), kept
+        // through [[DeleteVectors.killedRows]]'s drop list — each base
+        // row emits once per commit whose bit kills it
+        val dvAll = spark.read.parquet(dvDirs: _*)
+          .select(commitOfParent, col("file_path"),
+            explode(col("dv")).as(Seq("word", "mask")))
+          .select(col("__commit"), col("file_path").as("__dv_fp"),
+            col("word").as("__dv_word"), col("mask").as("__dv_mask"))
+        Some(DeleteVectors.killedRows(
+          DeleteVectors.scanWithRowId(spark, killFilesAll), dvAll))
+      }
+    val some = adds.orElse(kills).get
+    val o = kills.getOrElse(some.filter(lit(false)))
+    val n = adds.getOrElse(some.filter(lit(false)))
+    val payload = n.columns.filterNot((keys :+ "__commit").contains).toSeq
+    ParquetIO.changeFeed(o, n, keys :+ "__commit", withPreimage)
+      .select(keys.map(col) ++ Seq(col("op")) ++ payload.map(col) :+
+        col("__commit").as("commit"): _*)
   }
 
   /** One commit's i/u/d delta: kills (DV-resolved rows over the
@@ -1802,8 +1945,6 @@ object TxTable {
           "their kills could miss the moved copies; retry once they resolve")
       val hits = liveHot.select(
         col("__dv_file").as("file_path"), col("__dv_row").as("ri"))
-      DeleteVectors.buildVectors(hits)
-        .write.mode("overwrite").parquet(dvDir(root, k))
       val hotBytes = ParquetIO.inputBytes(spark, hot)
       val parts = math.max(1L, hotBytes / math.max(1L, targetFileBytes)).toInt
       val moved = liveHot.drop("__dv_file", "__dv_row")
@@ -1812,8 +1953,13 @@ object TxTable {
         // cluster by the partition column so the fold keeps the hive
         // layout at ~one file per (task, value) instead of parts × values
         else moved.repartition(parts, partitionCols.map(col): _*)
-      writeData(sized, dataDir(root, k), bloomCols, partitionCols,
-        precluster = false)
+      // re-kill leg ∥ moved-copies leg, both over the persisted liveHot
+      // (round 22, guide §2.6)
+      inParallel(
+        DeleteVectors.buildVectors(hits)
+          .write.mode("overwrite").parquet(dvDir(root, k)),
+        writeData(sized, dataDir(root, k), bloomCols, partitionCols,
+          precluster = false))
       // post-fold fence, same shape as checkpoint's: a lower writer that
       // claimed or committed mid-fold may have killed rows in the moved
       // files with this fold blind to it

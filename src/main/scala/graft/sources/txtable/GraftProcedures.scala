@@ -158,8 +158,15 @@ private[txtable] object GraftProcedures {
       StructType(Seq(StructField("commit", LongType, nullable = true))),
       (spark, root, input) => {
         val (blooms, parts) = TxTableSource.persistedLayout(root)
-        Array(row(TxTable.compactFiles(spark, root, input.getDouble(1),
-          input.getLong(2), blooms, parts).map(Long.box).orNull))
+        val k = TxTable.compactFiles(spark, root, input.getDouble(1),
+          input.getLong(2), blooms, parts)
+        // uniform with expire/maintain (round 22, the r20 ADVICE #6
+        // one-liner): a fold moved file identities, so drop the cached
+        // (root, tip) plan — correct either way (the cache is keyed by
+        // tip, and a fold commit advances it), invalidating is simply
+        // the uniform posture every mutating procedure takes
+        TxTableSource.invalidateRoot(root)
+        Array(row(k.map(Long.box).orNull))
       }, resolveRoot),
     Proc("maintain",
       "one self-deciding maintenance tick: checkpoint+expire when the " +
