@@ -379,9 +379,12 @@ object Dedup {
         withChg = propagateAndJump(cur)
         cur = withChg.select(col("id"), col("cluster"))
       }
-      val nextGen = tick(s"rounds ${i + 1}..${i + roundsThisCycle}")(
-        Materialize.viaParquet(withChg, "cc_gen"))
-      converged = nextGen.filter(col("__chg")).limit(1).count() == 0
+      // the convergence verdict rides the spill's own parquet footer
+      // statistics (boolean max of __chg) — the per-cycle count() job
+      // re-read files the driver had just written (round 22)
+      val (nextGen, anyChg) = tick(s"rounds ${i + 1}..${i + roundsThisCycle}")(
+        Materialize.viaParquetAnyTrue(withChg, "cc_gen", "__chg"))
+      converged = !anyChg
       labels = nextGen.select(col("id"), col("cluster"))
       i += roundsThisCycle
     }

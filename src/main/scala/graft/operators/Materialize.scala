@@ -80,6 +80,51 @@ object Materialize {
     df.sparkSession.read.schema(nullable).parquet(dir)
   }
 
+  /** [[viaParquet]] plus a FREE "does any row have `boolCol` = true?"
+    * verdict, decided from the written files' FOOTER STATISTICS
+    * (parquet keeps boolean min/max per row group) — no Spark job. The
+    * CC loop's convergence test consumed one job per spill cycle just
+    * to ask this (round 22, guide §1.2: the answer was already in the
+    * bytes the spill wrote). Conservative: a footer without usable
+    * stats for the column answers "maybe true". */
+  def viaParquetAnyTrue(df: DataFrame, tag: String,
+      boolCol: String): (DataFrame, Boolean) = {
+    val dir = s"${root(df.sparkSession)}/${tag}_${counter.incrementAndGet()}"
+    df.write.mode("overwrite").parquet(dir)
+    val nullable = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    val back = df.sparkSession.read.schema(nullable).parquet(dir)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).toSeq
+      .filter(f => f.getPath.getName.endsWith(".parquet") &&
+        !f.getPath.getName.startsWith("_") && f.getLen > 0)
+    val anyTrue = files.exists { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.exists { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == boolCol)
+            .forall { c =>
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) {
+                // no usable stats (or an all-null chunk with rows —
+                // can't happen for a non-null boolean, but stay
+                // conservative): treat as possibly-true unless the
+                // chunk is provably all-null
+                st == null || st.isEmpty || c.getValueCount > st.getNumNulls
+              } else st.genericGetMax
+                .asInstanceOf[java.lang.Boolean].booleanValue()
+            }
+        }
+      } finally r.close()
+    }
+    (back, anyTrue)
+  }
+
   /**
    * Incremental AGGREGATE maintenance (round 12) — materialized-view
    * refresh for the distributive aggregates (COUNT / SUM, and AVG as

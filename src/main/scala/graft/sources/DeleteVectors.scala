@@ -192,8 +192,15 @@ object DeleteVectors {
   private[sources] def foldDvDirs(spark: SparkSession,
       dirs: Seq[String]): DataFrame = {
     if (dirs.isEmpty) {
+      // a LocalRelation-backed empty, NOT an emptyRDD one (round 22):
+      // an RDD-backed empty is opaque to the optimizer, so every
+      // DV-less snapshot read kept the left join AND paid a broadcast
+      // build of a zero-row relation — one wasted stage job per read.
+      // A LocalRelation empty lets PropagateEmptyRelation delete the
+      // join from the plan: a table with no deletion vectors reads as
+      // a bare scan.
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("__dv_fp",
             org.apache.spark.sql.types.StringType),
@@ -270,14 +277,14 @@ object DeleteVectors {
     val vectors = buildVectors(hits)
     val epoch = nextEpoch(table)
     val out = epochDir(table, epoch)
-    vectors.write.mode("overwrite").parquet(out)
-    // count from the WRITTEN sidecar (tiny) — never a second table scan
-    val hasData = Fs.listFiles(out).exists { f =>
-      val n = f.getPath.getName; n.endsWith(".parquet") && f.getLen > 0
-    }
-    val n = if (!hasData) 0L
-      else spark.read.parquet(out)
-        .agg(coalesce(sum("n_deleted"), lit(0L))).head().getLong(0)
+    // the marked-row count rides the WRITE job itself as an observed
+    // metric (round 22): the old read-back of the written sidecar was
+    // one extra job per delete just to re-learn a number the write had
+    // already aggregated
+    val obs = org.apache.spark.sql.Observation()
+    vectors.observe(obs, coalesce(sum("n_deleted"), lit(0L)).as("n"))
+      .write.mode("overwrite").parquet(out)
+    val n = obs.get("n").asInstanceOf[Long]
     if (n == 0L) { Fs.deleteRecursive(new org.apache.hadoop.fs.Path(out)); 0L }
     else {
       // data first, marker last — the create-once commit protocol; a

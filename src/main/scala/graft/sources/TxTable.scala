@@ -592,6 +592,27 @@ object TxTable {
     } finally { pool.shutdown(); () }
   }
 
+  /** [[inParallel]] for N result-free legs — the MERGE shape, where the
+    * SQL cardinality check (one aggregate job over the persisted source)
+    * overlaps the kill and add writes instead of gating them serially;
+    * all legs complete before the first failure propagates. */
+  private def inParallelAll(legs: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    try {
+      val fs = legs.map(l => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = l()
+      }))
+      val errs = fs.flatMap { f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+        }
+      }
+      errs.headOption.foreach(e => throw e)
+    } finally { pool.shutdown(); () }
+  }
+
   /**
    * Merge-on-read MERGE of one CDC batch, committed atomically:
    * latest `versionCol` per `keys` wins inside the batch; each winner
@@ -847,11 +868,13 @@ object TxTable {
     // legs consume the source
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (matchedAction != "none") {
+      // the cardinality check runs as a PARALLEL leg below (round 22):
+      // it must hold before the marker, not before the writes
+      def requireCardinality(what: String): Unit = {
         val dup = src.groupBy(keys.map(col): _*).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
-          "txtable.mergeInto: the source has duplicate keys — SQL MERGE " +
+          s"txtable.$what: the source has duplicate keys — SQL MERGE " +
             "forbids multiple source rows matching one target row " +
             s"(first duplicate: ${dup.headOption.getOrElse("")})")
       }
@@ -903,15 +926,26 @@ object TxTable {
           else Some(src.join(matchedKeys, keys.toSeq, "left_anti"))
         val adds = (updateAdds.toSeq ++ insertAdds.toSeq)
           .reduceOption(_.unionByName(_)).map(aligned)
-        // kill leg ∥ adds leg — both read the persisted src/matchedLive,
-        // only the marker orders the commit (round 22, guide §2.6)
-        inParallel(
-          kills.foreach { kdf =>
+        // kill leg ∥ adds leg ∥ cardinality check — all read the
+        // persisted src/matchedLive; only the MARKER orders the commit
+        // (round 22, guide §2.6). A failed check (or leg) abandons the
+        // claimed id's litter so the error path leaves nothing a
+        // vacuum grace-window has to age out.
+        try inParallelAll(Seq(
+          () => kills.foreach { kdf =>
             DeleteVectors.buildVectors(kdf.select(
                 col("__dv_file").as("file_path"), col("__dv_row").as("ri")))
               .write.mode("overwrite").parquet(dvDir(root, k))
           },
-          adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)))
+          () => adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)),
+          () => if (matchedAction != "none") requireCardinality("mergeInto")))
+        catch {
+          case e: Throwable =>
+            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+            Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+            Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+            throw e
+        }
         if (writtenRows(dvDir(root, k)) == 0L)
           Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
         if (writtenRows(dataDir(root, k)) == 0L)
@@ -1046,7 +1080,9 @@ object TxTable {
     if (conflictDetect) Fs.warnIfNonAtomic(root, "mergeClauses(conflictDetect)")
     val src = source.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (matched.nonEmpty) {
+      // runs as a parallel leg below — before the MARKER, not before
+      // the writes (round 22)
+      def requireCardinality(): Unit = {
         val dup = src.groupBy(keys.map(col): _*).count()
           .filter(col("count") > 1).limit(1).collect()
         require(dup.isEmpty,
@@ -1167,14 +1203,23 @@ object TxTable {
           }
           val adds = (updateAdds ++ insertAdds ++ bySourceAdds)
             .reduceOption(_.unionByName(_))
-          // kill leg ∥ adds leg over the persisted matchedEval
-          // (round 22, guide §2.6)
-          inParallel(
-            kills.foreach { kdf =>
+          // kill leg ∥ adds leg ∥ cardinality check over the persisted
+          // matchedEval/src (round 22, guide §2.6); a failure abandons
+          // the claimed id's litter
+          try inParallelAll(Seq(
+            () => kills.foreach { kdf =>
               DeleteVectors.buildVectors(kdf)
                 .write.mode("overwrite").parquet(dvDir(root, k))
             },
-            adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)))
+            () => adds.foreach(writeData(_, dataDir(root, k), bloomCols, partitionCols)),
+            () => if (matched.nonEmpty) requireCardinality()))
+          catch {
+            case e: Throwable =>
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dataDir(root, k)))
+              Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
+              Fs.deleteIfExists(s"${claimsDir(root)}/c$k")
+              throw e
+          }
           if (writtenRows(dvDir(root, k)) == 0L)
             Fs.deleteRecursive(new org.apache.hadoop.fs.Path(dvDir(root, k)))
           if (writtenRows(dataDir(root, k)) == 0L)
@@ -1808,8 +1853,12 @@ object TxTable {
       }
     def widen(dfo: Option[DataFrame]): DataFrame = {
       val proto = dfo.orElse(adds).orElse(kills).get
+      // LocalRelation-backed empty so PropagateEmptyRelation can
+      // collapse the one-sided diff (adds-only commit → plain "i"
+      // projection, no full-outer join) — see foldDvDirs (round 22)
       val df = dfo.getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema))
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        proto.schema))
       df.select(fields.map { f =>
         if (df.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
